@@ -1,0 +1,1029 @@
+"""OscillinkLattice — the host-side coherence-lattice container.
+
+API-parity re-design of the reference container (oscillink/core/lattice.py:23-992)
+on a TPU-native functional core:
+
+  * all numerics run as jitted XLA programs over a k-sparse padded-neighbor
+    graph (`oscillink_tpu.ops`); the dense N x N Laplacian of the reference is
+    never materialized;
+  * jit caching is keyed on shapes only (N, D, K, path-edge count); lambdas,
+    dt, tol, and max_iters are traced scalars, so parameter tuning never
+    recompiles;
+  * receipt diagnostics (per-node components, null points, chain stats,
+    dynamics flows) are edge-parallel device reductions instead of the
+    reference's O(N*k) / O(N^2 D) Python loops;
+  * the host class holds NumPy mirrors of Y / gates / adjacency for
+    signatures, export, BFS, and logging — the device holds the solver state.
+
+State signatures, receipts, and HMAC blocks are wire-compatible with the
+reference (same canonical JSON payloads and SHA-256 fingerprints).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.coherence import EnergyParams, settle_step, solve_stationary
+from ..ops.graph import Graph, build_graph, mmr_select, normalize_rows
+from ..ops.path import PathGraph, build_path_graph
+from ..ops.receipts import (
+    bundle_scores,
+    chain_edge_stats,
+    deltaH_trace,
+    dynamics_core,
+    null_points_sparse,
+    per_node_components,
+)
+from .receipts import sign_payload, verify_receipt
+
+__all__ = ["OscillinkLattice", "json_line_logger"]
+
+# Above this N the dense [N, N] similarity is not materialized (blocked top-k).
+_DENSE_LIMIT = 4096
+# Dense adjacency export cap — beyond this, export_state falls back to sparse.
+_DENSE_EXPORT_LIMIT = 20000
+
+
+# --------------------------------------------------------------------------
+# jitted entry points (module level so jax.jit's shape-keyed cache is shared
+# across lattice instances)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _jit_build_graph(Y, jitter, k, row_cap):
+    return build_graph(Y, k, row_cap=row_cap, jitter=jitter)
+
+
+@partial(jax.jit, static_argnames=("use_jacobi",))
+def _jit_settle(g, pg, U, Y, psi, B, lam, dt, tol, max_iters, x0, use_jacobi):
+    return settle_step(
+        g, pg, U, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters, x0=x0,
+        use_jacobi=use_jacobi,
+    )
+
+
+@jax.jit
+def _jit_solve_ustar(g, pg, Y, psi, B, lam, tol, max_iters):
+    return solve_stationary(g, pg, Y, psi, B, lam, tol=tol, max_iters=max_iters)
+
+
+@jax.jit
+def _jit_deltaH(g, pg, U, Ustar, lam, B):
+    return deltaH_trace(g, pg, U, Ustar, lam, B)
+
+
+@jax.jit
+def _jit_receipt_full(g, pg, U, Ustar, lam, B, Y, psi):
+    dH = deltaH_trace(g, pg, U, Ustar, lam, B)
+    coh, anchor, query = per_node_components(g, Y, Ustar, lam, B, psi)
+    nflag, nj, nz, nr = null_points_sparse(g, Ustar, lam.lamC, z_th=3.0)
+    return dH, coh, anchor, query, nflag, nj, nz, nr
+
+
+@jax.jit
+def _jit_chain_stats(g, pg, Ustar, Y, lamC, ci, cj):
+    return chain_edge_stats(g, pg, Ustar, Y, lamC, ci, cj)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _jit_bundle(g, Y, Ustar, psi, lamC, alpha, k):
+    score, align = bundle_scores(g, Y, Ustar, psi, lamC, alpha)
+    Yn = normalize_rows(Y)
+    picks = mmr_select(Yn, score, k, lambda_div=0.5)
+    return picks, score, align
+
+
+@jax.jit
+def _jit_dynamics(g, pg, U_prev, U_next, lam, B):
+    return dynamics_core(g, pg, U_prev, U_next, lam, B)
+
+
+def _env_flag(name: str) -> bool:
+    return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
+
+
+class OscillinkLattice:
+    """Short-term coherence container with chain priors and receipts.
+
+    Mirrors the reference public surface (lattice.py:23-992): settle /
+    solve_Ustar / receipt / chain_receipt / bundle, U*-cache keyed by a state
+    signature, export / import, callbacks, logging, signed receipts.
+    """
+
+    def __init__(
+        self,
+        Y: np.ndarray,
+        kneighbors: int = 6,
+        row_cap_val: float = 1.0,
+        lamG: float = 1.0,
+        lamC: float = 0.5,
+        lamQ: float = 4.0,
+        deterministic_k: bool = False,
+        neighbor_seed: Optional[int] = None,
+    ):
+        if isinstance(Y, jax.Array):
+            Y = np.asarray(Y)
+        if not isinstance(Y, np.ndarray) or Y.ndim != 2:
+            raise ValueError("Y must be a 2D array")
+        if kneighbors < 1:
+            raise ValueError("kneighbors must be >= 1")
+        if lamG <= 0:
+            raise ValueError("lamG must be > 0 for SPD")
+        for name, val in {"lamC": lamC, "lamQ": lamQ}.items():
+            if val < 0:
+                raise ValueError(f"{name} must be >= 0")
+
+        self.Y: np.ndarray = Y.astype(np.float32).copy()
+        self.N, self.D = self.Y.shape
+        self._Y_dev = jnp.asarray(self.Y)
+        self._U_dev = self._Y_dev
+
+        k_eff = min(kneighbors, max(1, self.N - 1))
+        self._kneighbors = k_eff
+        self._deterministic_k = bool(deterministic_k)
+        self._neighbor_seed = neighbor_seed
+        self._row_cap_val = float(row_cap_val)
+
+        self._settle_callbacks: list[Callable] = []
+        self._logger: Optional[Callable[[str, dict], None]] = None
+
+        t0 = time.perf_counter()
+        self._build_graph_device()
+        self._graph_build_ms = 1000.0 * (time.perf_counter() - t0)
+
+        self.B_diag = np.ones(self.N, dtype=np.float32)
+        self.psi = np.zeros(self.D, dtype=np.float32)
+        self._B_dev = jnp.asarray(self.B_diag)
+        self._psi_dev = jnp.asarray(self.psi)
+
+        self.lamG, self.lamC, self.lamQ = float(lamG), float(lamC), float(lamQ)
+        self.lamP = 0.0
+        self._path: Optional[PathGraph] = None
+        self._chain_nodes: Optional[list[int]] = None
+        self.last: dict[str, Any] = {"iters": 0, "res": None, "t_ms": None}
+
+        self._Ustar_cache: Optional[np.ndarray] = None
+        self._Ustar_cache_dev: Optional[jax.Array] = None
+        self._Ustar_sig: Optional[str] = None
+        self.stats: dict[str, int] = {"ustar_solves": 0, "ustar_cache_hits": 0}
+        self._receipt_secret: Optional[bytes] = None
+        self._signature_mode: str = "minimal"
+        self._receipt_detail: str = "full"
+        self._last_dynamics: Optional[dict[str, Any]] = None
+        self._log(
+            "init",
+            {
+                "N": self.N,
+                "D": self.D,
+                "kneighbors_requested": kneighbors,
+                "kneighbors_effective": k_eff,
+                "deterministic_k": self._deterministic_k,
+                "neighbor_seed": self._neighbor_seed,
+            },
+        )
+
+    # -- graph build ------------------------------------------------------
+
+    def _build_graph_device(self) -> None:
+        jitter = None
+        if (
+            self._neighbor_seed is not None
+            and not self._deterministic_k
+            and self.N <= _DENSE_LIMIT
+        ):
+            rng = np.random.default_rng(self._neighbor_seed)
+            jitter = jnp.asarray(
+                rng.uniform(-1e-8, 1e-8, size=(self.N, self.N)).astype(np.float32)
+            )
+        g: Graph = _jit_build_graph(
+            self._Y_dev,
+            jitter,
+            self._kneighbors,
+            jnp.float32(self._row_cap_val),
+        )
+        jax.block_until_ready(g.w)
+        self._graph = g
+        # host mirrors for signatures / export / BFS / stats
+        self._host_idx = np.asarray(g.idx)
+        self._host_w = np.asarray(g.w)
+        self._host_sqrt_deg = np.asarray(g.sqrt_deg)
+        self._edge_pairs_cache: Optional[np.ndarray] = None
+
+    def _edge_pairs(self) -> np.ndarray:
+        """Sorted (row-major) [E, 2] int64 nonzero pairs — matches np.argwhere
+        order on the dense adjacency (used by signatures / export)."""
+        if self._edge_pairs_cache is None:
+            ii, kk = np.nonzero(self._host_w > 0)
+            jj = self._host_idx[ii, kk].astype(np.int64)
+            pairs = np.stack([ii.astype(np.int64), jj], axis=1)
+            order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+            self._edge_pairs_cache = pairs[order]
+        return self._edge_pairs_cache
+
+    def adjacency_fingerprint(self) -> str:
+        nz = self._edge_pairs()[:2048]
+        return hashlib.sha256(np.ascontiguousarray(nz).tobytes()).hexdigest()
+
+    def dense_adjacency(self) -> np.ndarray:
+        """Reconstruct the dense [N, N] adjacency (export / small-N compat)."""
+        A = np.zeros((self.N, self.N), dtype=np.float32)
+        ii, kk = np.nonzero(self._host_w > 0)
+        A[ii, self._host_idx[ii, kk]] = self._host_w[ii, kk]
+        return A
+
+    # -- properties -------------------------------------------------------
+
+    @property
+    def U(self) -> np.ndarray:
+        return np.asarray(self._U_dev)
+
+    @U.setter
+    def U(self, value: np.ndarray) -> None:
+        self._U_dev = jnp.asarray(np.asarray(value, dtype=np.float32))
+
+    @property
+    def sqrt_deg(self) -> np.ndarray:
+        return self._host_sqrt_deg
+
+    @property
+    def graph(self) -> Graph:
+        return self._graph
+
+    def _lam(self) -> EnergyParams:
+        return EnergyParams.make(self.lamG, self.lamC, self.lamQ, self.lamP)
+
+    # -- public API -------------------------------------------------------
+
+    def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
+        self.psi = np.asarray(psi, dtype=np.float32).copy()
+        self._psi_dev = jnp.asarray(self.psi)
+        if gates is not None:
+            if gates.shape[0] != self.N:
+                raise ValueError("gates length mismatch N")
+            self.B_diag = np.asarray(gates, dtype=np.float32).copy()
+            self._B_dev = jnp.asarray(self.B_diag)
+        self._invalidate_cache()
+
+    def set_gates(self, gates: np.ndarray) -> None:
+        if gates.shape[0] != self.N:
+            raise ValueError("gates length mismatch N")
+        self.B_diag = np.asarray(gates, dtype=np.float32).copy()
+        self._B_dev = jnp.asarray(self.B_diag)
+        self._invalidate_cache()
+
+    def add_chain(
+        self,
+        chain: list[int],
+        lamP: float = 0.2,
+        weights: Optional[list[float]] = None,
+    ) -> None:
+        if lamP < 0:
+            raise ValueError("lamP must be >= 0")
+        if any((c < 0 or c >= self.N) for c in chain):
+            raise ValueError("chain indices out of bounds")
+        if len(chain) < 2:
+            raise ValueError("chain must contain at least two indices")
+        if weights is not None and len(weights) != len(chain) - 1:
+            raise ValueError("weights length must equal len(chain)-1")
+        self._path = build_path_graph(self.N, chain, weights)
+        self.lamP = float(lamP)
+        self._chain_nodes = list(map(int, chain))
+        self._invalidate_cache()
+        self._log("add_chain", {"length": len(chain), "lamP": lamP})
+
+    def clear_chain(self) -> None:
+        self._path = None
+        self.lamP = 0.0
+        self._chain_nodes = None
+        self._invalidate_cache()
+        self._log("clear_chain", {})
+
+    def settle(
+        self,
+        dt: float = 1.0,
+        max_iters: int = 12,
+        tol: float = 1e-3,
+        precond: str = "jacobi",
+        *,
+        warm_start: bool = True,
+        inertia: float = 0.0,
+    ) -> dict[str, Any]:
+        """Implicit Euler step (I + dt M) U+ = U + dt (lamG Y + lamQ B psi^T)."""
+        U_prev = self._U_dev
+        x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
+        t0 = time.perf_counter()
+        U_plus, iters, res = _jit_settle(
+            self._graph,
+            self._path,
+            self._U_dev,
+            self._Y_dev,
+            self._psi_dev,
+            self._B_dev,
+            self._lam(),
+            np.float32(dt),
+            np.float32(tol),
+            np.int32(max_iters),
+            x0,
+            precond == "jacobi",
+        )
+        jax.block_until_ready(U_plus)
+        self._U_dev = U_plus
+        self.last = {
+            "iters": int(iters),
+            "res": float(res),
+            "t_ms": 1000.0 * (time.perf_counter() - t0),
+        }
+        self._log("settle", self.last)
+        if float(res) > tol * 10:
+            self._log(
+                "settle_convergence_warn",
+                {"res": float(res), "tol": tol, "iters": int(iters)},
+            )
+        if _env_flag("OSCILLINK_RECEIPT_DYNAMICS"):
+            try:
+                self._last_dynamics = self._compute_dynamics(U_prev, self._U_dev, int(iters))
+            except Exception:
+                self._last_dynamics = None
+        if self._settle_callbacks:
+            for cb in list(self._settle_callbacks):
+                try:
+                    cb(self, self.last)
+                except Exception:
+                    pass
+        return self.last
+
+    def solve_Ustar(
+        self,
+        tol: float = 1e-4,
+        max_iters: int = 64,
+        use_cache: bool = True,
+    ) -> np.ndarray:
+        sig = self._signature()
+        if use_cache and self._Ustar_cache is not None and self._Ustar_sig == sig:
+            self.stats["ustar_cache_hits"] += 1
+            self._log("ustar_cache_hit", {"signature": sig})
+            return self._Ustar_cache
+
+        t0 = time.perf_counter()
+        Ustar, iters, res = _jit_solve_ustar(
+            self._graph,
+            self._path,
+            self._Y_dev,
+            self._psi_dev,
+            self._B_dev,
+            self._lam(),
+            np.float32(tol),
+            np.int32(max_iters),
+        )
+        jax.block_until_ready(Ustar)
+        solve_ms = 1000.0 * (time.perf_counter() - t0)
+        converged = bool(float(res) <= tol)
+        self.last_ustar = {
+            "iters": int(iters),
+            "res": float(res),
+            "converged": converged,
+            "solve_ms": solve_ms,
+        }
+        Ustar_host = np.asarray(Ustar)
+        if use_cache:
+            self._Ustar_cache = Ustar_host
+            self._Ustar_cache_dev = Ustar
+            self._Ustar_sig = sig
+        self.stats["ustar_solves"] += 1
+        self._log(
+            "ustar_solve",
+            {
+                "signature": sig,
+                "tol": tol,
+                "max_iters": max_iters,
+                "iters": int(iters),
+                "res": float(res),
+                "converged": converged,
+                "solve_ms": solve_ms,
+            },
+        )
+        if not converged:
+            self._log(
+                "ustar_convergence_warn",
+                {"res": float(res), "tol": tol, "iters": int(iters)},
+            )
+        return Ustar_host
+
+    def refresh_Ustar(self, tol: float = 1e-4, max_iters: int = 64) -> np.ndarray:
+        self._invalidate_cache()
+        self._log("refresh_ustar", {})
+        return self.solve_Ustar(tol=tol, max_iters=max_iters, use_cache=True)
+
+    def _ustar_device(self) -> jax.Array:
+        """Cached U* as a device array (solving if needed)."""
+        sig = self._signature()
+        if self._Ustar_cache_dev is not None and self._Ustar_sig == sig:
+            self.stats["ustar_cache_hits"] += 1
+            return self._Ustar_cache_dev
+        self.solve_Ustar()
+        assert self._Ustar_cache_dev is not None
+        return self._Ustar_cache_dev
+
+    def receipt(self) -> dict[str, Any]:
+        from .. import __version__ as pkg_version
+
+        Ustar_dev = self._ustar_device()
+        lam = self._lam()
+        if self._receipt_detail == "light":
+            dH = _jit_deltaH(
+                self._graph, self._path, self._U_dev, Ustar_dev, lam, self._B_dev
+            )
+            coh = anchor = query = np.zeros(self.N, dtype=np.float32)
+            nulls_full: list[dict[str, Any]] = []
+            dH = float(dH)
+        else:
+            dH, coh_d, anchor_d, query_d, nflag, nj, nz, nr = _jit_receipt_full(
+                self._graph,
+                self._path,
+                self._U_dev,
+                Ustar_dev,
+                lam,
+                self._B_dev,
+                self._Y_dev,
+                self._psi_dev,
+            )
+            dH = float(dH)
+            coh = np.asarray(coh_d)
+            anchor = np.asarray(anchor_d)
+            query = np.asarray(query_d)
+            nulls_full = [
+                {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
+                for i, j, z, r, f in zip(
+                    range(self.N), np.asarray(nj), np.asarray(nz), np.asarray(nr),
+                    np.asarray(nflag),
+                )
+                if f
+            ]
+
+        # null-point capping (observability control, lattice.py:334-356)
+        cap_raw = os.getenv("OSCILLINK_RECEIPT_NULL_CAP", "0").strip()
+        try:
+            cap_val = int(cap_raw)
+        except ValueError:
+            cap_val = 0
+        if cap_val > 0 and len(nulls_full) > cap_val:
+            nulls = sorted(nulls_full, key=lambda e: e.get("z", 0.0), reverse=True)[
+                :cap_val
+            ]
+            null_meta = {
+                "total_null_points": len(nulls_full),
+                "returned_null_points": cap_val,
+                "null_cap_applied": True,
+            }
+        else:
+            nulls = nulls_full
+            null_meta = {
+                "total_null_points": len(nulls_full),
+                "returned_null_points": len(nulls_full),
+                "null_cap_applied": False,
+            }
+
+        n_edges = int(np.count_nonzero(self._host_w > 0))
+        meta: dict[str, Any] = {
+            "ustar_cached": bool(
+                self._Ustar_cache is not None and self._Ustar_sig == self._signature()
+            ),
+            "ustar_solves": int(self.stats["ustar_solves"]),
+            "ustar_cache_hits": int(self.stats["ustar_cache_hits"]),
+            "ustar_converged": bool(getattr(self, "last_ustar", {}).get("converged", True)),
+            "ustar_res": float(getattr(self, "last_ustar", {}).get("res", 0.0)),
+            "ustar_iters": int(getattr(self, "last_ustar", {}).get("iters", 0)),
+            "ustar_solve_ms": float(getattr(self, "last_ustar", {}).get("solve_ms", 0.0)),
+            "graph_build_ms": float(getattr(self, "_graph_build_ms", 0.0)),
+            "last_settle_ms": float(self.last.get("t_ms") or 0.0),
+            "avg_degree": float(n_edges / max(self.N, 1)),
+            "edge_density": float(n_edges / max(self.N * (self.N - 1), 1)),
+            "gates_min": float(np.min(self.B_diag)),
+            "gates_max": float(np.max(self.B_diag)),
+            "gates_mean": float(np.mean(self.B_diag)),
+            "gates_uniform": bool(np.allclose(self.B_diag, self.B_diag[0])),
+            "state_sig": self._signature(),
+            "receipt_detail": self._receipt_detail,
+            "null_points_summary": null_meta,
+        }
+
+        if self._receipt_secret is not None:
+            if self._signature_mode == "extended":
+                payload: dict[str, Any] = {
+                    "sig_v": 1,
+                    "mode": "extended",
+                    "state_sig": self._signature(),
+                    "deltaH_total": float(dH),
+                    "ustar_iters": int(getattr(self, "last_ustar", {}).get("iters", 0)),
+                    "ustar_res": float(getattr(self, "last_ustar", {}).get("res", 0.0)),
+                    "ustar_converged": bool(
+                        getattr(self, "last_ustar", {}).get("converged", True)
+                    ),
+                    "params": {
+                        "lamG": self.lamG,
+                        "lamC": self.lamC,
+                        "lamQ": self.lamQ,
+                        "lamP": self.lamP,
+                    },
+                    "graph": {
+                        "k": self._kneighbors,
+                        "deterministic_k": self._deterministic_k,
+                        "neighbor_seed": self._neighbor_seed,
+                    },
+                }
+            else:
+                payload = {
+                    "sig_v": 1,
+                    "mode": "minimal",
+                    "state_sig": self._signature(),
+                    "deltaH_total": float(dH),
+                }
+            meta["signature"] = {
+                "algorithm": "HMAC-SHA256",
+                "payload": payload,
+                "signature": sign_payload(payload, self._receipt_secret),
+            }
+
+        out: dict[str, Any] = {
+            "version": str(pkg_version),
+            "deltaH_total": float(dH),
+            "coh_drop_sum": float(np.sum(coh)),
+            "anchor_pen_sum": float(np.sum(anchor)),
+            "query_term_sum": float(np.sum(query)),
+            "cg_iters": int(self.last.get("iters") or 0),
+            "residual": float(self.last.get("res") or 0.0),
+            "t_ms": float(self.last.get("t_ms") or 0.0),
+            "null_points": nulls,
+            "meta": meta,
+        }
+        if _env_flag("OSCILLINK_RECEIPT_DYNAMICS") and self._last_dynamics is not None:
+            meta["dynamics"] = self._last_dynamics
+        self._log(
+            "receipt",
+            {"deltaH_total": out["deltaH_total"], "ustar_cached": meta["ustar_cached"]},
+        )
+        return out
+
+    def verify_current_receipt(self, secret: bytes | str) -> bool:
+        rec = self.receipt()
+        return verify_receipt(rec, secret)
+
+    def chain_receipt(self, chain: list[int], z_th: float = 2.5) -> dict[str, Any]:
+        Ustar_dev = self._ustar_device()
+        pg = self._path if self._path is not None else build_path_graph(self.N, chain)
+        ci = jnp.asarray(np.array(chain[:-1], dtype=np.int32))
+        cj = jnp.asarray(np.array(chain[1:], dtype=np.int32))
+        z_s, z_p, r_s, r_p, gains = _jit_chain_stats(
+            self._graph, pg, Ustar_dev, self._Y_dev, jnp.float32(self.lamC), ci, cj
+        )
+        z_s = np.asarray(z_s)
+        z_p = np.asarray(z_p)
+        r_s = np.asarray(r_s)
+        r_p = np.asarray(r_p)
+        gain = float(np.sum(np.asarray(gains)))
+
+        edges: list[dict[str, Any]] = []
+        worst = (-1, -1.0, (-1, -1))
+        for a in range(len(chain) - 1):
+            i, j = int(chain[a]), int(chain[a + 1])
+            edges.append(
+                {
+                    "k": int(a),
+                    "edge": [i, j],
+                    "z_struct": float(z_s[a]),
+                    "z_path": float(z_p[a]),
+                    "r_struct": float(r_s[a]),
+                    "r_path": float(r_p[a]),
+                }
+            )
+            zmax = max(float(z_s[a]), float(z_p[a]))
+            if zmax > worst[1]:
+                worst = (a, zmax, (i, j))
+
+        verdict = all(
+            max(float(e["z_struct"]), float(e["z_path"])) <= float(z_th) for e in edges
+        )
+        return {
+            "verdict": bool(verdict),
+            "weakest_link": {
+                "k": int(worst[0]),
+                "edge": [int(worst[2][0]), int(worst[2][1])],
+                "zscore": float(worst[1]),
+            },
+            "coherence_gain": gain,
+            "edges": edges,
+        }
+
+    def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
+        """Top-k MMR-diversified bundle scored by
+        alpha * z(coherence_drop) + (1 - alpha) * cos(U*, psi)."""
+        Ustar_dev = self._ustar_device()
+        k_eff = min(max(int(k), 0), self.N)
+        if k_eff == 0:
+            return []
+        picks, score, align = _jit_bundle(
+            self._graph,
+            self._Y_dev,
+            Ustar_dev,
+            self._psi_dev,
+            jnp.float32(self.lamC),
+            jnp.float32(alpha),
+            k_eff,
+        )
+        picks = np.asarray(picks)
+        score = np.asarray(score)
+        align = np.asarray(align)
+        return [
+            {"id": int(i), "score": float(score[i]), "align": float(align[i])}
+            for i in picks
+        ]
+
+    # -- callbacks --------------------------------------------------------
+
+    def add_settle_callback(self, fn) -> None:
+        self._settle_callbacks.append(fn)
+
+    def remove_settle_callback(self, fn) -> None:
+        try:
+            self._settle_callbacks.remove(fn)
+        except ValueError:
+            pass
+
+    # -- export / import --------------------------------------------------
+
+    def export_state(
+        self, include_graph: bool = True, include_chain: bool = True
+    ) -> dict[str, Any]:
+        from .. import __version__ as pkg_version
+
+        nz = self._edge_pairs()[:2048]
+        h = hashlib.sha256()
+        h.update(self.Y.tobytes())
+        h.update(self.psi.tobytes())
+        h.update(self.B_diag.tobytes())
+        h.update(
+            np.array([self.lamG, self.lamC, self.lamQ, self.lamP], dtype=np.float64).tobytes()
+        )
+        h.update(np.ascontiguousarray(nz).tobytes())
+        state: dict[str, Any] = {
+            "version": str(pkg_version),
+            "shape": [int(self.N), int(self.D)],
+            "params": {
+                "lamG": self.lamG,
+                "lamC": self.lamC,
+                "lamQ": self.lamQ,
+                "lamP": self.lamP,
+            },
+            "Y": self.Y.tolist(),
+            "psi": self.psi.tolist(),
+            "B_diag": self.B_diag.tolist(),
+            "kneighbors": int(self._kneighbors),
+            "deterministic_k": bool(self._deterministic_k),
+            "neighbor_seed": self._neighbor_seed,
+            "provenance": h.hexdigest(),
+        }
+        if include_graph:
+            if self.N <= _DENSE_EXPORT_LIMIT:
+                state["A"] = self.dense_adjacency().tolist()
+            else:
+                pairs = self._edge_pairs()
+                vals = self.dense_values_for_pairs(pairs)
+                state["A_sparse"] = {
+                    "pairs": pairs.tolist(),
+                    "values": vals.tolist(),
+                }
+        if include_chain and self._path is not None:
+            edges = []
+            src = np.asarray(self._path.src)
+            dst = np.asarray(self._path.dst)
+            for i, j in zip(src, dst):
+                if i < j:
+                    edges.append([int(i), int(j)])
+            state["chain_edges"] = edges
+            if self._chain_nodes is not None:
+                state["chain_nodes"] = list(self._chain_nodes)
+        return state
+
+    def dense_values_for_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """Adjacency values for sorted (i, j) pairs (sparse export helper)."""
+        out = np.zeros(len(pairs), dtype=np.float32)
+        lookup: dict[tuple[int, int], float] = {}
+        ii, kk = np.nonzero(self._host_w > 0)
+        for i, k in zip(ii, kk):
+            lookup[(int(i), int(self._host_idx[i, k]))] = float(self._host_w[i, k])
+        for e, (i, j) in enumerate(pairs):
+            out[e] = lookup.get((int(i), int(j)), 0.0)
+        return out
+
+    def save_state(
+        self,
+        path: str,
+        format: str = "json",
+        include_graph: bool = True,
+        include_chain: bool = True,
+    ) -> None:
+        fmt = format.lower()
+        state = self.export_state(include_graph=include_graph, include_chain=include_chain)
+        if fmt == "json":
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(state, f, sort_keys=True)
+        elif fmt == "npz":
+            arrays: dict[str, np.ndarray] = {
+                "Y": self.Y,
+                "psi": self.psi,
+                "B_diag": self.B_diag,
+            }
+            if include_graph and self.N <= _DENSE_EXPORT_LIMIT:
+                arrays["A"] = self.dense_adjacency()
+            if include_chain and self._chain_nodes is not None:
+                arrays["chain_nodes"] = np.array(self._chain_nodes, dtype=np.int32)
+            meta = {
+                k: v
+                for k, v in state.items()
+                if k not in {"Y", "psi", "B_diag", "A", "A_sparse", "chain_nodes"}
+            }
+            archive: dict[str, Any] = {"__meta__": np.array(json.dumps(meta, sort_keys=True))}
+            archive.update(arrays)
+            np.savez_compressed(path, **archive)
+        else:
+            raise ValueError("format must be 'json' or 'npz'")
+
+    @classmethod
+    def from_npz(cls, path: str) -> "OscillinkLattice":
+        with np.load(path, allow_pickle=False) as data:
+            meta = json.loads(str(data["__meta__"]))
+            state = {
+                **meta,
+                "Y": data["Y"].astype(np.float32).tolist(),
+                "psi": data["psi"].astype(np.float32).tolist(),
+                "B_diag": data["B_diag"].astype(np.float32).tolist(),
+            }
+            if "A" in data.files:
+                state["A"] = data["A"].astype(np.float32).tolist()
+            if "chain_nodes" in data.files:
+                state["chain_nodes"] = data["chain_nodes"].astype(int).tolist()
+        return cls.from_state(state)
+
+    @classmethod
+    def from_state(cls, state: dict[str, Any]) -> "OscillinkLattice":
+        Y = np.array(state["Y"], dtype=np.float32)
+        params = state.get("params", {})
+        lat = cls(
+            Y,
+            kneighbors=state.get("kneighbors", 6),
+            lamG=params.get("lamG", 1.0),
+            lamC=params.get("lamC", 0.5),
+            lamQ=params.get("lamQ", 4.0),
+            deterministic_k=state.get("deterministic_k", False),
+            neighbor_seed=state.get("neighbor_seed"),
+        )
+        psi = np.array(
+            state.get("psi", np.zeros(Y.shape[1], dtype=np.float32)), dtype=np.float32
+        )
+        B = np.array(
+            state.get("B_diag", np.ones(Y.shape[0], dtype=np.float32)), dtype=np.float32
+        )
+        lat.set_query(psi, gates=B)
+        if "A" in state:
+            A = np.array(state["A"], dtype=np.float32)
+            if A.shape == (lat.N, lat.N):
+                lat._set_adjacency_dense(A)
+        lamP = params.get("lamP", 0.0)
+        if lamP > 0:
+            if "chain_nodes" in state:
+                lat.add_chain(list(map(int, state["chain_nodes"])), lamP=lamP)
+            elif "chain_edges" in state:
+                edges = state["chain_edges"]
+                if edges:
+                    flat = sorted({i for e in edges for i in e})
+                    lat.add_chain(flat, lamP=lamP)
+        if "provenance" in state:
+            lat._imported_provenance = state["provenance"]
+        return lat
+
+    def _set_adjacency_dense(self, A: np.ndarray) -> None:
+        """Install an explicit dense adjacency (import path), converting to the
+        padded k-sparse representation and recomputing Laplacian factors."""
+        nnz_per_row = (A > 0).sum(axis=1)
+        K = max(1, int(nnz_per_row.max()))
+        idx = np.zeros((self.N, K), dtype=np.int32)
+        w = np.zeros((self.N, K), dtype=np.float32)
+        for i in range(self.N):
+            js = np.nonzero(A[i] > 0)[0]
+            idx[i, : len(js)] = js
+            w[i, : len(js)] = A[i, js]
+        deg = w.sum(axis=1)
+        sqrt_deg = np.sqrt(np.maximum(deg, 1e-12)).astype(np.float32)
+        inv = 1.0 / sqrt_deg
+        wn = (w * inv[:, None] * inv[idx]).astype(np.float32)
+        wn = np.where(w > 0, wn, 0.0).astype(np.float32)
+        self._graph = Graph(
+            idx=jnp.asarray(idx),
+            w=jnp.asarray(w),
+            wn=jnp.asarray(wn),
+            sqrt_deg=jnp.asarray(sqrt_deg),
+        )
+        self._host_idx = idx
+        self._host_w = w
+        self._host_sqrt_deg = sqrt_deg
+        self._edge_pairs_cache = None
+        self._invalidate_cache()
+
+    # -- internal helpers -------------------------------------------------
+
+    def _signature(self) -> str:
+        data = {
+            "psi": np.round(self.psi, 6).tolist(),
+            "B": np.round(self.B_diag, 6).tolist(),
+            "lam": [self.lamG, self.lamC, self.lamQ, self.lamP],
+            "chain_present": self._path is not None,
+            "chain_len": len(self._chain_nodes) if self._chain_nodes else 0,
+            "k": self._kneighbors,
+            "detk": self._deterministic_k,
+            "adj": self.adjacency_fingerprint(),
+        }
+        raw = json.dumps(data, sort_keys=True).encode("utf-8")
+        return hashlib.sha256(raw).hexdigest()
+
+    def _invalidate_cache(self) -> None:
+        self._Ustar_cache = None
+        self._Ustar_cache_dev = None
+        self._Ustar_sig = None
+        self._log("invalidate_cache", {})
+
+    def _choose_start_x0(self, *, warm_start: bool, inertia: float) -> jax.Array:
+        if not warm_start:
+            return self._Y_dev
+        w = float(max(0.0, min(1.0, inertia)))
+        if w <= 0.0:
+            return self._U_dev
+        return (1.0 - w) * self._Y_dev + w * self._U_dev
+
+    def rebuild_graph(
+        self,
+        *,
+        row_cap_val: Optional[float] = None,
+        kneighbors: Optional[int] = None,
+        deterministic_k: Optional[bool] = None,
+        neighbor_seed: Optional[int] = None,
+    ) -> None:
+        if row_cap_val is not None:
+            self._row_cap_val = float(row_cap_val)
+        if kneighbors is not None:
+            self._kneighbors = min(int(kneighbors), max(1, self.N - 1))
+        if deterministic_k is not None:
+            self._deterministic_k = bool(deterministic_k)
+        if neighbor_seed is not None:
+            self._neighbor_seed = neighbor_seed
+        t0 = time.perf_counter()
+        self._build_graph_device()
+        self._graph_build_ms = 1000.0 * (time.perf_counter() - t0)
+        self._invalidate_cache()
+        self._log(
+            "rebuild_graph",
+            {
+                "k": int(self._kneighbors),
+                "row_cap_val": float(self._row_cap_val),
+                "deterministic_k": self._deterministic_k,
+                "neighbor_seed": self._neighbor_seed,
+            },
+        )
+
+    # -- dynamics ---------------------------------------------------------
+
+    def _compute_dynamics(
+        self, U_prev: jax.Array, U_next: jax.Array, iters: int
+    ) -> dict[str, Any]:
+        move2_d, dH_d, ftotal_d, fvals_d, fi_d, fj_d = _jit_dynamics(
+            self._graph, self._path, U_prev, U_next, self._lam(), self._B_dev
+        )
+        move2 = np.asarray(move2_d)
+        dH_step = float(dH_d)
+        viscosity_step = float(iters) / (abs(dH_step) + 1e-12)
+        temperature = float(np.mean(move2)) if move2.size else 0.0
+
+        fvals = np.asarray(fvals_d)
+        fi = np.asarray(fi_d)
+        fj = np.asarray(fj_d)
+        flows = [
+            {"edge": [int(i), int(j)], "flow": float(v)}
+            for v, i, j in zip(fvals, fi, fj)
+            if v > 0.0
+        ]
+
+        inf = np.sqrt(move2 + 1e-12)
+        if inf.size == 0 or float(np.max(inf)) <= 1e-9:
+            radius = 0
+        else:
+            thr = 0.1 * float(np.max(inf))
+            seeds = [int(i) for i in np.where(inf >= thr)[0].tolist()]
+            radius = self._bfs_radius(seeds)
+
+        return {
+            "temperature": temperature,
+            "step_deltaH": dH_step,
+            "viscosity_step": viscosity_step,
+            "flow_total": float(ftotal_d),
+            "top_flows": flows,
+            "radius": int(radius),
+            "move2_mean": float(np.mean(move2) if move2.size else 0.0),
+            "move2_max": float(np.max(move2) if move2.size else 0.0),
+        }
+
+    def _bfs_radius(self, seeds: list[int]) -> int:
+        if not seeds:
+            return 0
+        visited = np.full(self.N, False)
+        dist = np.full(self.N, -1, dtype=int)
+        q: deque[int] = deque()
+        for s in seeds:
+            if 0 <= s < self.N and not visited[s]:
+                visited[s] = True
+                dist[s] = 0
+                q.append(s)
+        valid = self._host_w > 0
+        while q:
+            u = q.popleft()
+            for slot in np.nonzero(valid[u])[0]:
+                v = int(self._host_idx[u, slot])
+                if not visited[v]:
+                    visited[v] = True
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return int(np.max(dist)) if np.any(dist >= 0) else 0
+
+    # -- logging / signing config -----------------------------------------
+
+    def set_logger(self, logger_callable) -> None:
+        self._logger = logger_callable
+
+    def _log(self, event: str, payload: dict) -> None:
+        if self._logger is not None:
+            try:
+                self._logger(event, payload)
+            except Exception:
+                pass
+
+    def set_receipt_secret(self, secret: bytes | str | None) -> None:
+        if secret is None:
+            self._receipt_secret = None
+        else:
+            self._receipt_secret = (
+                secret.encode("utf-8") if isinstance(secret, str) else secret
+            )
+
+    def set_signature_mode(self, mode: str) -> None:
+        m = mode.lower().strip()
+        if m not in {"minimal", "extended"}:
+            raise ValueError("mode must be 'minimal' or 'extended'")
+        self._signature_mode = m
+
+    def set_receipt_detail(self, mode: str) -> None:
+        m = mode.lower().strip()
+        if m not in {"full", "light"}:
+            raise ValueError("mode must be 'full' or 'light'")
+        self._receipt_detail = m
+
+    def __repr__(self) -> str:  # pragma: no cover
+        parts = [
+            f"N={self.N}",
+            f"D={self.D}",
+            f"k={self._kneighbors}",
+            f"lamG={self.lamG}",
+            f"lamC={self.lamC}",
+            f"lamQ={self.lamQ}",
+        ]
+        if self.lamP > 0 and self._chain_nodes is not None:
+            parts.append(f"chain_len={len(self._chain_nodes)}")
+            parts.append(f"lamP={self.lamP}")
+        if self._Ustar_cache is not None:
+            parts.append("U*cached")
+        return "OscillinkLattice(" + ", ".join(parts) + ")"
+
+
+def json_line_logger(stream=None):
+    """Logger factory emitting compact JSON Lines events to ``stream``."""
+    import sys
+
+    if stream is None:
+        stream = sys.stderr
+
+    def _log(ev: str, payload: dict):  # pragma: no cover
+        try:
+            obj = {"event": ev, **payload}
+            stream.write(json.dumps(obj, separators=(",", ":")) + "\n")
+        except Exception:
+            pass
+
+    return _log

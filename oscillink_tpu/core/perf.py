@@ -1,0 +1,36 @@
+"""Benchmark aggregate comparator (reference oscillink/core/perf.py:6-26)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+__all__ = ["compare_perf"]
+
+
+def compare_perf(
+    baseline: Dict[str, Any],
+    current: Dict[str, Any],
+    metrics: Optional[Sequence[str]] = None,
+    tolerance_pct: float = 20.0,
+) -> Dict[str, Any]:
+    """Compare mean timings between two benchmark JSON objects.
+
+    Both inputs carry ``{"aggregates": {metric: {"mean": float}}}``; a metric
+    regresses when its mean exceeds baseline by more than ``tolerance_pct``.
+    """
+    if metrics is None:
+        metrics = ["build_ms", "settle_ms", "receipt_ms"]
+    deviations: Dict[str, float] = {}
+    failures = []
+    for m in metrics:
+        bmean = baseline["aggregates"][m]["mean"]
+        cmean = current["aggregates"][m]["mean"]
+        if bmean <= 0:
+            continue
+        pct = 100.0 * (cmean - bmean) / bmean
+        deviations[m] = pct
+        if pct > tolerance_pct:
+            failures.append(
+                {"metric": m, "pct": pct, "baseline": bmean, "current": cmean}
+            )
+    return {"deviations": deviations, "failures": failures, "tolerance_pct": tolerance_pct}

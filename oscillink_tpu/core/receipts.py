@@ -1,0 +1,93 @@
+"""Receipt signing / verification (host-side, hardware independent).
+
+HMAC-SHA256 over canonical (sorted-keys) JSON payloads, constant-time compare.
+Wire-compatible with the reference (oscillink/core/receipts.py:86-179): a
+receipt signed by either implementation verifies under the other when the
+signed payload matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+from typing import Any, Optional
+
+__all__ = ["sign_payload", "verify_receipt", "verify_receipt_mode"]
+
+
+def _as_bytes(secret: bytes | str) -> bytes:
+    return secret.encode("utf-8") if isinstance(secret, str) else secret
+
+
+def canonical_json(payload: dict) -> bytes:
+    return json.dumps(payload, sort_keys=True).encode("utf-8")
+
+
+def sign_payload(payload: dict, secret: bytes | str) -> str:
+    """Hex HMAC-SHA256 of the canonical JSON encoding of ``payload``."""
+    return hmac.new(_as_bytes(secret), canonical_json(payload), hashlib.sha256).hexdigest()
+
+
+def verify_receipt(receipt: dict, secret: bytes | str) -> bool:
+    """Verify a signed receipt's meta.signature block. Never raises."""
+    try:
+        block = receipt.get("meta", {}).get("signature")
+        if not block or block.get("algorithm") != "HMAC-SHA256":
+            return False
+        payload = block.get("payload")
+        claimed = block.get("signature")
+        if payload is None or claimed is None:
+            return False
+        return hmac.compare_digest(sign_payload(payload, secret), str(claimed))
+    except Exception:
+        return False
+
+
+def verify_receipt_mode(
+    receipt: dict,
+    secret: bytes | str,
+    require_mode: Optional[str] = None,
+    minimal_subset: bool = False,
+    required_sig_v: Optional[int] = None,
+) -> tuple[bool, Optional[dict]]:
+    """Mode-aware verification (reference receipts.py:113-179).
+
+    * ``require_mode`` in {'minimal', 'extended', None}: fail when the signed
+      payload's mode differs.
+    * ``required_sig_v``: fail when payload['sig_v'] differs.
+    * ``minimal_subset``: for an 'extended' payload whose full signature does
+      not match, retry against the minimal-subset payload {sig_v, mode:
+      'minimal', state_sig, deltaH_total} — accepted only when require_mode is
+      None or 'minimal'.
+
+    Returns (ok, signed_payload_or_none).
+    """
+    try:
+        block = receipt.get("meta", {}).get("signature")
+        if not block or block.get("algorithm") != "HMAC-SHA256":
+            return False, None
+        payload = block.get("payload")
+        sig_hex = block.get("signature")
+        if payload is None or sig_hex is None:
+            return False, None
+        mode = payload.get("mode")
+        if require_mode and mode != require_mode:
+            return False, None
+        if required_sig_v is not None and payload.get("sig_v") != required_sig_v:
+            return False, None
+        if hmac.compare_digest(sign_payload(payload, secret), str(sig_hex)):
+            return True, payload
+        if minimal_subset and mode == "extended":
+            minimal_payload: dict[str, Any] = {
+                "sig_v": payload.get("sig_v"),
+                "mode": "minimal",
+                "state_sig": payload.get("state_sig"),
+                "deltaH_total": payload.get("deltaH_total"),
+            }
+            ok = hmac.compare_digest(sign_payload(minimal_payload, secret), str(sig_hex))
+            if ok and require_mode in (None, "minimal"):
+                return True, minimal_payload
+        return False, None
+    except Exception:
+        return False, None

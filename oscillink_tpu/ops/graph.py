@@ -1,0 +1,201 @@
+"""Mutual-kNN graph construction as TPU-native XLA ops.
+
+Behavioral contract (reference: oscillink/core/graph.py:8-93):
+  * cosine similarity S = Yn @ Yn^T with row normalization Y/(||Y||+1e-12);
+  * per-row top-k neighbors, ties broken by (similarity desc, index asc);
+  * keep only strictly positive similarities;
+  * mutual mask: an edge (i, j) survives iff j is in top-k(i) AND i is in
+    top-k(j); surviving weight is max(w_ij, w_ji);
+  * row-sum cap with geometric-mean scaling sqrt(scale_i * scale_j) preserving
+    symmetry (graph.py:69-83);
+  * normalized-Laplacian degrees sqrt(max(rowsum, 1e-12)) (graph.py:86-93).
+
+TPU-first departures:
+  * the adjacency is k-sparse from birth: padded [N, K] neighbor idx/weight
+    arrays.  The dense N x N Laplacian of the reference is NEVER materialized;
+    `lap_matvec` below is a gather-SpMV over the padded rows.
+  * similarity + top-k is computed in row blocks (lax.map) so peak memory is
+    O(block * N) instead of O(N^2); each block is one large MXU matmul.
+  * `jax.lax.top_k` is stable (lowest index wins ties), which reproduces the
+    reference's deterministic mode (graph.py:44-52) by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["Graph", "build_graph", "lap_matvec", "normalize_rows", "mmr_select"]
+
+# Row-block size for the blocked similarity top-k. 1024 rows x N cols of f32
+# keeps the per-block buffer modest while the matmul stays MXU-shaped.
+DEFAULT_BLOCK_ROWS = 1024
+# Below this N the dense [N, N] similarity fits comfortably; skip blocking.
+DENSE_TOPK_LIMIT = 4096
+
+
+class Graph(NamedTuple):
+    """Padded k-sparse symmetric adjacency + normalized-Laplacian factors.
+
+    Fields (N nodes, K = padded neighbor count):
+      idx:      [N, K] int32 — neighbor ids; arbitrary where ``w == 0``.
+      w:        [N, K] float32 — capped adjacency weights; 0 on padding.
+      wn:       [N, K] float32 — degree-normalized weights
+                w_ij / (sqrt_deg_i * sqrt_deg_j); 0 on padding.
+      sqrt_deg: [N] float32 — sqrt(max(row_sum(w), 1e-12)).
+    """
+
+    idx: jax.Array
+    w: jax.Array
+    wn: jax.Array
+    sqrt_deg: jax.Array
+
+    @property
+    def n_nodes(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def k_max(self) -> int:
+        return self.idx.shape[1]
+
+
+def normalize_rows(Y: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-normalize to unit length with the reference's epsilon guard."""
+    nrm = jnp.linalg.norm(Y, axis=1, keepdims=True)
+    return Y / (nrm + eps)
+
+
+def _topk_dense(Yn: jax.Array, k: int, jitter: Optional[jax.Array]):
+    """Dense [N, N] similarity + top-k. Used for moderate N."""
+    n = Yn.shape[0]
+    # HIGHEST precision: similarity values feed neighbor selection, adjacency
+    # weights, and state signatures — bf16 MXU passes would drift vs the
+    # NumPy oracle by ~2e-3, far above the receipt tolerance.
+    S = jnp.dot(
+        Yn, Yn.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
+    )
+    if jitter is not None:
+        S = S + jitter
+    diag = jnp.arange(n)
+    S = S.at[diag, diag].set(-jnp.inf)
+    vals, idx = lax.top_k(S, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def _topk_blocked(Yn: jax.Array, k: int, block_rows: int):
+    """Blocked similarity top-k: O(block * N) memory, full-MXU matmuls."""
+    n, _ = Yn.shape
+    nblocks = -(-n // block_rows)
+    npad = nblocks * block_rows
+    Ypad = jnp.pad(Yn, ((0, npad - n), (0, 0)))
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def one_block(b):
+        rows = lax.dynamic_slice_in_dim(Ypad, b * block_rows, block_rows)
+        S = jnp.dot(
+            rows, Yn.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # [B, N]
+        gidx = b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        S = jnp.where(col_ids[None, :] == gidx[:, None], -jnp.inf, S)
+        vals, idx = lax.top_k(S, k)
+        return vals, idx.astype(jnp.int32)
+
+    vals, idx = lax.map(one_block, jnp.arange(nblocks))
+    return vals.reshape(npad, k)[:n], idx.reshape(npad, k)[:n]
+
+
+def build_graph(
+    Y: jax.Array,
+    k: int,
+    *,
+    row_cap: float = 1.0,
+    jitter: Optional[jax.Array] = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    dense_limit: int = DENSE_TOPK_LIMIT,
+) -> Graph:
+    """Build the mutual-kNN graph. ``k`` must be pre-clamped to [1, N-1].
+
+    ``jitter`` is an optional [N, N] tie-break perturbation (reference
+    graph.py:54-58 seed mode); only supported on the dense path.
+    """
+    n = Y.shape[0]
+    Yn = normalize_rows(Y.astype(jnp.float32))
+    if jitter is not None or n <= dense_limit:
+        vals, idx = _topk_dense(Yn, k, jitter)
+    else:
+        vals, idx = _topk_blocked(Yn, k, block_rows)
+
+    # --- mutual mask + symmetrized weights (graph.py:64-66) ---
+    w_ij = jnp.maximum(vals, 0.0)  # clip(min=0), padding rows of top_k
+    self_ids = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    nbr_of_nbr = idx[idx]  # [N, K, K]: top-k lists of my top-k neighbors
+    back_edge = nbr_of_nbr == self_ids  # does neighbor j list me?
+    mutual = jnp.any(back_edge, axis=-1)  # [N, K]
+    # w_ji: the weight j assigned to me (differs from w_ij only under jitter)
+    vals_nbr = jnp.maximum(vals[idx], 0.0)  # [N, K, K]
+    w_ji = jnp.sum(jnp.where(back_edge, vals_nbr, 0.0), axis=-1)
+    keep = (w_ij > 0) & mutual & (w_ji > 0)
+    w = jnp.where(keep, jnp.maximum(w_ij, w_ji), 0.0)
+
+    # --- row-sum cap with geometric-mean scaling (graph.py:69-83) ---
+    sums = jnp.sum(w, axis=1) + 1e-12
+    scale = jnp.minimum(1.0, row_cap / sums).astype(jnp.float32)
+    gs = jnp.sqrt(scale[:, None] * scale[idx])
+    w = w * gs  # exactly symmetric: both row copies compute identical floats
+
+    # --- normalized-Laplacian degrees (graph.py:86-93) ---
+    deg = jnp.sum(w, axis=1)
+    sqrt_deg = jnp.sqrt(jnp.maximum(deg, 1e-12))
+    inv_sd = 1.0 / sqrt_deg
+    wn = w * inv_sd[:, None] * inv_sd[idx]
+    wn = jnp.where(w > 0, wn, 0.0)
+
+    return Graph(idx=idx, w=w, wn=wn, sqrt_deg=sqrt_deg)
+
+
+def lap_matvec(g: Graph, X: jax.Array) -> jax.Array:
+    """Normalized-Laplacian matvec: (L_sym X)[i] = X[i] - sum_a wn[i,a] X[idx[i,a]].
+
+    Gather-SpMV over the padded neighbor rows — the TPU replacement for the
+    reference's dense ``L_sym @ X`` (oscillink/core/lattice.py:177).
+    """
+    gathered = jnp.take(X, g.idx, axis=0)  # [N, K, D]
+    return X - jnp.einsum(
+        "nk,nkd->nd", g.wn, gathered, precision=lax.Precision.HIGHEST
+    )
+
+
+def mmr_select(
+    Yn: jax.Array, scores: jax.Array, k: int, lambda_div: float = 0.5
+) -> jax.Array:
+    """Greedy maximal-marginal-relevance selection on device.
+
+    Parity with the reference's O(N*k) Python loop (graph.py:114-133):
+      val_i = (1 - lambda) * score_i - lambda * max_{j in chosen} cos(i, j),
+    first pick uses pure score (div = 0).  Instead of an N x N similarity
+    matrix we maintain a running max-similarity-to-chosen vector and compute
+    one [N] similarity column per selection — O(k * N * D) total.
+
+    Returns [k] int32 selected indices in selection order.
+    """
+    n = Yn.shape[0]
+    k = min(k, n)
+
+    def step(carry, t):
+        chosen_mask, simmax = carry
+        div = jnp.where(t == 0, 0.0, simmax)
+        val = (1.0 - lambda_div) * scores - lambda_div * div
+        val = jnp.where(chosen_mask, -jnp.inf, val)
+        pick = jnp.argmax(val).astype(jnp.int32)
+        chosen_mask = chosen_mask.at[pick].set(True)
+        sim_to_pick = jnp.dot(Yn, Yn[pick], precision=lax.Precision.HIGHEST)
+        simmax = jnp.maximum(simmax, sim_to_pick)
+        return (chosen_mask, simmax), pick
+
+    init = (jnp.zeros(n, dtype=bool), jnp.full(n, -jnp.inf, dtype=jnp.float32))
+    _, picks = lax.scan(step, init, jnp.arange(k))
+    return picks

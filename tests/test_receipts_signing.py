@@ -1,0 +1,77 @@
+"""HMAC signing / verification modes (parity: reference receipts.py:86-179)."""
+
+import numpy as np
+
+from oscillink_tpu import OscillinkLattice, verify_receipt, verify_receipt_mode
+
+
+def _lat(seed=0):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    lat = OscillinkLattice(Y, kneighbors=3)
+    lat.set_query(rng.standard_normal(8).astype(np.float32))
+    return lat
+
+
+def test_signature_roundtrip_minimal():
+    lat = _lat()
+    lat.set_receipt_secret("topsecret")
+    rec = lat.receipt()
+    assert verify_receipt(rec, "topsecret")
+    assert not verify_receipt(rec, "wrong")
+    ok, payload = verify_receipt_mode(rec, "topsecret", require_mode="minimal")
+    assert ok and payload["mode"] == "minimal"
+
+
+def test_signature_extended_mode():
+    lat = _lat(1)
+    lat.set_receipt_secret(b"k2")
+    lat.set_signature_mode("extended")
+    rec = lat.receipt()
+    ok, payload = verify_receipt_mode(rec, b"k2", require_mode="extended")
+    assert ok and payload["mode"] == "extended"
+    assert payload["params"]["lamG"] == lat.lamG
+    ok2, _ = verify_receipt_mode(rec, b"k2", require_mode="minimal")
+    assert not ok2
+
+
+def test_sig_v_gating():
+    lat = _lat(2)
+    lat.set_receipt_secret("s")
+    rec = lat.receipt()
+    ok, _ = verify_receipt_mode(rec, "s", required_sig_v=1)
+    assert ok
+    ok2, _ = verify_receipt_mode(rec, "s", required_sig_v=2)
+    assert not ok2
+
+
+def test_tampered_payload_fails():
+    lat = _lat(3)
+    lat.set_receipt_secret("s")
+    rec = lat.receipt()
+    rec["meta"]["signature"]["payload"]["deltaH_total"] = 12345.0
+    assert not verify_receipt(rec, "s")
+
+
+def test_unsigned_receipt_has_no_block():
+    lat = _lat(4)
+    rec = lat.receipt()
+    assert "signature" not in rec["meta"]
+    assert not verify_receipt(rec, "s")
+
+
+def test_verify_current_receipt():
+    lat = _lat(5)
+    lat.set_receipt_secret("abc")
+    assert lat.verify_current_receipt("abc")
+    assert not lat.verify_current_receipt("xyz")
+
+
+def test_invalid_modes_raise():
+    lat = _lat(6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        lat.set_signature_mode("bogus")
+    with pytest.raises(ValueError):
+        lat.set_receipt_detail("bogus")
