@@ -12,11 +12,17 @@ on a TPU-native functional core:
   * receipt diagnostics (per-node components, null points, chain stats,
     dynamics flows) are edge-parallel device reductions instead of the
     reference's O(N*k) / O(N^2 D) Python loops;
-  * the host class holds NumPy mirrors of Y / gates / adjacency for
-    signatures, export, BFS, and logging — the device holds the solver state.
+  * device→host traffic is strictly minimized: solver state stays on device,
+    diagnostics are registered in a `DeferredFetchGroup` and materialize in
+    ONE batched transfer per receipt (on tunneled TPU runtimes each fetch is
+    a fixed ~30 ms RPC — see utils/lazy.py);
+  * the state signature fingerprints the graph's *generating inputs* (hash of
+    Y + build params) instead of fetching the adjacency per call; the exact
+    edge-subset fingerprint of the reference (lattice.py:729-744) remains
+    available as `adjacency_fingerprint()` for provenance/export.
 
-State signatures, receipts, and HMAC blocks are wire-compatible with the
-reference (same canonical JSON payloads and SHA-256 fingerprints).
+Receipts and HMAC blocks are wire-compatible with the reference (same
+canonical JSON payload structure).
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ from ..ops.receipts import (
     null_points_sparse,
     per_node_components,
 )
+from ..utils.lazy import DeferredFetchGroup, LazyStats
 from .receipts import sign_payload, verify_receipt
 
 __all__ = ["OscillinkLattice", "json_line_logger"]
@@ -52,6 +59,9 @@ __all__ = ["OscillinkLattice", "json_line_logger"]
 _DENSE_LIMIT = 4096
 # Dense adjacency export cap — beyond this, export_state falls back to sparse.
 _DENSE_EXPORT_LIMIT = 20000
+# Y-hash sampling threshold for the graph token (bytes): full hash below,
+# strided row-sample above to keep signatures O(ms) at million-node scale.
+_FULL_HASH_LIMIT = 128 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------
@@ -62,20 +72,31 @@ _DENSE_EXPORT_LIMIT = 20000
 
 @partial(jax.jit, static_argnames=("k",))
 def _jit_build_graph(Y, jitter, k, row_cap):
-    return build_graph(Y, k, row_cap=row_cap, jitter=jitter)
+    g = build_graph(Y, k, row_cap=row_cap, jitter=jitter)
+    n_edges = jnp.count_nonzero(g.w > 0)
+    return g, n_edges
 
 
 @partial(jax.jit, static_argnames=("use_jacobi",))
-def _jit_settle(g, pg, U, Y, psi, B, lam, dt, tol, max_iters, x0, use_jacobi):
-    return settle_step(
+def _jit_settle(g, pg, U, Y, psi, B, lam, opts, x0, use_jacobi):
+    # opts packs (dt, tol, max_iters) in one pre-staged device array so a
+    # settle call performs ZERO host->device transfers (each is a ~25 ms RPC
+    # on tunneled runtimes)
+    dt, tol, max_iters = opts[0], opts[1], opts[2].astype(jnp.int32)
+    U_plus, iters, res = settle_step(
         g, pg, U, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters, x0=x0,
         use_jacobi=use_jacobi,
     )
+    return U_plus, iters, res
 
 
 @jax.jit
-def _jit_solve_ustar(g, pg, Y, psi, B, lam, tol, max_iters):
-    return solve_stationary(g, pg, Y, psi, B, lam, tol=tol, max_iters=max_iters)
+def _jit_solve_ustar(g, pg, Y, psi, B, lam, opts):
+    tol, max_iters = opts[0], opts[1].astype(jnp.int32)
+    Ustar, iters, res = solve_stationary(
+        g, pg, Y, psi, B, lam, tol=tol, max_iters=max_iters
+    )
+    return Ustar, iters, res, res <= tol
 
 
 @jax.jit
@@ -88,7 +109,16 @@ def _jit_receipt_full(g, pg, U, Ustar, lam, B, Y, psi):
     dH = deltaH_trace(g, pg, U, Ustar, lam, B)
     coh, anchor, query = per_node_components(g, Y, Ustar, lam, B, psi)
     nflag, nj, nz, nr = null_points_sparse(g, Ustar, lam.lamC, z_th=3.0)
-    return dH, coh, anchor, query, nflag, nj, nz, nr
+    return (
+        dH,
+        jnp.sum(coh),
+        jnp.sum(anchor),
+        jnp.sum(query),
+        nflag,
+        nj,
+        nz,
+        nr,
+    )
 
 
 @jax.jit
@@ -111,6 +141,45 @@ def _jit_dynamics(g, pg, U_prev, U_next, lam, B):
 
 def _env_flag(name: str) -> bool:
     return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
+
+
+def _maybe_sync(x) -> None:
+    """Block for accurate per-phase timings only when profiling is requested.
+
+    Each device sync through a tunneled runtime is a ~27 ms RPC, so the
+    default pipeline stays fully asynchronous and syncs exactly once — at the
+    batched receipt fetch.  Set OSCILLINK_SYNC_TIMINGS=1 to restore blocking
+    per-phase wall-clock timings (graph_build_ms / t_ms / solve_ms then mean
+    compute time; otherwise they measure dispatch time).
+    """
+    if _env_flag("OSCILLINK_SYNC_TIMINGS"):
+        jax.block_until_ready(x)
+
+
+# Device-staged scalar packs, shared across ALL lattice instances: on tunneled
+# runtimes each host->device transfer is a fixed ~25 ms RPC, so repeated
+# constructions with the same dt/tol/lambda values must not re-transfer.
+_SCALAR_PACK_CACHE: dict[tuple, jax.Array] = {}
+_LAM_PACK_CACHE: dict[tuple, EnergyParams] = {}
+
+
+def _scalar_pack(*vals: float) -> jax.Array:
+    key = tuple(float(v) for v in vals)
+    arr = _SCALAR_PACK_CACHE.get(key)
+    if arr is None:
+        arr = jnp.asarray(np.array(key, dtype=np.float32))
+        _SCALAR_PACK_CACHE[key] = arr
+    return arr
+
+
+def _lam_pack(lamG: float, lamC: float, lamQ: float, lamP: float) -> EnergyParams:
+    key = (float(lamG), float(lamC), float(lamQ), float(lamP))
+    lam = _LAM_PACK_CACHE.get(key)
+    if lam is None:
+        lam4 = jnp.asarray(np.array(key, dtype=np.float32))
+        lam = EnergyParams(lam4[0], lam4[1], lam4[2], lam4[3])
+        _LAM_PACK_CACHE[key] = lam
+    return lam
 
 
 class OscillinkLattice:
@@ -148,6 +217,8 @@ class OscillinkLattice:
         self.N, self.D = self.Y.shape
         self._Y_dev = jnp.asarray(self.Y)
         self._U_dev = self._Y_dev
+        self._Y_hash = self._hash_anchors(self.Y)
+        self._lam_dev: Optional[EnergyParams] = None
 
         k_eff = min(kneighbors, max(1, self.N - 1))
         self._kneighbors = k_eff
@@ -155,6 +226,7 @@ class OscillinkLattice:
         self._neighbor_seed = neighbor_seed
         self._row_cap_val = float(row_cap_val)
 
+        self._fetch = DeferredFetchGroup()
         self._settle_callbacks: list[Callable] = []
         self._logger: Optional[Callable[[str, dict], None]] = None
 
@@ -164,17 +236,18 @@ class OscillinkLattice:
 
         self.B_diag = np.ones(self.N, dtype=np.float32)
         self.psi = np.zeros(self.D, dtype=np.float32)
-        self._B_dev = jnp.asarray(self.B_diag)
-        self._psi_dev = jnp.asarray(self.psi)
+        # created device-side — no host->device transfer
+        self._B_dev = jnp.ones(self.N, dtype=jnp.float32)
+        self._psi_dev = jnp.zeros(self.D, dtype=jnp.float32)
 
         self.lamG, self.lamC, self.lamQ = float(lamG), float(lamC), float(lamQ)
         self.lamP = 0.0
         self._path: Optional[PathGraph] = None
         self._chain_nodes: Optional[list[int]] = None
-        self.last: dict[str, Any] = {"iters": 0, "res": None, "t_ms": None}
+        self.last: Any = {"iters": 0, "res": None, "t_ms": None}
 
-        self._Ustar_cache: Optional[np.ndarray] = None
         self._Ustar_cache_dev: Optional[jax.Array] = None
+        self._Ustar_cache_host: Optional[np.ndarray] = None
         self._Ustar_sig: Optional[str] = None
         self.stats: dict[str, int] = {"ustar_solves": 0, "ustar_cache_hits": 0}
         self._receipt_secret: Optional[bytes] = None
@@ -195,6 +268,17 @@ class OscillinkLattice:
 
     # -- graph build ------------------------------------------------------
 
+    @staticmethod
+    def _hash_anchors(Y: np.ndarray) -> str:
+        """SHA-256 of the anchors (strided row sample above _FULL_HASH_LIMIT)."""
+        if Y.nbytes <= _FULL_HASH_LIMIT:
+            return hashlib.sha256(Y.tobytes()).hexdigest()
+        stride = max(1, Y.shape[0] * Y.shape[1] * 4 // _FULL_HASH_LIMIT)
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(Y[::stride]).tobytes())
+        h.update(f"sampled:{stride}:{Y.shape}".encode())
+        return h.hexdigest()
+
     def _build_graph_device(self) -> None:
         jitter = None
         if (
@@ -206,40 +290,72 @@ class OscillinkLattice:
             jitter = jnp.asarray(
                 rng.uniform(-1e-8, 1e-8, size=(self.N, self.N)).astype(np.float32)
             )
-        g: Graph = _jit_build_graph(
+        g, n_edges = _jit_build_graph(
             self._Y_dev,
             jitter,
             self._kneighbors,
-            jnp.float32(self._row_cap_val),
+            self._opts(self._row_cap_val)[0],
         )
-        jax.block_until_ready(g.w)
+        _maybe_sync(g.w)
         self._graph = g
-        # host mirrors for signatures / export / BFS / stats
-        self._host_idx = np.asarray(g.idx)
-        self._host_w = np.asarray(g.w)
-        self._host_sqrt_deg = np.asarray(g.sqrt_deg)
+        self._edge_count_handle = self._fetch.defer(n_edges)
+        # graph token: deterministic fingerprint of the generating inputs —
+        # avoids a per-signature device fetch of the adjacency
+        self._graph_token = hashlib.sha256(
+            json.dumps(
+                [
+                    self._Y_hash,
+                    self._kneighbors,
+                    self._row_cap_val,
+                    self._deterministic_k,
+                    self._neighbor_seed,
+                    "mutual-knn-v1",
+                ]
+            ).encode()
+        ).hexdigest()
+        # host mirrors are fetched lazily (one batched transfer) on demand
+        self._host_idx: Optional[np.ndarray] = None
+        self._host_w: Optional[np.ndarray] = None
+        self._host_sqrt_deg: Optional[np.ndarray] = None
         self._edge_pairs_cache: Optional[np.ndarray] = None
+
+    def _mirrors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host copies of (idx, w, sqrt_deg) — one batched fetch, cached."""
+        if self._host_idx is None:
+            g = self._graph
+            idx, w, sd = jax.device_get((g.idx, g.w, g.sqrt_deg))
+            self._host_idx = np.asarray(idx)
+            self._host_w = np.asarray(w)
+            self._host_sqrt_deg = np.asarray(sd)
+        return self._host_idx, self._host_w, self._host_sqrt_deg
+
+    def _edge_count(self) -> int:
+        return int(self._fetch.get(self._edge_count_handle))
 
     def _edge_pairs(self) -> np.ndarray:
         """Sorted (row-major) [E, 2] int64 nonzero pairs — matches np.argwhere
-        order on the dense adjacency (used by signatures / export)."""
+        order on the dense adjacency (used by fingerprints / export)."""
         if self._edge_pairs_cache is None:
-            ii, kk = np.nonzero(self._host_w > 0)
-            jj = self._host_idx[ii, kk].astype(np.int64)
+            idx, w, _ = self._mirrors()
+            ii, kk = np.nonzero(w > 0)
+            jj = idx[ii, kk].astype(np.int64)
             pairs = np.stack([ii.astype(np.int64), jj], axis=1)
             order = np.lexsort((pairs[:, 1], pairs[:, 0]))
             self._edge_pairs_cache = pairs[order]
         return self._edge_pairs_cache
 
     def adjacency_fingerprint(self) -> str:
+        """Exact reference-parity fingerprint: SHA-256 of the first 2048
+        row-major nonzero (i, j) pairs (lattice.py:729-732)."""
         nz = self._edge_pairs()[:2048]
         return hashlib.sha256(np.ascontiguousarray(nz).tobytes()).hexdigest()
 
     def dense_adjacency(self) -> np.ndarray:
         """Reconstruct the dense [N, N] adjacency (export / small-N compat)."""
+        idx, w, _ = self._mirrors()
         A = np.zeros((self.N, self.N), dtype=np.float32)
-        ii, kk = np.nonzero(self._host_w > 0)
-        A[ii, self._host_idx[ii, kk]] = self._host_w[ii, kk]
+        ii, kk = np.nonzero(w > 0)
+        A[ii, idx[ii, kk]] = w[ii, kk]
         return A
 
     # -- properties -------------------------------------------------------
@@ -254,25 +370,75 @@ class OscillinkLattice:
 
     @property
     def sqrt_deg(self) -> np.ndarray:
-        return self._host_sqrt_deg
+        return self._mirrors()[2]
 
     @property
     def graph(self) -> Graph:
         return self._graph
 
+    # -- energy coefficients: attribute-compatible, device-cached ---------
+    # Direct assignment (lat.lamQ = 2.0) stays supported; setters invalidate
+    # the device-staged coefficient pack so no stale values are used.
+
+    @property
+    def lamG(self) -> float:
+        return self._lamG_v
+
+    @lamG.setter
+    def lamG(self, v: float) -> None:
+        self._lamG_v = float(v)
+        self._lam_dev = None
+
+    @property
+    def lamC(self) -> float:
+        return self._lamC_v
+
+    @lamC.setter
+    def lamC(self, v: float) -> None:
+        self._lamC_v = float(v)
+        self._lam_dev = None
+
+    @property
+    def lamQ(self) -> float:
+        return self._lamQ_v
+
+    @lamQ.setter
+    def lamQ(self, v: float) -> None:
+        self._lamQ_v = float(v)
+        self._lam_dev = None
+
+    @property
+    def lamP(self) -> float:
+        return self._lamP_v
+
+    @lamP.setter
+    def lamP(self, v: float) -> None:
+        self._lamP_v = float(v)
+        self._lam_dev = None
+
     def _lam(self) -> EnergyParams:
-        return EnergyParams.make(self.lamG, self.lamC, self.lamQ, self.lamP)
+        if self._lam_dev is None:
+            self._lam_dev = _lam_pack(
+                self._lamG_v, self._lamC_v, self._lamQ_v, self._lamP_v
+            )
+        return self._lam_dev
+
+    def _opts(self, *vals: float) -> jax.Array:
+        """Device-staged f32 scalar pack, cached globally by value tuple."""
+        return _scalar_pack(*vals)
 
     # -- public API -------------------------------------------------------
 
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
         self.psi = np.asarray(psi, dtype=np.float32).copy()
-        self._psi_dev = jnp.asarray(self.psi)
         if gates is not None:
             if gates.shape[0] != self.N:
                 raise ValueError("gates length mismatch N")
             self.B_diag = np.asarray(gates, dtype=np.float32).copy()
-            self._B_dev = jnp.asarray(self.B_diag)
+            # one batched host->device transfer
+            self._psi_dev, self._B_dev = jax.device_put((self.psi, self.B_diag))
+        else:
+            self._psi_dev = jax.device_put(self.psi)
         self._invalidate_cache()
 
     def set_gates(self, gates: np.ndarray) -> None:
@@ -319,7 +485,12 @@ class OscillinkLattice:
         warm_start: bool = True,
         inertia: float = 0.0,
     ) -> dict[str, Any]:
-        """Implicit Euler step (I + dt M) U+ = U + dt (lamG Y + lamQ B psi^T)."""
+        """Implicit Euler step (I + dt M) U+ = U + dt (lamG Y + lamQ B psi^T).
+
+        Returns the diagnostics dict; its iters/res entries materialize from
+        device lazily (batched with the next receipt fetch) unless a logger
+        or callback forces them eagerly.
+        """
         U_prev = self._U_dev
         x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
         t0 = time.perf_counter()
@@ -331,28 +502,30 @@ class OscillinkLattice:
             self._psi_dev,
             self._B_dev,
             self._lam(),
-            np.float32(dt),
-            np.float32(tol),
-            np.int32(max_iters),
+            self._opts(dt, tol, max_iters),
             x0,
             precond == "jacobi",
         )
-        jax.block_until_ready(U_plus)
+        _maybe_sync(U_plus)
         self._U_dev = U_plus
-        self.last = {
-            "iters": int(iters),
-            "res": float(res),
-            "t_ms": 1000.0 * (time.perf_counter() - t0),
-        }
-        self._log("settle", self.last)
-        if float(res) > tol * 10:
-            self._log(
-                "settle_convergence_warn",
-                {"res": float(res), "tol": tol, "iters": int(iters)},
-            )
+        self.last = LazyStats(
+            self._fetch,
+            immediate={"t_ms": 1000.0 * (time.perf_counter() - t0)},
+            deferred={"iters": iters, "res": res},
+            casts={"iters": int, "res": float},
+        )
+        if self._logger is not None:
+            self._log("settle", self.last.to_dict())
+            if self.last["res"] > tol * 10:
+                self._log(
+                    "settle_convergence_warn",
+                    {"res": self.last["res"], "tol": tol, "iters": self.last["iters"]},
+                )
         if _env_flag("OSCILLINK_RECEIPT_DYNAMICS"):
             try:
-                self._last_dynamics = self._compute_dynamics(U_prev, self._U_dev, int(iters))
+                self._last_dynamics = self._compute_dynamics(
+                    U_prev, self._U_dev, self.last["iters"]
+                )
             except Exception:
                 self._last_dynamics = None
         if self._settle_callbacks:
@@ -363,92 +536,94 @@ class OscillinkLattice:
                     pass
         return self.last
 
-    def solve_Ustar(
-        self,
-        tol: float = 1e-4,
-        max_iters: int = 64,
-        use_cache: bool = True,
-    ) -> np.ndarray:
+    def _solve_ustar_device(
+        self, tol: float = 1e-4, max_iters: int = 64, use_cache: bool = True
+    ) -> jax.Array:
+        """U* on device, cache keyed by the state signature; no host fetch."""
         sig = self._signature()
-        if use_cache and self._Ustar_cache is not None and self._Ustar_sig == sig:
+        if use_cache and self._Ustar_cache_dev is not None and self._Ustar_sig == sig:
             self.stats["ustar_cache_hits"] += 1
             self._log("ustar_cache_hit", {"signature": sig})
-            return self._Ustar_cache
+            return self._Ustar_cache_dev
 
         t0 = time.perf_counter()
-        Ustar, iters, res = _jit_solve_ustar(
+        Ustar, iters, res, converged = _jit_solve_ustar(
             self._graph,
             self._path,
             self._Y_dev,
             self._psi_dev,
             self._B_dev,
             self._lam(),
-            np.float32(tol),
-            np.int32(max_iters),
+            self._opts(tol, max_iters),
         )
-        jax.block_until_ready(Ustar)
+        _maybe_sync(Ustar)
         solve_ms = 1000.0 * (time.perf_counter() - t0)
-        converged = bool(float(res) <= tol)
-        self.last_ustar = {
-            "iters": int(iters),
-            "res": float(res),
-            "converged": converged,
-            "solve_ms": solve_ms,
-        }
-        Ustar_host = np.asarray(Ustar)
+        self.last_ustar = LazyStats(
+            self._fetch,
+            immediate={"solve_ms": solve_ms},
+            deferred={"iters": iters, "res": res, "converged": converged},
+            casts={"iters": int, "res": float, "converged": bool},
+        )
         if use_cache:
-            self._Ustar_cache = Ustar_host
             self._Ustar_cache_dev = Ustar
+            self._Ustar_cache_host = None
             self._Ustar_sig = sig
         self.stats["ustar_solves"] += 1
-        self._log(
-            "ustar_solve",
-            {
-                "signature": sig,
-                "tol": tol,
-                "max_iters": max_iters,
-                "iters": int(iters),
-                "res": float(res),
-                "converged": converged,
-                "solve_ms": solve_ms,
-            },
-        )
-        if not converged:
+        if self._logger is not None:
             self._log(
-                "ustar_convergence_warn",
-                {"res": float(res), "tol": tol, "iters": int(iters)},
+                "ustar_solve",
+                {
+                    "signature": sig,
+                    "tol": tol,
+                    "max_iters": max_iters,
+                    **self.last_ustar.to_dict(),
+                },
             )
-        return Ustar_host
+            if not self.last_ustar["converged"]:
+                self._log(
+                    "ustar_convergence_warn",
+                    {
+                        "res": self.last_ustar["res"],
+                        "tol": tol,
+                        "iters": self.last_ustar["iters"],
+                    },
+                )
+        return Ustar
+
+    def solve_Ustar(
+        self,
+        tol: float = 1e-4,
+        max_iters: int = 64,
+        use_cache: bool = True,
+    ) -> np.ndarray:
+        dev = self._solve_ustar_device(tol=tol, max_iters=max_iters, use_cache=use_cache)
+        if use_cache:
+            if self._Ustar_cache_host is None:
+                self._Ustar_cache_host = np.asarray(dev)
+            return self._Ustar_cache_host
+        return np.asarray(dev)
 
     def refresh_Ustar(self, tol: float = 1e-4, max_iters: int = 64) -> np.ndarray:
         self._invalidate_cache()
         self._log("refresh_ustar", {})
         return self.solve_Ustar(tol=tol, max_iters=max_iters, use_cache=True)
 
-    def _ustar_device(self) -> jax.Array:
-        """Cached U* as a device array (solving if needed)."""
-        sig = self._signature()
-        if self._Ustar_cache_dev is not None and self._Ustar_sig == sig:
-            self.stats["ustar_cache_hits"] += 1
-            return self._Ustar_cache_dev
-        self.solve_Ustar()
-        assert self._Ustar_cache_dev is not None
-        return self._Ustar_cache_dev
-
     def receipt(self) -> dict[str, Any]:
         from .. import __version__ as pkg_version
 
-        Ustar_dev = self._ustar_device()
+        Ustar_dev = self._solve_ustar_device()
         lam = self._lam()
-        if self._receipt_detail == "light":
-            dH = _jit_deltaH(
-                self._graph, self._path, self._U_dev, Ustar_dev, lam, self._B_dev
+        light = self._receipt_detail == "light"
+        if light:
+            dH_h = self._fetch.defer(
+                _jit_deltaH(
+                    self._graph, self._path, self._U_dev, Ustar_dev, lam, self._B_dev
+                )
             )
-            coh = anchor = query = np.zeros(self.N, dtype=np.float32)
             nulls_full: list[dict[str, Any]] = []
-            dH = float(dH)
+            coh_sum = anchor_sum = query_sum = 0.0
         else:
-            dH, coh_d, anchor_d, query_d, nflag, nj, nz, nr = _jit_receipt_full(
+            dH_d, coh_d, anchor_d, query_d, nflag, nj, nz, nr = _jit_receipt_full(
                 self._graph,
                 self._path,
                 self._U_dev,
@@ -458,18 +633,23 @@ class OscillinkLattice:
                 self._Y_dev,
                 self._psi_dev,
             )
-            dH = float(dH)
-            coh = np.asarray(coh_d)
-            anchor = np.asarray(anchor_d)
-            query = np.asarray(query_d)
+            dH_h = self._fetch.defer(dH_d)
+            coh_h = self._fetch.defer(coh_d)
+            anchor_h = self._fetch.defer(anchor_d)
+            query_h = self._fetch.defer(query_d)
+            nulls_h = [self._fetch.defer(a) for a in (nflag, nj, nz, nr)]
+            # one batched flush materializes everything registered so far
+            self._fetch.flush()
+            nflag, nj, nz, nr = (self._fetch.get(h) for h in nulls_h)
+            coh_sum = float(self._fetch.get(coh_h))
+            anchor_sum = float(self._fetch.get(anchor_h))
+            query_sum = float(self._fetch.get(query_h))
             nulls_full = [
                 {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
-                for i, j, z, r, f in zip(
-                    range(self.N), np.asarray(nj), np.asarray(nz), np.asarray(nr),
-                    np.asarray(nflag),
-                )
+                for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
                 if f
             ]
+        dH = float(self._fetch.get(dH_h))
 
         # null-point capping (observability control, lattice.py:334-356)
         cap_raw = os.getenv("OSCILLINK_RECEIPT_NULL_CAP", "0").strip()
@@ -494,17 +674,18 @@ class OscillinkLattice:
                 "null_cap_applied": False,
             }
 
-        n_edges = int(np.count_nonzero(self._host_w > 0))
+        last_ustar = getattr(self, "last_ustar", None)
+        n_edges = self._edge_count()
         meta: dict[str, Any] = {
             "ustar_cached": bool(
-                self._Ustar_cache is not None and self._Ustar_sig == self._signature()
+                self._Ustar_cache_dev is not None and self._Ustar_sig == self._signature()
             ),
             "ustar_solves": int(self.stats["ustar_solves"]),
             "ustar_cache_hits": int(self.stats["ustar_cache_hits"]),
-            "ustar_converged": bool(getattr(self, "last_ustar", {}).get("converged", True)),
-            "ustar_res": float(getattr(self, "last_ustar", {}).get("res", 0.0)),
-            "ustar_iters": int(getattr(self, "last_ustar", {}).get("iters", 0)),
-            "ustar_solve_ms": float(getattr(self, "last_ustar", {}).get("solve_ms", 0.0)),
+            "ustar_converged": bool(last_ustar["converged"]) if last_ustar else True,
+            "ustar_res": float(last_ustar["res"]) if last_ustar else 0.0,
+            "ustar_iters": int(last_ustar["iters"]) if last_ustar else 0,
+            "ustar_solve_ms": float(last_ustar["solve_ms"]) if last_ustar else 0.0,
             "graph_build_ms": float(getattr(self, "_graph_build_ms", 0.0)),
             "last_settle_ms": float(self.last.get("t_ms") or 0.0),
             "avg_degree": float(n_edges / max(self.N, 1)),
@@ -525,11 +706,9 @@ class OscillinkLattice:
                     "mode": "extended",
                     "state_sig": self._signature(),
                     "deltaH_total": float(dH),
-                    "ustar_iters": int(getattr(self, "last_ustar", {}).get("iters", 0)),
-                    "ustar_res": float(getattr(self, "last_ustar", {}).get("res", 0.0)),
-                    "ustar_converged": bool(
-                        getattr(self, "last_ustar", {}).get("converged", True)
-                    ),
+                    "ustar_iters": meta["ustar_iters"],
+                    "ustar_res": meta["ustar_res"],
+                    "ustar_converged": meta["ustar_converged"],
                     "params": {
                         "lamG": self.lamG,
                         "lamC": self.lamC,
@@ -558,9 +737,9 @@ class OscillinkLattice:
         out: dict[str, Any] = {
             "version": str(pkg_version),
             "deltaH_total": float(dH),
-            "coh_drop_sum": float(np.sum(coh)),
-            "anchor_pen_sum": float(np.sum(anchor)),
-            "query_term_sum": float(np.sum(query)),
+            "coh_drop_sum": float(coh_sum),
+            "anchor_pen_sum": float(anchor_sum),
+            "query_term_sum": float(query_sum),
             "cg_iters": int(self.last.get("iters") or 0),
             "residual": float(self.last.get("res") or 0.0),
             "t_ms": float(self.last.get("t_ms") or 0.0),
@@ -580,18 +759,16 @@ class OscillinkLattice:
         return verify_receipt(rec, secret)
 
     def chain_receipt(self, chain: list[int], z_th: float = 2.5) -> dict[str, Any]:
-        Ustar_dev = self._ustar_device()
+        Ustar_dev = self._solve_ustar_device()
         pg = self._path if self._path is not None else build_path_graph(self.N, chain)
-        ci = jnp.asarray(np.array(chain[:-1], dtype=np.int32))
-        cj = jnp.asarray(np.array(chain[1:], dtype=np.int32))
-        z_s, z_p, r_s, r_p, gains = _jit_chain_stats(
-            self._graph, pg, Ustar_dev, self._Y_dev, jnp.float32(self.lamC), ci, cj
+        ci, cj = jax.device_put(
+            (np.array(chain[:-1], dtype=np.int32), np.array(chain[1:], dtype=np.int32))
         )
-        z_s = np.asarray(z_s)
-        z_p = np.asarray(z_p)
-        r_s = np.asarray(r_s)
-        r_p = np.asarray(r_p)
-        gain = float(np.sum(np.asarray(gains)))
+        outs = _jit_chain_stats(
+            self._graph, pg, Ustar_dev, self._Y_dev, self._lam().lamC, ci, cj
+        )
+        z_s, z_p, r_s, r_p, gains = jax.device_get(outs)
+        gain = float(np.sum(gains))
 
         edges: list[dict[str, Any]] = []
         worst = (-1, -1.0, (-1, -1))
@@ -628,22 +805,20 @@ class OscillinkLattice:
     def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
         """Top-k MMR-diversified bundle scored by
         alpha * z(coherence_drop) + (1 - alpha) * cos(U*, psi)."""
-        Ustar_dev = self._ustar_device()
+        Ustar_dev = self._solve_ustar_device()
         k_eff = min(max(int(k), 0), self.N)
         if k_eff == 0:
             return []
-        picks, score, align = _jit_bundle(
+        outs = _jit_bundle(
             self._graph,
             self._Y_dev,
             Ustar_dev,
             self._psi_dev,
-            jnp.float32(self.lamC),
-            jnp.float32(alpha),
+            self._lam().lamC,
+            self._opts(alpha)[0],
             k_eff,
         )
-        picks = np.asarray(picks)
-        score = np.asarray(score)
-        align = np.asarray(align)
+        picks, score, align = jax.device_get(outs)
         return [
             {"id": int(i), "score": float(score[i]), "align": float(align[i])}
             for i in picks
@@ -717,11 +892,12 @@ class OscillinkLattice:
 
     def dense_values_for_pairs(self, pairs: np.ndarray) -> np.ndarray:
         """Adjacency values for sorted (i, j) pairs (sparse export helper)."""
+        idx, w, _ = self._mirrors()
         out = np.zeros(len(pairs), dtype=np.float32)
         lookup: dict[tuple[int, int], float] = {}
-        ii, kk = np.nonzero(self._host_w > 0)
+        ii, kk = np.nonzero(w > 0)
         for i, k in zip(ii, kk):
-            lookup[(int(i), int(self._host_idx[i, k]))] = float(self._host_w[i, k])
+            lookup[(int(i), int(idx[i, k]))] = float(w[i, k])
         for e, (i, j) in enumerate(pairs):
             out[e] = lookup.get((int(i), int(j)), 0.0)
         return out
@@ -799,6 +975,12 @@ class OscillinkLattice:
             A = np.array(state["A"], dtype=np.float32)
             if A.shape == (lat.N, lat.N):
                 lat._set_adjacency_dense(A)
+        elif "A_sparse" in state:
+            pairs = np.array(state["A_sparse"]["pairs"], dtype=np.int64)
+            vals = np.array(state["A_sparse"]["values"], dtype=np.float32)
+            A = np.zeros((lat.N, lat.N), dtype=np.float32)
+            A[pairs[:, 0], pairs[:, 1]] = vals
+            lat._set_adjacency_dense(A)
         lamP = params.get("lamP", 0.0)
         if lamP > 0:
             if "chain_nodes" in state:
@@ -838,6 +1020,10 @@ class OscillinkLattice:
         self._host_w = w
         self._host_sqrt_deg = sqrt_deg
         self._edge_pairs_cache = None
+        self._edge_count_handle = self._fetch.defer(jnp.int32(int((w > 0).sum())))
+        self._graph_token = hashlib.sha256(
+            b"imported-dense:" + A.tobytes()
+        ).hexdigest()
         self._invalidate_cache()
 
     # -- internal helpers -------------------------------------------------
@@ -851,14 +1037,14 @@ class OscillinkLattice:
             "chain_len": len(self._chain_nodes) if self._chain_nodes else 0,
             "k": self._kneighbors,
             "detk": self._deterministic_k,
-            "adj": self.adjacency_fingerprint(),
+            "adj": self._graph_token,
         }
         raw = json.dumps(data, sort_keys=True).encode("utf-8")
         return hashlib.sha256(raw).hexdigest()
 
     def _invalidate_cache(self) -> None:
-        self._Ustar_cache = None
         self._Ustar_cache_dev = None
+        self._Ustar_cache_host = None
         self._Ustar_sig = None
         self._log("invalidate_cache", {})
 
@@ -905,17 +1091,14 @@ class OscillinkLattice:
     def _compute_dynamics(
         self, U_prev: jax.Array, U_next: jax.Array, iters: int
     ) -> dict[str, Any]:
-        move2_d, dH_d, ftotal_d, fvals_d, fi_d, fj_d = _jit_dynamics(
+        outs = _jit_dynamics(
             self._graph, self._path, U_prev, U_next, self._lam(), self._B_dev
         )
-        move2 = np.asarray(move2_d)
+        move2, dH_d, ftotal, fvals, fi, fj = jax.device_get(outs)
         dH_step = float(dH_d)
         viscosity_step = float(iters) / (abs(dH_step) + 1e-12)
         temperature = float(np.mean(move2)) if move2.size else 0.0
 
-        fvals = np.asarray(fvals_d)
-        fi = np.asarray(fi_d)
-        fj = np.asarray(fj_d)
         flows = [
             {"edge": [int(i), int(j)], "flow": float(v)}
             for v, i, j in zip(fvals, fi, fj)
@@ -934,7 +1117,7 @@ class OscillinkLattice:
             "temperature": temperature,
             "step_deltaH": dH_step,
             "viscosity_step": viscosity_step,
-            "flow_total": float(ftotal_d),
+            "flow_total": float(ftotal),
             "top_flows": flows,
             "radius": int(radius),
             "move2_mean": float(np.mean(move2) if move2.size else 0.0),
@@ -944,6 +1127,7 @@ class OscillinkLattice:
     def _bfs_radius(self, seeds: list[int]) -> int:
         if not seeds:
             return 0
+        idx, w, _ = self._mirrors()
         visited = np.full(self.N, False)
         dist = np.full(self.N, -1, dtype=int)
         q: deque[int] = deque()
@@ -952,11 +1136,11 @@ class OscillinkLattice:
                 visited[s] = True
                 dist[s] = 0
                 q.append(s)
-        valid = self._host_w > 0
+        valid = w > 0
         while q:
             u = q.popleft()
             for slot in np.nonzero(valid[u])[0]:
-                v = int(self._host_idx[u, slot])
+                v = int(idx[u, slot])
                 if not visited[v]:
                     visited[v] = True
                     dist[v] = dist[u] + 1
@@ -1007,7 +1191,7 @@ class OscillinkLattice:
         if self.lamP > 0 and self._chain_nodes is not None:
             parts.append(f"chain_len={len(self._chain_nodes)}")
             parts.append(f"lamP={self.lamP}")
-        if self._Ustar_cache is not None:
+        if self._Ustar_cache_dev is not None:
             parts.append("U*cached")
         return "OscillinkLattice(" + ", ".join(parts) + ")"
 

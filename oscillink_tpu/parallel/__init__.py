@@ -1,0 +1,4 @@
+"""Multi-chip scale-out: device meshes, row-sharded lattices, sharded CG."""
+
+from .mesh import lattice_mesh  # noqa: F401
+from .sharded import sharded_build_and_settle, sharded_settle_fn  # noqa: F401
