@@ -1,0 +1,239 @@
+"""User CLI (reference oscillink/cli.py:57-199): signup / login / whoami /
+logout / portal against the cloud API, plus local conveniences (settle a
+saved embedding file, run the service).
+
+Config lives in ~/.oscillink-tpu/config.json (OSCILLINK_CONFIG_DIR override).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from pathlib import Path
+from typing import Any, Optional
+
+DEFAULT_API_BASE = os.environ.get("OSCILLINK_API_BASE", "http://localhost:8000")
+
+
+def _config_file() -> Path:
+    cfg_dir = Path(os.environ.get("OSCILLINK_CONFIG_DIR", Path.home() / ".oscillink-tpu"))
+    return cfg_dir / "config.json"
+
+
+def _http(method: str, url: str, data: Optional[dict] = None, headers: Optional[dict] = None):
+    req_headers = {"Content-Type": "application/json", **(headers or {})}
+    body = json.dumps(data).encode("utf-8") if data is not None else None
+    req = urllib.request.Request(url, data=body, headers=req_headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            raw = resp.read()
+            if "application/json" in resp.headers.get("Content-Type", ""):
+                return json.loads(raw.decode("utf-8"))
+            return raw.decode("utf-8")
+    except urllib.error.HTTPError as e:
+        try:
+            detail = e.read().decode("utf-8")
+        except Exception:
+            detail = str(e)
+        raise RuntimeError(f"HTTP {e.code}: {detail}") from None
+    except urllib.error.URLError as e:
+        raise RuntimeError(f"Request failed: {e}") from e
+
+
+def _load_config() -> dict:
+    f = _config_file()
+    if f.exists():
+        try:
+            return json.loads(f.read_text(encoding="utf-8"))
+        except Exception:
+            return {}
+    return {}
+
+
+def _save_config(cfg: dict) -> None:
+    f = _config_file()
+    f.parent.mkdir(parents=True, exist_ok=True)
+    f.write_text(json.dumps(cfg, indent=2), encoding="utf-8")
+
+
+def _store_key(base: str, poll: dict) -> None:
+    cfg = _load_config()
+    cfg.update(
+        {"api_key": poll.get("api_key"), "tier": poll.get("tier"), "api_base": base}
+    )
+    _save_config(cfg)
+
+
+def cmd_signup(args: argparse.Namespace) -> int:
+    base = args.base or DEFAULT_API_BASE
+    resp = _http(
+        "POST",
+        urllib.parse.urljoin(base, "/billing/cli/start"),
+        {"tier": args.tier, **({"email": args.email} if args.email else {})},
+    )
+    code = resp.get("code")
+    print(f"Checkout URL: {resp.get('checkout_url')}")
+    print(f"Code: {code}")
+    if not args.wait:
+        print(f"Complete checkout in your browser, then run: oscillink-tpu login --code {code}")
+        return 0
+    t0 = time.time()
+    while True:
+        poll = _http("GET", urllib.parse.urljoin(base, f"/billing/cli/poll/{code}"))
+        status = poll.get("status")
+        if status in ("ready", "complete"):
+            _store_key(base, poll)
+            print("Your API key:", poll.get("api_key"))
+            return 0
+        if status == "expired":
+            print("Session expired. Please run signup again.")
+            return 2
+        if time.time() - t0 > args.timeout:
+            print("Timed out waiting for key.")
+            return 3
+        time.sleep(2)
+
+
+def cmd_login(args: argparse.Namespace) -> int:
+    base = args.base or DEFAULT_API_BASE
+    poll = _http("GET", urllib.parse.urljoin(base, f"/billing/cli/poll/{args.code}"))
+    status = poll.get("status")
+    if status in ("ready", "complete"):
+        _store_key(base, poll)
+        print("Logged in. Key stored in", _config_file())
+        return 0
+    if status == "expired":
+        print("Code expired. Run signup again.")
+        return 2
+    print("Not ready yet. Complete checkout and try again.")
+    return 1
+
+
+def cmd_whoami(_: argparse.Namespace) -> int:
+    cfg = _load_config()
+    if not cfg.get("api_key"):
+        print("Not logged in. Run 'oscillink-tpu signup' or 'oscillink-tpu login --code CODE'.")
+        return 1
+    print(json.dumps({k: cfg.get(k) for k in ("api_key", "tier", "api_base")}, indent=2))
+    return 0
+
+
+def cmd_logout(_: argparse.Namespace) -> int:
+    cfg = _load_config()
+    cfg.pop("api_key", None)
+    cfg.pop("tier", None)
+    _save_config(cfg)
+    print("Logged out (key removed from local config).")
+    return 0
+
+
+def cmd_portal(args: argparse.Namespace) -> int:
+    cfg = _load_config()
+    base = args.base or cfg.get("api_base") or DEFAULT_API_BASE
+    api_key = cfg.get("api_key")
+    if not api_key:
+        print("Not logged in.")
+        return 1
+    resp = _http(
+        "POST",
+        urllib.parse.urljoin(base, "/billing/portal"),
+        {},
+        headers={"X-API-Key": api_key},
+    )
+    print("Portal URL:", resp.get("url"))
+    return 0
+
+
+def cmd_settle(args: argparse.Namespace) -> int:
+    """Settle a local .npy / .npz embedding file and print the receipt."""
+    import numpy as np
+
+    from .core.lattice import OscillinkLattice
+
+    path = args.file
+    if path.endswith(".npz"):
+        data = np.load(path)
+        Y = data["Y"].astype(np.float32)
+        psi = data["psi"].astype(np.float32) if "psi" in data.files else None
+    else:
+        Y = np.load(path).astype(np.float32)
+        psi = None
+    lat = OscillinkLattice(Y, kneighbors=args.kneighbors)
+    if psi is not None:
+        lat.set_query(psi)
+    lat.set_receipt_detail("light" if args.light else "full")
+    stats = lat.settle(max_iters=args.max_iters, tol=args.tol)
+    rec = lat.receipt()
+    out: dict[str, Any] = {
+        "settle": {"iters": stats["iters"], "res": stats["res"]},
+        "deltaH_total": rec["deltaH_total"],
+        "state_sig": rec["meta"]["state_sig"],
+        "null_points": len(rec["null_points"]),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:  # pragma: no cover
+    from .service.http import run
+
+    run(host=args.host, port=args.port)
+    return 0
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="oscillink-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("signup", help="start checkout + obtain an API key")
+    p.add_argument("--tier", default="free")
+    p.add_argument("--email", default=None)
+    p.add_argument("--base", default=None)
+    p.add_argument("--wait", action="store_true")
+    p.add_argument("--timeout", type=float, default=300.0)
+    p.set_defaults(fn=cmd_signup)
+
+    p = sub.add_parser("login", help="complete pairing with a signup code")
+    p.add_argument("--code", required=True)
+    p.add_argument("--base", default=None)
+    p.set_defaults(fn=cmd_login)
+
+    p = sub.add_parser("whoami", help="show stored identity")
+    p.set_defaults(fn=cmd_whoami)
+
+    p = sub.add_parser("logout", help="remove stored API key")
+    p.set_defaults(fn=cmd_logout)
+
+    p = sub.add_parser("portal", help="open the billing portal")
+    p.add_argument("--base", default=None)
+    p.set_defaults(fn=cmd_portal)
+
+    p = sub.add_parser("settle", help="settle a local embedding file")
+    p.add_argument("file")
+    p.add_argument("--kneighbors", type=int, default=6)
+    p.add_argument("--max-iters", type=int, default=12)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--light", action="store_true")
+    p.set_defaults(fn=cmd_settle)
+
+    p = sub.add_parser("serve", help="run the cloud service")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except RuntimeError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,865 @@
+"""Framework-free service core: (ServiceState, ApiRequest) -> ApiResponse.
+
+Endpoint surface and behavior mirror the reference FastAPI app
+(cloud/app/main.py, jobs.py, admin.py, autocorrect.py, benchmarks.py,
+billing_webhook.py); the web framework is deliberately absent from this
+module so the whole service is testable in-process (`testing.LocalClient`)
+and bindable to any HTTP server (`http.py` provides aiohttp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+from pydantic import ValidationError
+
+from .. import __version__
+from ..core.lattice import OscillinkLattice
+from ..preprocess.autocorrect import smart_correct
+from .billing import TIERS, price_map, tier_info
+from .cache import BundleCache
+from .cli_sessions import CliSessionStore
+from .config import env_flag, get_settings
+from .features import resolve_features
+from .governance import ApiError, MonthlyUsage, QuotaState, RateLimiter
+from .jobs import JobStore
+from .keystore import InMemoryKeyStore, KeyStore, make_keystore
+from .learners import Learners
+from .metrics import Metrics
+from .models import (
+    AdminKeyUpdate,
+    AutoCorrectRequest,
+    BundleRequest,
+    ChainReceiptRequest,
+    CompetitorBenchRequest,
+    SettleRequest,
+)
+from .usage import append_usage
+from .webhooks import WebhookProcessor
+
+REQUEST_ID_HEADER = "X-Request-ID"
+
+
+# --------------------------------------------------------------------------
+# transport-neutral request / response
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ApiRequest:
+    method: str
+    path: str
+    headers: dict[str, str] = field(default_factory=dict)
+    body: bytes = b""
+    remote_ip: str = "127.0.0.1"
+    query: dict[str, str] = field(default_factory=dict)
+
+    def header(self, name: str) -> Optional[str]:
+        return self.headers.get(name.lower())
+
+    def json(self) -> Any:
+        try:
+            return json.loads(self.body.decode("utf-8")) if self.body else {}
+        except Exception:
+            raise ApiError(400, "invalid JSON body") from None
+
+
+@dataclass
+class ApiResponse:
+    status: int = 200
+    body: Any = None  # dict/list (JSON) or bytes
+    headers: dict[str, str] = field(default_factory=dict)
+    content_type: str = "application/json"
+
+
+# --------------------------------------------------------------------------
+# service state
+# --------------------------------------------------------------------------
+
+
+class ServiceState:
+    """All mutable service singletons, owned by one object (no module
+    globals — the reference's reload-to-reset-env pattern becomes simply
+    constructing a fresh ServiceState)."""
+
+    def __init__(self) -> None:
+        self.keystore: KeyStore = make_keystore()
+        self.quota = QuotaState()
+        self.monthly = MonthlyUsage()
+        self.rate_limiter = RateLimiter()
+        self.metrics = Metrics()
+        self.jobs = JobStore()
+        self.bundle_cache = BundleCache()
+        self.learners = Learners()
+        self.cli_sessions = CliSessionStore()
+        self.webhooks = WebhookProcessor(self.keystore, self.cli_sessions)
+
+
+def create_state() -> ServiceState:
+    return ServiceState()
+
+
+# --------------------------------------------------------------------------
+# auth / feature resolution (reference main.py:746-832)
+# --------------------------------------------------------------------------
+
+
+def _api_key_guard(state: ServiceState, req: ApiRequest) -> Optional[str]:
+    key = req.header("x-api-key")
+    ks = state.keystore
+    if isinstance(ks, InMemoryKeyStore):
+        ks.maybe_hot_reload()
+    # legacy env list always enforced when present
+    allowed = {
+        k.strip()
+        for k in os.getenv("OSCILLINK_API_KEYS", "").split(",")
+        if k.strip()
+    }
+    if allowed:
+        if key is None or key not in allowed:
+            raise ApiError(401, "invalid or missing API key")
+        return key
+    backend = os.getenv("OSCILLINK_KEYSTORE_BACKEND", "memory").lower()
+    if backend == "memory" and not allowed and ks.is_empty():
+        return None  # open access
+    if key:
+        meta = ks.get(key)
+        if meta:
+            if meta.is_active():
+                return key
+            if meta.status == "pending":
+                raise ApiError(403, "key pending manual activation")
+            raise ApiError(401, "invalid or inactive API key")
+        if backend == "firestore":
+            raise ApiError(401, "invalid or missing API key")
+        raise ApiError(401, "invalid or missing API key")
+    if backend == "firestore":
+        raise ApiError(401, "invalid or missing API key")
+    if ks.is_empty():
+        return None
+    raise ApiError(401, "invalid or missing API key")
+
+
+def _feature_context(state: ServiceState, req: ApiRequest) -> dict:
+    key = _api_key_guard(state, req)
+    meta = state.keystore.get(key) if key else None
+    return {"api_key": key, "features": resolve_features(meta)}
+
+
+def _check_diffusion_allowed(gates, feats) -> None:
+    if gates is not None:
+        if os.getenv("OSCILLINK_DIFFUSION_GATES_ENABLED", "1") not in {
+            "1",
+            "true",
+            "TRUE",
+            "on",
+        }:
+            raise ApiError(403, "diffusion gating temporarily disabled")
+        if not feats.diffusion_allowed:
+            raise ApiError(403, "diffusion gating not enabled for this tier")
+
+
+# --------------------------------------------------------------------------
+# lattice construction (reference main.py:887-947)
+# --------------------------------------------------------------------------
+
+
+def _parse(model, payload):
+    try:
+        return model.model_validate(payload)
+    except ValidationError as e:
+        raise ApiError(422, e.errors(include_url=False).__repr__()) from None
+
+
+def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[str]):
+    Y = np.array(req.Y, dtype=np.float32)
+    if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
+        raise ApiError(400, "Empty matrix")
+    N, D = Y.shape
+    s = get_settings()
+    if N > s.max_nodes:
+        raise ApiError(413, f"N>{s.max_nodes} exceeds limit")
+    if D > s.max_dim:
+        raise ApiError(413, f"D>{s.max_dim} exceeds limit")
+
+    profile_id, overrides = state.learners.propose_overrides(
+        api_key,
+        base={
+            "lamG": req.params.lamG,
+            "lamC": req.params.lamC,
+            "lamQ": req.params.lamQ,
+            "kneighbors": req.params.kneighbors,
+        },
+    )
+    lamG = float(overrides.get("lamG", req.params.lamG))
+    lamC = float(overrides.get("lamC", req.params.lamC))
+    lamQ = float(overrides.get("lamQ", req.params.lamQ))
+    k_req = int(overrides.get("kneighbors", req.params.kneighbors))
+    k_eff = min(k_req, max(1, N - 1))
+
+    lat = OscillinkLattice(
+        Y,
+        kneighbors=k_eff,
+        lamG=lamG,
+        lamC=lamC,
+        lamQ=lamQ,
+        deterministic_k=req.params.deterministic_k,
+        neighbor_seed=req.params.neighbor_seed,
+    )
+    if req.psi is not None:
+        psi = np.array(req.psi, dtype=np.float32)
+        if psi.shape[0] != D:
+            raise ApiError(400, "psi dimension mismatch")
+        lat.set_query(psi)
+    if req.gates is not None:
+        gates = np.array(req.gates, dtype=np.float32)
+        if gates.shape[0] != N:
+            raise ApiError(400, "gates length mismatch")
+        lat.set_gates(gates)
+    if req.chain:
+        if len(req.chain) < 2:
+            raise ApiError(400, "chain must have >=2 nodes")
+        lat.add_chain(req.chain, lamP=req.params.lamP)
+
+    s_set = get_settings()
+    if s_set.enable_signature and s_set.receipt_secret:
+        lat.set_receipt_secret(s_set.receipt_secret)
+
+    eff = {"lamG": lamG, "lamC": lamC, "lamQ": lamQ, "kneighbors": k_eff}
+    return lat, N, D, k_eff, eff, profile_id
+
+
+def _charge(state: ServiceState, api_key: Optional[str], units: int):
+    monthly_ctx = state.monthly.check_and_consume(api_key, units, state.keystore)
+    remaining, limit, reset_at = state.quota.check_and_consume(
+        api_key, units, state.keystore
+    )
+    return monthly_ctx, remaining, limit, reset_at
+
+
+def _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, profile_id):
+    for k, v in QuotaState.headers(remaining, limit, reset_at).items():
+        resp.headers.setdefault(k, v)
+    if monthly_ctx:
+        resp.headers.setdefault("X-Monthly-Cap", str(monthly_ctx["limit"]))
+        resp.headers.setdefault("X-Monthly-Used", str(monthly_ctx["used"]))
+        resp.headers.setdefault("X-Monthly-Remaining", str(monthly_ctx["remaining"]))
+        resp.headers.setdefault("X-Monthly-Period", str(monthly_ctx["period"]))
+    resp.headers.setdefault("X-Profile-Id", profile_id)
+
+
+# --------------------------------------------------------------------------
+# handlers
+# --------------------------------------------------------------------------
+
+
+def h_health(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    return ApiResponse(body={"status": "ok", "version": __version__})
+
+
+def h_license_status(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Licensed-container status from exported entitlements (main.py:840-884)."""
+    ent_path = os.getenv(
+        "OSCILLINK_ENTITLEMENTS_PATH", "/run/oscillink_entitlements.json"
+    )
+    try:
+        leeway = int(os.getenv("OSCILLINK_JWT_LEEWAY", "300"))
+    except ValueError:
+        leeway = 300
+    require = env_flag("OSCILLINK_LICENSE_REQUIRED")
+    try:
+        with open(ent_path, encoding="utf-8") as f:
+            data = json.load(f)
+    except Exception:
+        if require:
+            return ApiResponse(status=503, body={"status": "unlicensed"})
+        return ApiResponse(body={"status": "unknown"})
+    exp = data.get("exp") if isinstance(data.get("exp"), (int, float)) else None
+    now = int(time.time())
+    if exp is not None and (now - leeway) > int(exp):
+        if require:
+            return ApiResponse(status=503, body={"status": "expired", "exp": int(exp)})
+        return ApiResponse(body={"status": "stale", "exp": int(exp)})
+    return ApiResponse(
+        body={
+            "status": "ok",
+            "iss": data.get("iss"),
+            "sub": data.get("sub") or data.get("license_id"),
+            "tier": data.get("tier"),
+            "exp": int(exp) if exp is not None else None,
+        }
+    )
+
+
+def h_metrics(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    admin_secret = os.getenv("OSCILLINK_METRICS_ADMIN_SECRET")
+    if admin_secret and req.header("x-admin-secret") != admin_secret:
+        raise ApiError(403, "metrics protected")
+    payload = Metrics.render()
+    if payload is None:
+        return ApiResponse(body={"detail": "prometheus_client not installed"}, status=501)
+    return ApiResponse(body=payload, content_type="text/plain; version=0.0.4")
+
+
+def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
+    ctx = _feature_context(state, req)
+    sreq = _parse(SettleRequest, req.json())
+    _check_diffusion_allowed(sreq.gates, ctx["features"])
+    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, sreq, ctx["api_key"])
+    units = N * D
+    monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+
+    t0 = time.perf_counter()
+    try:
+        stats = lat.settle(
+            dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
+        )
+        state.metrics.settle_counter.labels(status="ok").inc()
+    except ApiError:
+        raise
+    except Exception:
+        state.metrics.settle_counter.labels(status="error").inc()
+        raise
+    elapsed = time.perf_counter() - t0
+    t_settle = 1000.0 * elapsed
+    state.metrics.settle_latency.observe(elapsed)
+    state.metrics.n_gauge.set(N)
+    state.metrics.d_gauge.set(D)
+    state.metrics.usage_nodes.inc(N)
+    state.metrics.usage_units.inc(units)
+
+    want_receipt = (
+        sreq.options.include_receipt if include_receipt is None else include_receipt
+    )
+    receipt = lat.receipt() if want_receipt else None
+    bundle = lat.bundle(k=sreq.options.bundle_k) if sreq.options.bundle_k else None
+
+    state.learners.record_observation(
+        ctx["api_key"],
+        profile_id,
+        eff,
+        {
+            "duration_ms": t_settle,
+            "iters": int(stats.get("iters") or 0),
+            "residual": float(stats.get("res") or 0.0),
+            "tol": float(sreq.options.tol),
+        },
+    )
+
+    state_sig = (
+        receipt.get("meta", {}).get("state_sig") if receipt else None
+    ) or lat._signature()
+    monthly_block = (
+        {
+            "limit": monthly_ctx["limit"],
+            "used": monthly_ctx["used"],
+            "remaining": monthly_ctx["remaining"],
+            "period": monthly_ctx["period"],
+        }
+        if monthly_ctx
+        else None
+    )
+    body = {
+        "state_sig": state_sig,
+        "receipt": receipt,
+        "bundle": bundle,
+        "timings_ms": {"total_settle_ms": t_settle},
+        "meta": {
+            "N": N,
+            "D": D,
+            "kneighbors_requested": sreq.params.kneighbors,
+            "kneighbors_effective": k_eff,
+            "lam": {
+                "G": eff["lamG"],
+                "C": eff["lamC"],
+                "Q": eff["lamQ"],
+                "P": sreq.params.lamP,
+            },
+            "profile_id": profile_id,
+            "request_id": req.header(REQUEST_ID_HEADER) or "",
+            "usage": {"nodes": N, "node_dim_units": units, "monthly": monthly_block},
+            "quota": None
+            if limit == 0
+            else {"limit": limit, "remaining": remaining, "reset": int(reset_at)},
+        },
+    }
+    resp = ApiResponse(body=body)
+    _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, profile_id)
+    append_usage(
+        {
+            "ts": time.time(),
+            "event": "settle",
+            "api_key": ctx["api_key"],
+            "N": N,
+            "D": D,
+            "units": units,
+            "duration_ms": t_settle,
+            "quota": body["meta"]["quota"],
+            "monthly": monthly_block,
+        }
+    )
+    return resp, lat, sreq, ctx
+
+
+def h_settle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    resp, _, _, _ = _settle_core(state, req)
+    return resp
+
+
+def h_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    resp, _, _, _ = _settle_core(state, req, include_receipt=True)
+    return resp
+
+
+def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Bundle with per-key TTL-LRU cache + X-Cache headers (main.py:1261-1354)."""
+    ctx = _feature_context(state, req)
+    breq = _parse(BundleRequest, req.json())
+    _check_diffusion_allowed(breq.gates, ctx["features"])
+    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, breq, ctx["api_key"])
+    units = N * D
+    monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+
+    state_sig = lat._signature()
+    cached = state.bundle_cache.get(ctx["api_key"], state_sig)
+    if cached is not None:
+        bundle = cached["bundle"]
+        cache_status = "HIT"
+        t_ms = 0.0
+    else:
+        t0 = time.perf_counter()
+        stats = lat.settle(
+            dt=breq.options.dt, max_iters=breq.options.max_iters, tol=breq.options.tol
+        )
+        bundle = lat.bundle(k=breq.bundle_k, alpha=breq.alpha)
+        t_ms = 1000.0 * (time.perf_counter() - t0)
+        state.metrics.settle_counter.labels(status="ok").inc()
+        state.metrics.settle_latency.observe(t_ms / 1000.0)
+        state.bundle_cache.put(ctx["api_key"], state_sig, bundle)
+        cache_status = "MISS"
+        state.learners.record_observation(
+            ctx["api_key"],
+            profile_id,
+            eff,
+            {
+                "duration_ms": t_ms,
+                "iters": int(stats.get("iters") or 0),
+                "residual": float(stats.get("res") or 0.0),
+                "tol": float(breq.options.tol),
+            },
+        )
+    resp = ApiResponse(
+        body={
+            "state_sig": state_sig,
+            "bundle": bundle,
+            "timings_ms": {"total_ms": t_ms},
+            "meta": {"N": N, "D": D, "kneighbors_effective": k_eff, "cache": cache_status},
+        },
+        headers={"X-Cache": cache_status, "X-Cache-Key": state_sig[:16]},
+    )
+    _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, profile_id)
+    return resp
+
+
+def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    ctx = _feature_context(state, req)
+    creq = _parse(ChainReceiptRequest, req.json())
+    if not creq.chain or len(creq.chain) < 2:
+        raise ApiError(400, "chain must have >=2 nodes")
+    _check_diffusion_allowed(creq.gates, ctx["features"])
+    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, creq, ctx["api_key"])
+    units = N * D
+    monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+    t0 = time.perf_counter()
+    lat.settle(dt=creq.options.dt, max_iters=creq.options.max_iters, tol=creq.options.tol)
+    chain_rec = lat.chain_receipt(creq.chain, z_th=creq.z_th)
+    t_ms = 1000.0 * (time.perf_counter() - t0)
+    resp = ApiResponse(
+        body={
+            "state_sig": lat._signature(),
+            "chain_receipt": chain_rec,
+            "timings_ms": {"total_ms": t_ms},
+            "meta": {"N": N, "D": D, "kneighbors_effective": k_eff},
+        }
+    )
+    _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, profile_id)
+    return resp
+
+
+def h_autocorrect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    _feature_context(state, req)
+    areq = _parse(AutoCorrectRequest, req.json())
+    corrected = smart_correct(areq.text, custom_preserve=areq.preserve)
+    return ApiResponse(
+        body={"text": corrected, "changed": corrected != areq.text}
+    )
+
+
+# -- jobs (reference cloud/app/jobs.py:74-247) ------------------------------
+
+
+def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    ctx = _feature_context(state, req)
+    if not ctx["features"].get("async_jobs", True):
+        raise ApiError(403, "async jobs not enabled for this tier")
+    payload = req.json()
+    sreq = _parse(SettleRequest, payload)
+    api_key = ctx["api_key"]
+
+    def run() -> dict:
+        # quota charged at execution time (jobs.py:81-94)
+        lat, N, D, k_eff, eff, profile_id = _build_lattice(state, sreq, api_key)
+        units = N * D
+        state.monthly.check_and_consume(api_key, units, state.keystore)
+        state.quota.check_and_consume(api_key, units, state.keystore)
+        stats = lat.settle(
+            dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
+        )
+        out: dict[str, Any] = {
+            "state_sig": lat._signature(),
+            "settle": {"iters": int(stats.get("iters") or 0), "res": float(stats.get("res") or 0.0)},
+        }
+        if sreq.options.include_receipt:
+            out["receipt"] = lat.receipt()
+        if sreq.options.bundle_k:
+            out["bundle"] = lat.bundle(k=sreq.options.bundle_k)
+        return out
+
+    rec = state.jobs.submit(run, meta={"api_key": api_key})
+    state.metrics.job_queue_depth.set(state.jobs.depth())
+    return ApiResponse(status=202, body={"job_id": rec["id"], "status": rec["status"]})
+
+
+def h_jobs_get(state: ServiceState, req: ApiRequest, job_id: str = "", **_) -> ApiResponse:
+    _feature_context(state, req)
+    job = state.jobs.get(job_id)
+    if job is None:
+        raise ApiError(404, "job not found")
+    body = {k: v for k, v in job.items() if k != "api_key"}
+    return ApiResponse(body=body)
+
+
+def h_jobs_delete(state: ServiceState, req: ApiRequest, job_id: str = "", **_) -> ApiResponse:
+    _feature_context(state, req)
+    job = state.jobs.cancel(job_id)
+    if job is None:
+        raise ApiError(404, "job not found")
+    return ApiResponse(body={"job_id": job_id, "status": job["status"]})
+
+
+# -- competitor benchmark (reference cloud/app/benchmarks.py:210-353) -------
+
+
+def _topk_f1_hall(pred, labels, traps):
+    if labels is None:
+        if traps is None:
+            return None, None
+        return None, any(i in traps for i in pred)
+    gt = {i for i, lab in enumerate(labels) if int(lab) == 1}
+    tp = len([i for i in pred if i in gt])
+    fp = len([i for i in pred if i not in gt])
+    fn = len([i for i in gt if i not in pred])
+    prec = tp / (tp + fp) if (tp + fp) else 0.0
+    rec = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 0.0 if (prec == 0.0 and rec == 0.0) else 2 * prec * rec / (prec + rec)
+    hall = any(i in traps for i in pred) if traps is not None else None
+    return f1, hall
+
+
+def h_bench_competitor(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    from ..adapters.text import embed_texts
+
+    _feature_context(state, req)
+    breq = _parse(CompetitorBenchRequest, req.json())
+    texts = breq.texts
+    if not texts:
+        raise ApiError(400, "texts must be non-empty")
+    if breq.smart_correct:
+        texts = [smart_correct(t) for t in texts]
+    Y = embed_texts(texts).astype(np.float32)
+    if breq.query is not None:
+        psi = embed_texts([breq.query])[0].astype(np.float32)
+        q_idx = None
+    else:
+        q_idx = breq.query_index if breq.query_index is not None else 0
+        q_idx = max(0, min(q_idx, len(texts) - 1))
+        psi = Y[q_idx]
+
+    k = min(breq.k, len(texts))
+    # cosine baseline
+    Yn = Y / (np.linalg.norm(Y, axis=1, keepdims=True) + 1e-9)
+    pn = psi / (np.linalg.norm(psi) + 1e-9)
+    t0 = time.perf_counter()
+    scores = Yn @ pn
+    if q_idx is not None:
+        scores[q_idx] = -1e9
+    cos_pred = np.argsort(-scores)[:k].tolist()
+    cos_ms = 1000.0 * (time.perf_counter() - t0)
+    cos_f1, cos_hall = _topk_f1_hall(cos_pred, breq.labels, breq.traps)
+
+    # oscillink default
+    k_eff = min(breq.kneighbors, max(1, len(texts) - 1))
+    t1 = time.perf_counter()
+    lat = OscillinkLattice(
+        Y, kneighbors=k_eff, lamG=breq.lamG, lamC=breq.lamC, lamQ=breq.lamQ,
+        deterministic_k=True,
+    )
+    lat.set_query(psi)
+    lat.settle(max_iters=12, tol=1e-3)
+    osc_pred = [int(e["id"]) for e in lat.bundle(k=k)]
+    osc_ms = 1000.0 * (time.perf_counter() - t1)
+    osc_f1, osc_hall = _topk_f1_hall(osc_pred, breq.labels, breq.traps)
+
+    result: dict[str, Any] = {
+        "n": len(texts),
+        "k": k,
+        "cosine": {"pred": cos_pred, "ms": cos_ms, "f1": cos_f1, "hallucinated": cos_hall},
+        "oscillink": {"pred": osc_pred, "ms": osc_ms, "f1": osc_f1, "hallucinated": osc_hall},
+    }
+
+    if breq.tune and breq.labels is not None:
+        best = None
+        for cs in (0.6, 1.0, 1.4):
+            for qs in (0.5, 1.0, 1.5):
+                lat_t = OscillinkLattice(
+                    Y,
+                    kneighbors=k_eff,
+                    lamG=breq.lamG,
+                    lamC=max(0.1, breq.lamC * cs),
+                    lamQ=max(0.5, breq.lamQ * qs),
+                    deterministic_k=True,
+                )
+                lat_t.set_query(psi)
+                lat_t.settle(max_iters=12, tol=1e-3)
+                pred_t = [int(e["id"]) for e in lat_t.bundle(k=k)]
+                f1_t, hall_t = _topk_f1_hall(pred_t, breq.labels, breq.traps)
+                cand = {
+                    "lamC": max(0.1, breq.lamC * cs),
+                    "lamQ": max(0.5, breq.lamQ * qs),
+                    "f1": f1_t,
+                    "hallucinated": hall_t,
+                    "pred": pred_t,
+                }
+                if best is None or (f1_t or 0.0) > (best["f1"] or 0.0):
+                    best = cand
+        result["oscillink_tuned"] = best
+    return ApiResponse(body=result)
+
+
+# -- stripe webhook + billing/CLI pairing ------------------------------------
+
+
+def h_stripe_webhook(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    try:
+        out = state.webhooks.process(req.body, req.header("stripe-signature"))
+        state.metrics.webhook_events.labels(outcome=out.get("status", "ok")).inc()
+        return ApiResponse(body=out)
+    except ApiError:
+        state.metrics.webhook_events.labels(outcome="rejected").inc()
+        raise
+
+
+def h_billing_cli_start(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Create a CLI pairing session; returns the poll code and (when Stripe is
+    configured) a checkout URL (main.py:1499-1568)."""
+    payload = req.json() if req.body else {}
+    rec = state.cli_sessions.create(metadata=payload if isinstance(payload, dict) else {})
+    checkout_url = None
+    if os.getenv("OSCILLINK_STRIPE_SECRET_KEY"):
+        checkout_url = f"https://checkout.stripe.com/pay/session-for-{rec['code']}"
+    return ApiResponse(
+        body={"code": rec["code"], "status": rec["status"], "checkout_url": checkout_url}
+    )
+
+
+def h_billing_cli_poll(state: ServiceState, req: ApiRequest, code: str = "", **_) -> ApiResponse:
+    rec = state.cli_sessions.get(code)
+    if rec is None:
+        raise ApiError(404, "unknown session code")
+    body = {"code": code, "status": rec["status"]}
+    if rec["status"] == "complete":
+        body["api_key"] = rec["api_key"]
+    return ApiResponse(body=body)
+
+
+def h_billing_success(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    html = (
+        "<html><body><h1>Payment complete</h1>"
+        "<p>You can close this window and return to the CLI.</p></body></html>"
+    )
+    return ApiResponse(body=html.encode(), content_type="text/html")
+
+
+def h_billing_portal(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    if not os.getenv("OSCILLINK_STRIPE_SECRET_KEY"):
+        raise ApiError(503, "billing portal not configured")
+    key = _api_key_guard(state, req)
+    if key is None:
+        raise ApiError(401, "API key required for portal access")
+    return ApiResponse(body={"url": f"https://billing.stripe.com/portal-for-{key[:8]}"})
+
+
+# -- admin (reference cloud/app/admin.py:15-266) ----------------------------
+
+
+def _admin_guard(req: ApiRequest) -> None:
+    secret = os.getenv("OSCILLINK_ADMIN_SECRET")
+    if not secret:
+        raise ApiError(503, "admin API not configured")
+    if req.header("x-admin-secret") != secret:
+        raise ApiError(403, "invalid admin secret")
+
+
+def h_admin_get_key(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
+    _admin_guard(req)
+    meta = state.keystore.get(api_key)
+    if meta is None:
+        raise ApiError(404, "key not found")
+    return ApiResponse(body=meta.to_dict())
+
+
+def h_admin_put_key(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
+    _admin_guard(req)
+    upd = _parse(AdminKeyUpdate, req.json())
+    meta = state.keystore.update(
+        api_key,
+        create=True,
+        tier=upd.tier,
+        status=upd.status,
+        quota_limit_units=upd.quota_limit_units,
+        quota_window_seconds=upd.quota_window_seconds,
+        features=upd.features,
+    )
+    assert meta is not None
+    return ApiResponse(body=meta.to_dict())
+
+
+def h_admin_webhook_events(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    _admin_guard(req)
+    return ApiResponse(body={"events": state.webhooks.events()})
+
+
+def h_admin_price_map(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    _admin_guard(req)
+    return ApiResponse(
+        body={
+            "price_map": price_map(),
+            "tiers": {
+                name: {"monthly_unit_cap": t.monthly_unit_cap, "description": t.description}
+                for name, t in TIERS.items()
+            },
+        }
+    )
+
+
+def h_admin_usage(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
+    _admin_guard(req)
+    return ApiResponse(
+        body={
+            "api_key": api_key,
+            "quota_window": state.quota.snapshot(api_key),
+            "monthly": state.monthly.snapshot(api_key),
+        }
+    )
+
+
+def h_admin_cancel(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
+    _admin_guard(req)
+    meta = state.keystore.get(api_key)
+    if meta is None:
+        raise ApiError(404, "key not found")
+    state.keystore.update(api_key, status="revoked")
+    return ApiResponse(body={"api_key": api_key, "status": "revoked"})
+
+
+def h_admin_introspect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    _admin_guard(req)
+    s = get_settings()
+    key = req.query.get("api_key")
+    meta = state.keystore.get(key) if key else None
+    feats = resolve_features(meta)
+    return ApiResponse(
+        body={
+            "limits": {"max_nodes": s.max_nodes, "max_dim": s.max_dim},
+            "tier": feats.get("tier"),
+            "features": dict(feats),
+            "monthly_cap": tier_info(meta.tier if meta else None).monthly_unit_cap,
+            "license_required": env_flag("OSCILLINK_LICENSE_REQUIRED"),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# routing
+# --------------------------------------------------------------------------
+
+Handler = Callable[..., ApiResponse]
+
+_ROUTES: list[tuple[str, re.Pattern, Handler]] = []
+
+
+def _route(method: str, pattern: str, handler: Handler) -> None:
+    regex = re.compile(
+        "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
+    )
+    _ROUTES.append((method, regex, handler))
+
+
+_route("GET", "/health", h_health)
+_route("GET", "/license/status", h_license_status)
+_route("GET", "/metrics", h_metrics)
+_route("POST", "/v1/settle", h_settle)
+_route("POST", "/v1/receipt", h_receipt)
+_route("POST", "/v1/bundle", h_bundle)
+_route("POST", "/v1/chain/receipt", h_chain_receipt)
+_route("POST", "/v1/autocorrect", h_autocorrect)
+_route("POST", "/v1/bench/competitor", h_bench_competitor)
+_route("POST", "/v1/jobs/settle", h_jobs_submit)
+_route("GET", "/v1/jobs/{job_id}", h_jobs_get)
+_route("DELETE", "/v1/jobs/{job_id}", h_jobs_delete)
+_route("POST", "/stripe/webhook", h_stripe_webhook)
+_route("POST", "/billing/cli/start", h_billing_cli_start)
+_route("GET", "/billing/cli/poll/{code}", h_billing_cli_poll)
+_route("GET", "/billing/success", h_billing_success)
+_route("POST", "/billing/portal", h_billing_portal)
+_route("GET", "/admin/keys/{api_key}", h_admin_get_key)
+_route("PUT", "/admin/keys/{api_key}", h_admin_put_key)
+_route("GET", "/admin/webhook/events", h_admin_webhook_events)
+_route("GET", "/admin/billing/price-map", h_admin_price_map)
+_route("GET", "/admin/usage/{api_key}", h_admin_usage)
+_route("POST", "/admin/billing/cancel/{api_key}", h_admin_cancel)
+_route("GET", "/admin/introspect", h_admin_introspect)
+
+
+def handle(state: ServiceState, req: ApiRequest) -> ApiResponse:
+    """Dispatch one request through governance + routing; never raises."""
+    rid = req.header(REQUEST_ID_HEADER) or uuid.uuid4().hex
+    try:
+        state.rate_limiter.check_ip(req.remote_ip)
+        state.rate_limiter.check_global()
+        for method, regex, handler in _ROUTES:
+            if method != req.method.upper():
+                continue
+            m = regex.match(req.path)
+            if m:
+                resp = handler(state, req, **m.groupdict())
+                break
+        else:
+            resp = ApiResponse(status=404, body={"detail": "not found"})
+    except ApiError as e:
+        resp = ApiResponse(status=e.status, body={"detail": e.detail}, headers=dict(e.headers))
+    except Exception as e:  # pragma: no cover — defense in depth
+        resp = ApiResponse(status=500, body={"detail": f"internal error: {e}"})
+    # security headers + request id (reference main.py:386-405)
+    resp.headers.setdefault(REQUEST_ID_HEADER, rid)
+    resp.headers.setdefault("X-Content-Type-Options", "nosniff")
+    resp.headers.setdefault("X-Frame-Options", "DENY")
+    resp.headers.setdefault("Referrer-Policy", "no-referrer")
+    return resp

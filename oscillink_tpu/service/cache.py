@@ -1,0 +1,56 @@
+"""Per-key TTL-LRU bundle cache (reference cloud/app/services/cache.py:29-73).
+
+Keyed by (api_key, state_sig); entries expire after OSCILLINK_BUNDLE_CACHE_TTL
+seconds (default 30) and the per-key LRU holds OSCILLINK_BUNDLE_CACHE_SIZE
+entries (default 64).  Disabled when TTL <= 0.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from typing import Any, Optional
+
+
+def _ttl() -> float:
+    try:
+        return float(os.getenv("OSCILLINK_BUNDLE_CACHE_TTL", "30"))
+    except ValueError:
+        return 30.0
+
+
+def _size() -> int:
+    try:
+        return int(os.getenv("OSCILLINK_BUNDLE_CACHE_SIZE", "64"))
+    except ValueError:
+        return 64
+
+
+class BundleCache:
+    def __init__(self) -> None:
+        self._per_key: dict[str, OrderedDict[str, dict]] = {}
+
+    def get(self, api_key: Optional[str], state_sig: str) -> Optional[dict]:
+        if _ttl() <= 0:
+            return None
+        bucket = self._per_key.get(api_key or "_anon_")
+        if not bucket:
+            return None
+        rec = bucket.get(state_sig)
+        if rec is None:
+            return None
+        if time.time() - rec["ts"] > _ttl():
+            bucket.pop(state_sig, None)
+            return None
+        bucket.move_to_end(state_sig)
+        return rec
+
+    def put(self, api_key: Optional[str], state_sig: str, bundle: list[dict[str, Any]]):
+        if _ttl() <= 0:
+            return
+        bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
+        bucket[state_sig] = {"ts": time.time(), "bundle": bundle}
+        bucket.move_to_end(state_sig)
+        while len(bucket) > _size():
+            bucket.popitem(last=False)

@@ -1,0 +1,228 @@
+"""Quotas, monthly caps, and rate limits (reference cloud/app/main.py:186-383,
+576-699).
+
+All counters are in-process by default with a pluggable window-counter
+backend (`WindowCounter`) so a Redis implementation can slot in for
+multi-instance deployments (reference redis_backend.py:33-51).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+from .billing import tier_info
+from .config import get_ip_rate_limit, get_quota_config, get_rate_limit
+from .keystore import KeyMetadata, KeyStore
+
+__all__ = [
+    "ApiError",
+    "QuotaState",
+    "RateLimiter",
+    "MonthlyUsage",
+    "current_period",
+]
+
+
+class ApiError(Exception):
+    """HTTP-mappable error raised by governance / handlers."""
+
+    def __init__(self, status: int, detail: str, headers: Optional[dict] = None):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+        self.headers = headers or {}
+
+
+def current_period() -> str:
+    """Billing period key: UTC year-month."""
+    return time.strftime("%Y-%m", time.gmtime())
+
+
+@dataclass
+class _Window:
+    window_start: float
+    used: float
+    limit: int
+    window: int
+
+
+class QuotaState:
+    """Per-key sliding-window N*D-unit quota (main.py:323-373)."""
+
+    def __init__(self) -> None:
+        self._usage: Dict[str, _Window] = {}
+
+    def check_and_consume(
+        self, key: Optional[str], units: int, keystore: KeyStore
+    ) -> tuple[int, int, float]:
+        """Returns (remaining, limit, reset_epoch); (-1, 0, 0) when disabled."""
+        q = get_quota_config()
+        q_limit, q_window = q.limit, q.window
+        if key:
+            meta: Optional[KeyMetadata] = keystore.get(key)
+            if meta:
+                if meta.quota_limit_units is not None:
+                    q_limit = int(meta.quota_limit_units)
+                if meta.quota_window_seconds is not None:
+                    q_window = int(meta.quota_window_seconds)
+        if q_limit <= 0 or key is None:
+            return -1, 0, 0
+        now = time.time()
+        rec = self._usage.get(key)
+        if (
+            rec is None
+            or now - rec.window_start >= q_window
+            or rec.limit != q_limit
+            or rec.window != q_window
+        ):
+            rec = _Window(window_start=now, used=0.0, limit=q_limit, window=q_window)
+            self._usage[key] = rec
+        if units > q_limit:
+            raise ApiError(413, f"request units {units} exceed per-key limit {q_limit}")
+        if rec.used + units > q_limit:
+            reset_at = rec.window_start + q_window
+            raise ApiError(
+                429,
+                "quota exceeded",
+                headers={
+                    "Retry-After": str(int(reset_at - now) + 1),
+                    "X-Quota-Limit": str(q_limit),
+                    "X-Quota-Remaining": "0",
+                    "X-Quota-Reset": str(int(reset_at)),
+                },
+            )
+        rec.used += units
+        remaining = q_limit - int(rec.used)
+        return remaining, q_limit, rec.window_start + q_window
+
+    @staticmethod
+    def headers(remaining: int, limit: int, reset_epoch: float) -> dict[str, str]:
+        if remaining < 0:
+            return {}
+        return {
+            "X-Quota-Limit": str(limit),
+            "X-Quota-Remaining": str(max(remaining, 0)),
+            "X-Quota-Reset": str(int(reset_epoch)),
+        }
+
+    def snapshot(self, key: str) -> Optional[dict]:
+        rec = self._usage.get(key)
+        if rec is None:
+            return None
+        return {
+            "window_start": rec.window_start,
+            "used": rec.used,
+            "limit": rec.limit,
+            "window": rec.window,
+        }
+
+
+class MonthlyUsage:
+    """Per-key monthly unit caps by tier (main.py:186-320), env override
+    OSCILLINK_MONTHLY_CAP.  Persistence is a pluggable hook (Firestore in the
+    reference); in-process records are authoritative here."""
+
+    def __init__(self) -> None:
+        self._records: Dict[str, dict] = {}
+
+    @staticmethod
+    def _cap_for(meta: Optional[KeyMetadata]) -> int:
+        import os
+
+        if not meta:
+            return 0
+        try:
+            cap_env = int(os.getenv("OSCILLINK_MONTHLY_CAP", "0"))
+        except ValueError:
+            cap_env = 0
+        if cap_env > 0:
+            return cap_env
+        return int(tier_info(meta.tier).monthly_unit_cap)
+
+    def check_and_consume(
+        self, key: Optional[str], units: int, keystore: KeyStore
+    ) -> Optional[dict]:
+        if key is None:
+            return None
+        cap = self._cap_for(keystore.get(key))
+        if cap <= 0:
+            return None
+        period = current_period()
+        rec = self._records.get(key)
+        if rec is None or rec.get("period") != period:
+            rec = {"period": period, "used": 0}
+            self._records[key] = rec
+        used = int(rec["used"])
+        if units > cap:
+            raise ApiError(413, f"request units {units} exceed monthly cap {cap}")
+        if used + units > cap:
+            raise ApiError(
+                429,
+                f"monthly cap exceeded (cap={cap}, used={used})",
+                headers={
+                    "X-MonthCap-Limit": str(cap),
+                    "X-MonthCap-Remaining": str(max(cap - used, 0)),
+                },
+            )
+        rec["used"] = used + units
+        return {
+            "limit": cap,
+            "used": int(rec["used"]),
+            "remaining": cap - int(rec["used"]),
+            "period": period,
+        }
+
+    def snapshot(self, key: str) -> Optional[dict]:
+        return self._records.get(key)
+
+
+@dataclass
+class _Bucket:
+    window_start: float = 0.0
+    count: int = 0
+
+
+class RateLimiter:
+    """Fixed-window request rate limit, global and per-IP
+    (main.py:576-699)."""
+
+    def __init__(self) -> None:
+        self._global = _Bucket()
+        self._per_ip: Dict[str, _Bucket] = {}
+
+    def _check(self, bucket: _Bucket, limit: int, window: int) -> Optional[float]:
+        now = time.time()
+        if now - bucket.window_start >= window:
+            bucket.window_start = now
+            bucket.count = 0
+        if bucket.count + 1 > limit:
+            return bucket.window_start + window - now
+        bucket.count += 1
+        return None
+
+    def check_global(self) -> None:
+        rl = get_rate_limit()
+        if rl.limit <= 0:
+            return
+        retry = self._check(self._global, rl.limit, rl.window)
+        if retry is not None:
+            raise ApiError(
+                429,
+                "rate limit exceeded",
+                headers={"Retry-After": str(int(retry) + 1)},
+            )
+
+    def check_ip(self, ip: str) -> None:
+        rl = get_ip_rate_limit()
+        if rl.limit <= 0:
+            return
+        bucket = self._per_ip.setdefault(ip, _Bucket())
+        retry = self._check(bucket, rl.limit, rl.window)
+        if retry is not None:
+            raise ApiError(
+                429,
+                "per-ip rate limit exceeded",
+                headers={"Retry-After": str(int(retry) + 1)},
+            )

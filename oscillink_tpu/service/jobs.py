@@ -1,0 +1,105 @@
+"""Async settle jobs: in-memory store + background execution + TTL purge
+(reference cloud/app/jobs.py:22-247).
+
+Jobs run on a daemon worker thread (the device does the heavy lifting, so the
+GIL is irrelevant); quota/monthly caps are charged at execution time, exactly
+like the reference (jobs.py:81-94).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Callable, Dict, Optional
+
+__all__ = ["JobStore"]
+
+
+def _job_ttl() -> float:
+    try:
+        return float(os.getenv("OSCILLINK_JOB_TTL", "600"))
+    except ValueError:
+        return 600.0
+
+
+class JobStore:
+    def __init__(self) -> None:
+        self._jobs: Dict[str, dict] = {}
+        self._queue: "queue.Queue[tuple[str, Callable[[], dict]]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    # -- worker ------------------------------------------------------------
+
+    def _ensure_worker(self) -> None:
+        with self._lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(
+                    target=self._run_loop, name="oscillink-jobs", daemon=True
+                )
+                self._worker.start()
+
+    def _run_loop(self) -> None:
+        while True:
+            job_id, fn = self._queue.get()
+            job = self._jobs.get(job_id)
+            if job is None or job.get("status") == "cancelled":
+                continue
+            job["status"] = "running"
+            job["started_at"] = time.time()
+            try:
+                result = fn()
+                job["status"] = "done"
+                job["result"] = result
+            except Exception as e:  # error captured in the record (jobs.py:193)
+                job["status"] = "error"
+                job["error"] = str(e)
+            finally:
+                job["finished_at"] = time.time()
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, fn: Callable[[], dict], meta: Optional[dict] = None) -> dict:
+        self.purge()
+        job_id = uuid.uuid4().hex
+        rec: dict[str, Any] = {
+            "id": job_id,
+            "status": "queued",
+            "submitted_at": time.time(),
+            "result": None,
+            "error": None,
+            **(meta or {}),
+        }
+        self._jobs[job_id] = rec
+        self._ensure_worker()
+        self._queue.put((job_id, fn))
+        return rec
+
+    def get(self, job_id: str) -> Optional[dict]:
+        return self._jobs.get(job_id)
+
+    def cancel(self, job_id: str) -> Optional[dict]:
+        job = self._jobs.get(job_id)
+        if job is None:
+            return None
+        if job["status"] == "queued":
+            job["status"] = "cancelled"
+        return job
+
+    def depth(self) -> int:
+        return sum(1 for j in self._jobs.values() if j["status"] in ("queued", "running"))
+
+    def purge(self) -> None:
+        now = time.time()
+        ttl = _job_ttl()
+        stale = [
+            jid
+            for jid, j in self._jobs.items()
+            if j["status"] in ("done", "error", "cancelled")
+            and now - (j.get("finished_at") or j["submitted_at"]) > ttl
+        ]
+        for jid in stale:
+            self._jobs.pop(jid, None)

@@ -1,0 +1,72 @@
+"""Pydantic request/response models (reference cloud/app/models.py:8-65)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic import BaseModel, Field
+
+
+class Params(BaseModel):
+    lamG: float = 1.0
+    lamC: float = 0.5
+    lamQ: float = 4.0
+    lamP: float = 0.0
+    kneighbors: int = 6
+    deterministic_k: bool = False
+    neighbor_seed: Optional[int] = None
+
+
+class SettleOptions(BaseModel):
+    max_iters: int = 12
+    tol: float = 1e-3
+    dt: float = 1.0
+    bundle_k: Optional[int] = None
+    include_receipt: bool = True
+
+
+class SettleRequest(BaseModel):
+    Y: list[list[float]] = Field(..., description="Matrix N x D (list of rows)")
+    psi: Optional[list[float]] = None
+    gates: Optional[list[float]] = None
+    chain: Optional[list[int]] = None
+    params: Params = Params()
+    options: SettleOptions = SettleOptions()
+
+
+class BundleRequest(SettleRequest):
+    bundle_k: int = 8
+    alpha: float = 0.5
+
+
+class ChainReceiptRequest(SettleRequest):
+    z_th: float = 2.5
+
+
+class AutoCorrectRequest(BaseModel):
+    text: str
+    preserve: Optional[list[str]] = None
+
+
+class CompetitorBenchRequest(BaseModel):
+    texts: list[str]
+    query: Optional[str] = None
+    query_index: Optional[int] = None
+    labels: Optional[list[int]] = None
+    traps: Optional[list[int]] = None
+    k: int = 5
+    kneighbors: int = 6
+    lamG: float = 1.0
+    lamC: float = 0.5
+    lamQ: float = 4.0
+    tune: bool = False
+    tune_trials: int = 8
+    smart_correct: bool = False
+
+
+class AdminKeyUpdate(BaseModel):
+    tier: Optional[str] = None
+    status: Optional[str] = None
+    quota_limit_units: Optional[int] = None
+    quota_window_seconds: Optional[int] = None
+    features: Optional[dict[str, bool]] = None

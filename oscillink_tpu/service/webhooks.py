@@ -1,0 +1,159 @@
+"""Stripe webhook processing (reference cloud/app/billing_webhook.py:17-271).
+
+  * signature verification of the `Stripe-Signature` header (HMAC-SHA256 of
+    "{t}.{payload}" with the endpoint secret) with timestamp freshness;
+  * OSCILLINK_ALLOW_UNVERIFIED_STRIPE=1 bypass for test harnesses;
+  * idempotency via an event store keyed by event id (memory-backed here,
+    pluggable for Redis/Firestore);
+  * checkout.session.completed provisions an API key at the mapped tier and
+    completes any pending CLI pairing session;
+  * customer.subscription.updated/deleted re-tiers / revokes keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import os
+import secrets
+import time
+from typing import Any, Dict, Optional
+
+from .billing import resolve_tier_from_subscription
+from .cli_sessions import CliSessionStore
+from .governance import ApiError
+from .keystore import KeyStore
+
+__all__ = ["WebhookProcessor", "verify_stripe_signature"]
+
+
+def _freshness_sec() -> float:
+    try:
+        return float(os.getenv("OSCILLINK_STRIPE_SIG_TOLERANCE", "300"))
+    except ValueError:
+        return 300.0
+
+
+def verify_stripe_signature(payload: bytes, header: Optional[str], secret: str) -> bool:
+    """Stripe v1 scheme: header 't=<ts>,v1=<hex>,...'; signed value is
+    '{t}.{payload}'."""
+    if not header:
+        return False
+    try:
+        parts = dict(
+            p.split("=", 1) for p in header.split(",") if "=" in p
+        )
+        ts = parts.get("t")
+        v1 = parts.get("v1")
+        if not ts or not v1:
+            return False
+        if abs(time.time() - float(ts)) > _freshness_sec():
+            return False
+        signed = f"{ts}.".encode() + payload
+        expected = hmac.new(secret.encode(), signed, hashlib.sha256).hexdigest()
+        return hmac.compare_digest(expected, v1)
+    except Exception:
+        return False
+
+
+class WebhookProcessor:
+    def __init__(self, keystore: KeyStore, cli_sessions: CliSessionStore) -> None:
+        self.keystore = keystore
+        self.cli_sessions = cli_sessions
+        self._events: Dict[str, dict] = {}  # idempotency store
+
+    # -- event store -------------------------------------------------------
+
+    def seen(self, event_id: str) -> Optional[dict]:
+        return self._events.get(event_id)
+
+    def record(self, event_id: str, rec: dict) -> None:
+        self._events[event_id] = rec
+
+    def events(self) -> list[dict]:
+        return list(self._events.values())
+
+    # -- processing --------------------------------------------------------
+
+    def process(self, payload: bytes, signature_header: Optional[str]) -> dict:
+        secret = os.getenv("OSCILLINK_STRIPE_WEBHOOK_SECRET", "")
+        allow_unverified = os.getenv("OSCILLINK_ALLOW_UNVERIFIED_STRIPE", "0") in {
+            "1",
+            "true",
+        }
+        if not allow_unverified:
+            if not secret:
+                raise ApiError(503, "stripe webhook secret not configured")
+            if not verify_stripe_signature(payload, signature_header, secret):
+                raise ApiError(400, "invalid stripe signature")
+
+        try:
+            event = json.loads(payload.decode("utf-8"))
+        except Exception:
+            raise ApiError(400, "invalid webhook payload") from None
+
+        event_id = str(event.get("id") or hashlib.sha256(payload).hexdigest())
+        prior = self.seen(event_id)
+        if prior is not None:
+            return {"status": "duplicate", "event_id": event_id, **prior}
+
+        etype = str(event.get("type", ""))
+        obj = (event.get("data") or {}).get("object") or {}
+        outcome: dict[str, Any] = {"type": etype, "processed_at": time.time()}
+
+        if etype == "checkout.session.completed":
+            outcome.update(self._handle_checkout_completed(obj))
+        elif etype in ("customer.subscription.updated", "customer.subscription.created"):
+            outcome.update(self._handle_subscription_update(obj))
+        elif etype == "customer.subscription.deleted":
+            outcome.update(self._handle_subscription_deleted(obj))
+        else:
+            outcome["action"] = "ignored"
+
+        rec = {
+            "event_id": event_id,
+            "payload_hash": hashlib.sha256(payload).hexdigest(),
+            **outcome,
+        }
+        self.record(event_id, rec)
+        return {"status": "ok", **rec}
+
+    def _handle_checkout_completed(self, session: dict) -> dict:
+        tier = "pro"
+        sub = session.get("subscription")
+        if isinstance(sub, dict):
+            tier = resolve_tier_from_subscription(sub)
+        meta = session.get("metadata") or {}
+        if meta.get("tier"):
+            tier = str(meta["tier"])
+        api_key = meta.get("api_key") or f"ok_{secrets.token_urlsafe(24)}"
+        pending = os.getenv("OSCILLINK_ENTERPRISE_PENDING", "1") in {"1", "true"}
+        status = "pending" if (tier == "enterprise" and pending) else "active"
+        self.keystore.update(api_key, create=True, tier=tier, status=status)
+        session_id = session.get("id")
+        cli_done = False
+        if session_id:
+            cli_done = self.cli_sessions.complete_by_session_id(str(session_id), api_key)
+        return {
+            "action": "provisioned",
+            "api_key": api_key,
+            "tier": tier,
+            "key_status": status,
+            "cli_session_completed": cli_done,
+        }
+
+    def _handle_subscription_update(self, subscription: dict) -> dict:
+        tier = resolve_tier_from_subscription(subscription)
+        api_key = (subscription.get("metadata") or {}).get("api_key")
+        if api_key:
+            self.keystore.update(api_key, create=True, tier=tier, status="active")
+            return {"action": "retiered", "api_key": api_key, "tier": tier}
+        return {"action": "no_key_metadata", "tier": tier}
+
+    def _handle_subscription_deleted(self, subscription: dict) -> dict:
+        api_key = (subscription.get("metadata") or {}).get("api_key")
+        if api_key and self.keystore.get(api_key):
+            self.keystore.update(api_key, status="revoked")
+            return {"action": "revoked", "api_key": api_key}
+        return {"action": "no_key_metadata"}
