@@ -35,8 +35,15 @@ def simple_text_embed(texts: list[str], d: int = 384) -> np.ndarray:
 @lru_cache(maxsize=2)
 def _load_st_model(model_name: str):
     try:  # pragma: no cover — optional dependency
+        import os
+
+        if os.getenv("OSCILLINK_DISABLE_ST", "0") in {"1", "true"}:
+            return None
         if find_spec("sentence_transformers") is None:
             return None
+        # fail fast offline instead of the hub's multi-minute retry loop
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         mod = import_module("sentence_transformers")
         cls = getattr(mod, "SentenceTransformer", None)
         return None if cls is None else cls(model_name)

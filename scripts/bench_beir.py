@@ -1,0 +1,149 @@
+"""BEIR rerank harness (reference scripts/bench_beir.py:55-151): cosine top-K
+candidate retrieval, then Oscillink rerank of the candidates; nDCG@10 /
+Recall@50.
+
+Requires the `beir` + `ranx` packages and a downloaded dataset; when absent
+(this image has no egress) it runs a synthetic self-check with hash
+embeddings so the harness itself stays exercised.
+
+  python scripts/bench_beir.py --dataset scifact --data-dir ./beir_data
+  python scripts/bench_beir.py --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _dcg(rels):
+    return sum(r / np.log2(i + 2) for i, r in enumerate(rels))
+
+
+def ndcg_at_k(ranked_ids, qrels, k=10):
+    rels = [qrels.get(doc, 0) for doc in ranked_ids[:k]]
+    ideal = sorted(qrels.values(), reverse=True)[:k]
+    idcg = _dcg(ideal)
+    return _dcg(rels) / idcg if idcg > 0 else 0.0
+
+
+def recall_at_k(ranked_ids, qrels, k=50):
+    rel = {d for d, r in qrels.items() if r > 0}
+    if not rel:
+        return 0.0
+    return len(set(ranked_ids[:k]) & rel) / len(rel)
+
+
+def rerank_with_lattice(doc_vecs, qvec, candidates, top_k, kneighbors=8):
+    """Rerank candidate rows with the coherence lattice bundle."""
+    from oscillink_tpu import OscillinkLattice
+
+    Y = doc_vecs[candidates].astype(np.float32)
+    lat = OscillinkLattice(Y, kneighbors=min(kneighbors, len(candidates) - 1))
+    lat.set_query(qvec.astype(np.float32))
+    lat.settle(max_iters=12, tol=1e-3)
+    order = [int(e["id"]) for e in lat.bundle(k=min(top_k, len(candidates)))]
+    # bundle returns a diversified subset; extend with remaining candidates by score order
+    rest = [i for i in range(len(candidates)) if i not in order]
+    return [candidates[i] for i in order + rest]
+
+
+def run_synthetic(args):
+    """Self-check: topical clusters with known relevance; rerank must keep
+    nDCG within noise of the cosine baseline on clean embeddings."""
+    rng = np.random.default_rng(args.seed)
+    n_docs, d, n_queries = args.n_docs, args.d, args.n_queries
+    n_topics = 16
+    topics = rng.standard_normal((n_topics, d)).astype(np.float32)
+    assign = rng.integers(0, n_topics, size=n_docs)
+    docs = topics[assign] + 0.6 * rng.standard_normal((n_docs, d)).astype(np.float32)
+    doc_ids = [f"d{i}" for i in range(n_docs)]
+
+    cos_scores, lat_scores = [], []
+    for qi in range(n_queries):
+        t = int(rng.integers(0, n_topics))
+        qvec = topics[t] + 0.3 * rng.standard_normal(d).astype(np.float32)
+        qrels = {doc_ids[i]: 1 for i in range(n_docs) if assign[i] == t}
+        dn = docs / (np.linalg.norm(docs, axis=1, keepdims=True) + 1e-9)
+        qn = qvec / (np.linalg.norm(qvec) + 1e-9)
+        sims = dn @ qn
+        cand = np.argsort(-sims)[: args.candidates].tolist()
+        cos_ranked = [doc_ids[i] for i in cand]
+        cos_scores.append(ndcg_at_k(cos_ranked, qrels, 10))
+        rr = rerank_with_lattice(docs, qvec, cand, args.candidates)
+        lat_ranked = [doc_ids[i] for i in rr]
+        lat_scores.append(ndcg_at_k(lat_ranked, qrels, 10))
+
+    return {
+        "mode": "synthetic",
+        "queries": n_queries,
+        "cosine_ndcg@10": float(np.mean(cos_scores)),
+        "oscillink_ndcg@10": float(np.mean(lat_scores)),
+    }
+
+
+def run_beir(args):  # pragma: no cover — requires beir package + dataset
+    try:
+        from beir import util  # type: ignore # noqa: F401
+        from beir.datasets.data_loader import GenericDataLoader  # type: ignore
+    except Exception:
+        print("beir package not installed; use --synthetic", file=sys.stderr)
+        return None
+    corpus, queries, qrels = GenericDataLoader(
+        data_folder=f"{args.data_dir}/{args.dataset}"
+    ).load(split="test")
+    from oscillink_tpu.adapters.text import embed_texts
+
+    doc_ids = list(corpus.keys())
+    doc_vecs = embed_texts(
+        [corpus[d].get("title", "") + " " + corpus[d].get("text", "") for d in doc_ids]
+    )
+    results = {"cosine": [], "oscillink": [], "recall50": []}
+    for qid, qtext in list(queries.items())[: args.n_queries]:
+        qvec = embed_texts([qtext])[0]
+        dn = doc_vecs / (np.linalg.norm(doc_vecs, axis=1, keepdims=True) + 1e-9)
+        sims = dn @ (qvec / (np.linalg.norm(qvec) + 1e-9))
+        cand = np.argsort(-sims)[: args.candidates].tolist()
+        rel = {d: int(r) for d, r in qrels.get(qid, {}).items()}
+        cos_ranked = [doc_ids[i] for i in cand]
+        rr = rerank_with_lattice(doc_vecs, qvec, cand, args.candidates)
+        lat_ranked = [doc_ids[i] for i in rr]
+        results["cosine"].append(ndcg_at_k(cos_ranked, rel, 10))
+        results["oscillink"].append(ndcg_at_k(lat_ranked, rel, 10))
+        results["recall50"].append(recall_at_k(lat_ranked, rel, 50))
+    return {
+        "mode": "beir",
+        "dataset": args.dataset,
+        "cosine_ndcg@10": float(np.mean(results["cosine"])),
+        "oscillink_ndcg@10": float(np.mean(results["oscillink"])),
+        "oscillink_recall@50": float(np.mean(results["recall50"])),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="scifact")
+    p.add_argument("--data-dir", default="./beir_data")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--candidates", type=int, default=50)
+    p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--n-docs", type=int, default=2000)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    result = run_synthetic(args) if args.synthetic else run_beir(args)
+    if result is None:
+        return 2
+    text = json.dumps(result, indent=2)
+    if args.out:
+        open(args.out, "w").write(text)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

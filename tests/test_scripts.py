@@ -1,0 +1,131 @@
+"""Benchmark / tooling scripts run end-to-end with tiny configs, plus the
+OpenAPI surface snapshot gate (reference test strategy: SURVEY.md §4.3)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+if SCRIPTS not in sys.path:
+    sys.path.insert(0, SCRIPTS)
+
+
+def test_benchmark_script(tmp_path, capsys):
+    import benchmark
+
+    out = tmp_path / "bench.json"
+    rc = benchmark.main(["--n", "40", "--d", "12", "--k", "3", "--trials", "2", "--out", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["aggregates"]["settle_ms"]["mean"] > 0
+    assert len(data["trials"]) == 2
+
+
+def test_benchmark_proof_mode(capsys):
+    import benchmark
+
+    rc = benchmark.main(["--proof", "--n", "30", "--d", "10", "--k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "chain_verdict" in out["proof"]
+    assert out["proof"]["gate_build_ms"] > 0
+
+
+def test_scale_benchmark_script(tmp_path, capsys):
+    import scale_benchmark
+
+    out = tmp_path / "scale.jsonl"
+    rc = scale_benchmark.main(
+        ["--sizes", "30,60", "--d", "10", "--k", "3", "--trials", "1", "--out", str(out)]
+    )
+    assert rc == 0
+    lines = [json.loads(line) for line in out.read_text().splitlines()]
+    assert {r["N"] for r in lines} == {30, 60}
+
+
+def test_proof_hallucination_gating(capsys):
+    import proof_hallucination
+
+    rc = proof_hallucination.main(["--trials", "8", "--k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    # gating must eliminate or strictly reduce trap selection
+    assert (
+        out["oscillink_gated"]["hallucination_rate"]
+        <= out["baseline_cosine"]["hallucination_rate"]
+    )
+    assert out["oscillink_gated"]["trap_share"] == 0.0
+
+
+def test_perf_check_gate(tmp_path):
+    import perf_check
+
+    base = {"aggregates": {m: {"mean": 10.0} for m in ("build_ms", "settle_ms", "receipt_ms")}}
+    good = {"aggregates": {m: {"mean": 11.0} for m in ("build_ms", "settle_ms", "receipt_ms")}}
+    bad = {"aggregates": {m: {"mean": 20.0} for m in ("build_ms", "settle_ms", "receipt_ms")}}
+    bp, gp, badp = tmp_path / "b.json", tmp_path / "g.json", tmp_path / "bad.json"
+    bp.write_text(json.dumps(base))
+    gp.write_text(json.dumps(good))
+    badp.write_text(json.dumps(bad))
+    assert perf_check.main(["--baseline", str(bp), "--current", str(gp)]) == 0
+    assert perf_check.main(["--baseline", str(bp), "--current", str(badp)]) == 1
+    assert (
+        perf_check.main(["--baseline", str(bp), "--current", str(badp), "--non-blocking"]) == 0
+    )
+
+
+def test_beir_synthetic_harness(capsys):
+    import bench_beir
+
+    rc = bench_beir.main(
+        ["--synthetic", "--n-docs", "300", "--d", "32", "--n-queries", "4", "--candidates", "20"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["cosine_ndcg@10"] > 0.3
+    # lattice rerank stays within a reasonable band of the cosine baseline
+    assert out["oscillink_ndcg@10"] > 0.3 * out["cosine_ndcg@10"]
+
+
+def test_openapi_surface_snapshot():
+    import export_openapi
+
+    schema = export_openapi.build_schema()
+    baseline = json.load(
+        open(os.path.join(os.path.dirname(SCRIPTS), "openapi_baseline.json"))
+    )
+    removed = export_openapi.surface(baseline) - export_openapi.surface(schema)
+    assert not removed, f"breaking API change: {removed}"
+    # spot-check the core endpoints exist
+    s = export_openapi.surface(schema)
+    for ep in (
+        ("/health", "get"),
+        ("/v1/settle", "post"),
+        ("/v1/receipt", "post"),
+        ("/v1/bundle", "post"),
+        ("/v1/chain/receipt", "post"),
+        ("/v1/jobs/settle", "post"),
+        ("/v1/jobs/{job_id}", "get"),
+        ("/stripe/webhook", "post"),
+        ("/metrics", "get"),
+    ):
+        assert ep in s, f"missing endpoint {ep}"
+
+
+def test_version_sync():
+    import re
+
+    import oscillink_tpu
+
+    text = open(
+        os.path.join(os.path.dirname(SCRIPTS), "pyproject.toml"), encoding="utf-8"
+    ).read()
+    m = re.search(r'(?m)^version\s*=\s*"([^"]+)"', text)
+    assert m and m.group(1) == oscillink_tpu.__version__
+
+
+@pytest.mark.parametrize("mod", ["competitor_benchmark", "http_benchmark", "plot_benchmarks"])
+def test_scripts_importable(mod):
+    __import__(mod)
