@@ -1,0 +1,23 @@
+#!/bin/sh
+# Licensed-container entrypoint (counterpart of reference cloud/entrypoint.sh):
+# verify license -> export entitlements -> start usage flusher -> serve.
+set -e
+
+if [ -n "${OSCILLINK_LICENSE_REQUIRED}" ] && [ "${OSCILLINK_LICENSE_REQUIRED}" != "0" ]; then
+    if [ -z "${OSCILLINK_LICENSE_FILE}" ] || [ -z "${OSCILLINK_JWKS_URL}" ]; then
+        echo "licensed mode: OSCILLINK_LICENSE_FILE and OSCILLINK_JWKS_URL are required" >&2
+        exit 1
+    fi
+    python -m oscillink_tpu.tools.license \
+        --license-file "${OSCILLINK_LICENSE_FILE}" \
+        --jwks-url "${OSCILLINK_JWKS_URL}" \
+        --out "${OSCILLINK_ENTITLEMENTS_PATH:-/run/oscillink_entitlements.json}" \
+        --env-out /run/oscillink_env.sh
+    . /run/oscillink_env.sh
+fi
+
+if [ -n "${OSCILLINK_USAGE_LOG}" ] && [ -n "${OSCILLINK_USAGE_FLUSH_URL}" ]; then
+    python -m oscillink_tpu.tools.usage_flush &
+fi
+
+exec python -m oscillink_tpu.service --host "${HOST:-0.0.0.0}" --port "${PORT:-8000}"

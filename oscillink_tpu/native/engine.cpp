@@ -1,0 +1,286 @@
+// oscillink_tpu native engine — host-side C++ implementation of the lattice
+// hot path for SMALL lattices.
+//
+// Why this exists (runtime architecture, not a port): the TPU path pays a
+// fixed per-request transfer/sync cost (measured ~30-60 ms through tunneled
+// runtimes, and ~10s of us even host-attached).  For small N the entire
+// build+settle fits in L2 and runs in well under a millisecond on the host,
+// so the serving layer routes small requests here and keeps the TPU for the
+// large-N regime.  It also serves as an independent second implementation
+// for cross-validation against the XLA path.
+//
+// Behavioral contract matches oscillink/core/{graph,solver}.py of the
+// reference: cosine mutual-kNN (ties: sim desc, index asc), clip-at-zero,
+// max-symmetrize, geometric-mean row cap, normalized-Laplacian degrees with
+// the 1e-12 guards, Jacobi-preconditioned multi-RHS CG with 1e-18 epsilons
+// and max-column-norm termination (>= 1 iteration always).
+//
+// Plain C ABI over row-major float32 buffers; bound via ctypes (no pybind11
+// in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Build mutual-kNN graph. Outputs: idx[n*k], w[n*k] (capped adjacency),
+// sqrt_deg[n]. Returns number of directed edges (w > 0 entries).
+int32_t osc_build_graph(const float* Y, int32_t n, int32_t d, int32_t k,
+                        float row_cap, int32_t* idx_out, float* w_out,
+                        float* sqrt_deg_out) {
+  if (n <= 1 || k < 1) {
+    for (int32_t i = 0; i < n; ++i) sqrt_deg_out[i] = std::sqrt(1e-12f);
+    std::fill(idx_out, idx_out + (size_t)n * k, 0);
+    std::fill(w_out, w_out + (size_t)n * k, 0.0f);
+    return 0;
+  }
+  if (k > n - 1) k = n - 1;
+
+  std::vector<float> Yn((size_t)n * d);
+  for (int32_t i = 0; i < n; ++i) {
+    const float* yi = Y + (size_t)i * d;
+    double s = 0.0;
+    for (int32_t j = 0; j < d; ++j) s += (double)yi[j] * yi[j];
+    float inv = 1.0f / (float)(std::sqrt(s) + 1e-12);
+    for (int32_t j = 0; j < d; ++j) Yn[(size_t)i * d + j] = yi[j] * inv;
+  }
+
+  std::vector<float> sims(n);
+  std::vector<int32_t> order(n);
+  std::vector<float> raw_vals((size_t)n * k);
+  std::vector<int32_t> raw_idx((size_t)n * k);
+
+  for (int32_t i = 0; i < n; ++i) {
+    const float* yi = Yn.data() + (size_t)i * d;
+    for (int32_t j = 0; j < n; ++j) {
+      if (j == i) {
+        sims[j] = -1e30f;
+        continue;
+      }
+      const float* yj = Yn.data() + (size_t)j * d;
+      float s = 0.0f;
+      for (int32_t t = 0; t < d; ++t) s += yi[t] * yj[t];
+      sims[j] = s;
+    }
+    for (int32_t j = 0; j < n; ++j) order[j] = j;
+    std::partial_sort(order.begin(), order.begin() + k, order.end(),
+                      [&](int32_t a, int32_t b) {
+                        if (sims[a] != sims[b]) return sims[a] > sims[b];
+                        return a < b;  // stable tie-break: lowest index first
+                      });
+    for (int32_t a = 0; a < k; ++a) {
+      raw_idx[(size_t)i * k + a] = order[a];
+      float v = sims[order[a]];
+      raw_vals[(size_t)i * k + a] = v > 0.0f ? v : 0.0f;
+    }
+  }
+
+  // mutual mask + max-symmetrize
+  auto back_weight = [&](int32_t j, int32_t i) -> float {
+    for (int32_t b = 0; b < k; ++b) {
+      if (raw_idx[(size_t)j * k + b] == i) return raw_vals[(size_t)j * k + b];
+    }
+    return -1.0f;  // i not in top-k(j)
+  };
+  for (int32_t i = 0; i < n; ++i) {
+    for (int32_t a = 0; a < k; ++a) {
+      int32_t j = raw_idx[(size_t)i * k + a];
+      float wij = raw_vals[(size_t)i * k + a];
+      float wji = back_weight(j, i);
+      idx_out[(size_t)i * k + a] = j;
+      if (wij > 0.0f && wji > 0.0f) {
+        w_out[(size_t)i * k + a] = std::max(wij, wji);
+      } else {
+        w_out[(size_t)i * k + a] = 0.0f;
+      }
+    }
+  }
+
+  // geometric-mean row cap
+  std::vector<float> scale(n);
+  for (int32_t i = 0; i < n; ++i) {
+    float s = 0.0f;
+    for (int32_t a = 0; a < k; ++a) s += w_out[(size_t)i * k + a];
+    s += 1e-12f;
+    scale[i] = std::min(1.0f, row_cap / s);
+  }
+  int32_t n_edges = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    for (int32_t a = 0; a < k; ++a) {
+      float& w = w_out[(size_t)i * k + a];
+      if (w > 0.0f) {
+        int32_t j = idx_out[(size_t)i * k + a];
+        w *= std::sqrt(scale[i] * scale[j]);
+        if (w > 0.0f) ++n_edges;
+      }
+    }
+  }
+
+  for (int32_t i = 0; i < n; ++i) {
+    float deg = 0.0f;
+    for (int32_t a = 0; a < k; ++a) deg += w_out[(size_t)i * k + a];
+    sqrt_deg_out[i] = std::sqrt(std::max(deg, 1e-12f));
+  }
+  return n_edges;
+}
+
+namespace {
+
+// M X = lamG X + lamC (X - Wn X) + lamQ B X, Wn = D^-1/2 A D^-1/2 (k-sparse)
+struct Operator {
+  const int32_t* idx;
+  const float* w;
+  const float* sqrt_deg;
+  int32_t n, k, d;
+  float lamG, lamC, lamQ;
+  const float* B;
+  float dt;  // 0 => stationary operator M; else I + dt*M
+
+  void apply(const float* X, float* out) const {
+    for (int32_t i = 0; i < n; ++i) {
+      const float* xi = X + (size_t)i * d;
+      float* oi = out + (size_t)i * d;
+      // lap = X[i] - sum_a wn[i,a] X[j]
+      for (int32_t t = 0; t < d; ++t) oi[t] = xi[t];
+      float inv_sdi = 1.0f / sqrt_deg[i];
+      for (int32_t a = 0; a < k; ++a) {
+        float wv = w[(size_t)i * k + a];
+        if (wv <= 0.0f) continue;
+        int32_t j = idx[(size_t)i * k + a];
+        float wn = wv * inv_sdi / sqrt_deg[j];
+        const float* xj = X + (size_t)j * d;
+        for (int32_t t = 0; t < d; ++t) oi[t] -= wn * xj[t];
+      }
+      float gi = lamG + lamQ * B[i];
+      for (int32_t t = 0; t < d; ++t) {
+        float m = gi * xi[t] + lamC * oi[t];
+        oi[t] = (dt == 0.0f) ? m : xi[t] + dt * m;
+      }
+    }
+  }
+};
+
+// Jacobi-preconditioned multi-RHS CG (solver.py:6-37 contract)
+int32_t cg(const Operator& op, const float* b, const float* x0,
+           const float* M_diag, float tol, int32_t max_iters, float* x,
+           float* res_out) {
+  const int32_t n = op.n, d = op.d;
+  const size_t sz = (size_t)n * d;
+  std::vector<float> r(sz), z(sz), p(sz), Ap(sz);
+  std::vector<float> rz(d), rz_new(d), denom(d), colnorm(d);
+
+  std::memcpy(x, x0, sz * sizeof(float));
+  op.apply(x, Ap.data());
+  for (size_t t = 0; t < sz; ++t) r[t] = b[t] - Ap[t];
+  for (int32_t i = 0; i < n; ++i) {
+    float inv = 1.0f / (M_diag[i] + 1e-12f);
+    for (int32_t t = 0; t < d; ++t) z[(size_t)i * d + t] = r[(size_t)i * d + t] * inv;
+  }
+  std::memcpy(p.data(), z.data(), sz * sizeof(float));
+  std::fill(rz.begin(), rz.end(), 0.0f);
+  for (int32_t i = 0; i < n; ++i)
+    for (int32_t t = 0; t < d; ++t) rz[t] += r[(size_t)i * d + t] * z[(size_t)i * d + t];
+
+  int32_t it = 0;
+  float res = 1e30f;
+  for (it = 1; it <= max_iters; ++it) {
+    op.apply(p.data(), Ap.data());
+    std::fill(denom.begin(), denom.end(), 0.0f);
+    for (int32_t i = 0; i < n; ++i)
+      for (int32_t t = 0; t < d; ++t)
+        denom[t] += p[(size_t)i * d + t] * Ap[(size_t)i * d + t];
+    for (int32_t t = 0; t < d; ++t) denom[t] += 1e-18f;
+
+    std::fill(colnorm.begin(), colnorm.end(), 0.0f);
+    for (int32_t i = 0; i < n; ++i) {
+      for (int32_t t = 0; t < d; ++t) {
+        float alpha = rz[t] / denom[t];
+        size_t o = (size_t)i * d + t;
+        x[o] += alpha * p[o];
+        r[o] -= alpha * Ap[o];
+        colnorm[t] += r[o] * r[o];
+      }
+    }
+    res = 0.0f;
+    for (int32_t t = 0; t < d; ++t) res = std::max(res, std::sqrt(colnorm[t]));
+    if (res <= tol) break;
+
+    for (int32_t i = 0; i < n; ++i) {
+      float inv = 1.0f / (M_diag[i] + 1e-12f);
+      for (int32_t t = 0; t < d; ++t)
+        z[(size_t)i * d + t] = r[(size_t)i * d + t] * inv;
+    }
+    std::fill(rz_new.begin(), rz_new.end(), 0.0f);
+    for (int32_t i = 0; i < n; ++i)
+      for (int32_t t = 0; t < d; ++t)
+        rz_new[t] += r[(size_t)i * d + t] * z[(size_t)i * d + t];
+    for (int32_t i = 0; i < n; ++i) {
+      for (int32_t t = 0; t < d; ++t) {
+        float beta = rz_new[t] / (rz[t] + 1e-18f);
+        size_t o = (size_t)i * d + t;
+        p[o] = z[o] + beta * p[o];
+      }
+    }
+    rz = rz_new;
+  }
+  if (it > max_iters) it = max_iters;
+  *res_out = res;
+  return it;
+}
+
+}  // namespace
+
+// Stationary solve M U* = lamG Y + lamQ B psi^T, x0 = Y.
+int32_t osc_solve_ustar(const int32_t* idx, const float* w,
+                        const float* sqrt_deg, const float* Y,
+                        const float* psi, const float* B, int32_t n, int32_t k,
+                        int32_t d, float lamG, float lamC, float lamQ,
+                        float tol, int32_t max_iters, float* Ustar,
+                        float* res_out) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, 0.0f};
+  std::vector<float> rhs((size_t)n * d);
+  std::vector<float> M_diag(n);
+  for (int32_t i = 0; i < n; ++i) {
+    M_diag[i] = lamG + lamQ * B[i];
+    for (int32_t t = 0; t < d; ++t)
+      rhs[(size_t)i * d + t] = lamG * Y[(size_t)i * d + t] + lamQ * B[i] * psi[t];
+  }
+  return cg(op, rhs.data(), Y, M_diag.data(), tol, max_iters, Ustar, res_out);
+}
+
+// Implicit Euler settle (I + dt M) U+ = U + dt (lamG Y + lamQ B psi^T).
+int32_t osc_settle(const int32_t* idx, const float* w, const float* sqrt_deg,
+                   const float* U, const float* Y, const float* psi,
+                   const float* B, int32_t n, int32_t k, int32_t d, float lamG,
+                   float lamC, float lamQ, float dt, float tol,
+                   int32_t max_iters, float* U_out, float* res_out) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, dt};
+  std::vector<float> rhs((size_t)n * d);
+  std::vector<float> M_diag(n);
+  for (int32_t i = 0; i < n; ++i) {
+    M_diag[i] = 1.0f + dt * (lamG + lamQ * B[i]);
+    for (int32_t t = 0; t < d; ++t) {
+      size_t o = (size_t)i * d + t;
+      rhs[o] = U[o] + dt * (lamG * Y[o] + lamQ * B[i] * psi[t]);
+    }
+  }
+  return cg(op, rhs.data(), U, M_diag.data(), tol, max_iters, U_out, res_out);
+}
+
+// deltaH = sum(diff * M diff), diff = U - Ustar.
+float osc_deltaH(const int32_t* idx, const float* w, const float* sqrt_deg,
+                 const float* U, const float* Ustar, const float* B, int32_t n,
+                 int32_t k, int32_t d, float lamG, float lamC, float lamQ) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, 0.0f};
+  std::vector<float> diff((size_t)n * d), term((size_t)n * d);
+  for (size_t t = 0; t < (size_t)n * d; ++t) diff[t] = U[t] - Ustar[t];
+  op.apply(diff.data(), term.data());
+  double s = 0.0;
+  for (size_t t = 0; t < (size_t)n * d; ++t) s += (double)diff[t] * term[t];
+  return (float)s;
+}
+
+}  // extern "C"

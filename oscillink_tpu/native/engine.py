@@ -1,0 +1,167 @@
+"""ctypes binding + on-demand build of the native C++ lattice engine."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["NativeEngine", "native_available"]
+
+_SRC = Path(__file__).with_name("engine.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_FAILED = False
+
+
+def _lib_path() -> Path:
+    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    cache_dir = Path(
+        os.getenv("OSCILLINK_NATIVE_CACHE", Path.home() / ".cache" / "oscillink_tpu")
+    )
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    return cache_dir / f"oscnative_{src_hash}.so"
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _BUILD_FAILED
+    lib = _lib_path()
+    if not lib.exists():
+        cmd = [
+            os.getenv("CXX", "g++"),
+            "-O3",
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            "-funroll-loops",
+            str(_SRC),
+            "-o",
+            str(lib),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception as e:  # pragma: no cover — toolchain missing
+            _BUILD_FAILED = True
+            print(f"oscillink_tpu: native build failed: {e}", file=sys.stderr)
+            return None
+    dll = ctypes.CDLL(str(lib))
+
+    i32 = ctypes.c_int32
+    f32 = ctypes.c_float
+    pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    pi = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    pfo = np.ctypeslib.ndpointer(np.float32, flags=("C_CONTIGUOUS", "WRITEABLE"))
+    pio = np.ctypeslib.ndpointer(np.int32, flags=("C_CONTIGUOUS", "WRITEABLE"))
+
+    dll.osc_build_graph.restype = i32
+    dll.osc_build_graph.argtypes = [pf, i32, i32, i32, f32, pio, pfo, pfo]
+    dll.osc_solve_ustar.restype = i32
+    dll.osc_solve_ustar.argtypes = [
+        pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, i32, pfo,
+        ctypes.POINTER(f32),
+    ]
+    dll.osc_settle.restype = i32
+    dll.osc_settle.argtypes = [
+        pi, pf, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, f32,
+        i32, pfo, ctypes.POINTER(f32),
+    ]
+    dll.osc_deltaH.restype = f32
+    dll.osc_deltaH.argtypes = [pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32]
+    return dll
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is None and not _BUILD_FAILED:
+        _LIB = _build()
+    return _LIB
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+class NativeEngine:
+    """Host-side lattice: build + settle + U* + deltaH for small N."""
+
+    def __init__(
+        self,
+        Y: np.ndarray,
+        kneighbors: int = 6,
+        row_cap_val: float = 1.0,
+        lamG: float = 1.0,
+        lamC: float = 0.5,
+        lamQ: float = 4.0,
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable (build failed)")
+        self._lib = lib
+        self.Y = np.ascontiguousarray(Y, dtype=np.float32)
+        self.N, self.D = self.Y.shape
+        self.k = min(int(kneighbors), max(1, self.N - 1))
+        self.lamG, self.lamC, self.lamQ = float(lamG), float(lamC), float(lamQ)
+        self.idx = np.zeros((self.N, self.k), dtype=np.int32)
+        self.w = np.zeros((self.N, self.k), dtype=np.float32)
+        self.sqrt_deg = np.zeros(self.N, dtype=np.float32)
+        self.n_edges = int(
+            lib.osc_build_graph(
+                self.Y, self.N, self.D, self.k, np.float32(row_cap_val),
+                self.idx, self.w, self.sqrt_deg,
+            )
+        )
+        self.U = self.Y.copy()
+        self.psi = np.zeros(self.D, dtype=np.float32)
+        self.B = np.ones(self.N, dtype=np.float32)
+
+    def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
+        self.psi = np.ascontiguousarray(psi, dtype=np.float32)
+        if gates is not None:
+            self.B = np.ascontiguousarray(gates, dtype=np.float32)
+
+    def settle(self, dt=1.0, max_iters=12, tol=1e-3):
+        out = np.zeros_like(self.U)
+        res = ctypes.c_float(0.0)
+        iters = self._lib.osc_settle(
+            self.idx, self.w, self.sqrt_deg, self.U, self.Y, self.psi, self.B,
+            self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
+            np.float32(self.lamQ), np.float32(dt), np.float32(tol),
+            np.int32(max_iters), out, ctypes.byref(res),
+        )
+        self.U = out
+        return {"iters": int(iters), "res": float(res.value)}
+
+    def solve_ustar(self, tol=1e-4, max_iters=64):
+        out = np.zeros_like(self.Y)
+        res = ctypes.c_float(0.0)
+        iters = self._lib.osc_solve_ustar(
+            self.idx, self.w, self.sqrt_deg, self.Y, self.psi, self.B,
+            self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
+            np.float32(self.lamQ), np.float32(tol), np.int32(max_iters),
+            out, ctypes.byref(res),
+        )
+        return out, int(iters), float(res.value)
+
+    def deltaH(self, U: np.ndarray, Ustar: np.ndarray) -> float:
+        return float(
+            self._lib.osc_deltaH(
+                self.idx, self.w, self.sqrt_deg,
+                np.ascontiguousarray(U, dtype=np.float32),
+                np.ascontiguousarray(Ustar, dtype=np.float32),
+                self.B, self.N, self.k, self.D,
+                np.float32(self.lamG), np.float32(self.lamC), np.float32(self.lamQ),
+            )
+        )
+
+    def dense_adjacency(self) -> np.ndarray:
+        A = np.zeros((self.N, self.N), dtype=np.float32)
+        for i in range(self.N):
+            for a in range(self.k):
+                if self.w[i, a] > 0:
+                    A[i, self.idx[i, a]] = self.w[i, a]
+        return A

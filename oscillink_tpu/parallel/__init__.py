@@ -1,4 +1,5 @@
 """Multi-chip scale-out: device meshes, row-sharded lattices, sharded CG."""
 
+from .hierarchical import hierarchical_settle  # noqa: F401
 from .mesh import lattice_mesh  # noqa: F401
 from .sharded import sharded_build_and_settle, sharded_settle_fn  # noqa: F401

@@ -1,0 +1,79 @@
+"""Native C++ engine: build, parity vs the dense oracle and the JAX path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.native import NativeEngine, native_available
+from oscillink_tpu.oracle.reference import DenseOracle, laplacian_dense
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="native build unavailable")
+
+
+def _data(n=48, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((n, d)).astype(np.float32),
+        rng.standard_normal(d).astype(np.float32),
+    )
+
+
+def test_native_graph_matches_oracle():
+    Y, _ = _data()
+    eng = NativeEngine(Y, kneighbors=5)
+    orc = DenseOracle(Y, k=5, deterministic_k=True)
+    A_native = eng.dense_adjacency()
+    np.testing.assert_allclose(A_native, orc.A, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(A_native > 0, orc.A > 0)
+
+
+def test_native_ustar_matches_oracle():
+    Y, psi = _data(seed=1)
+    eng = NativeEngine(Y, kneighbors=5)
+    eng.set_query(psi)
+    U_native, iters, res = eng.solve_ustar(tol=1e-6, max_iters=200)
+    assert res < 1e-5
+
+    orc = DenseOracle(Y, k=5, deterministic_k=True)
+    orc.set_query(psi)
+    orc.A = eng.dense_adjacency()
+    orc.L, orc.sqrt_deg = laplacian_dense(orc.A)
+    U_orc, _, _ = orc.solve_ustar(tol=1e-6, max_iters=200)
+    np.testing.assert_allclose(U_native, U_orc, rtol=2e-4, atol=2e-4)
+
+
+def test_native_settle_and_deltaH():
+    Y, psi = _data(seed=2)
+    eng = NativeEngine(Y, kneighbors=4)
+    eng.set_query(psi)
+    stats = eng.settle(max_iters=30, tol=1e-5)
+    assert stats["res"] <= 1e-5 and stats["iters"] >= 1
+    Ustar, _, _ = eng.solve_ustar(tol=1e-6, max_iters=200)
+    dH = eng.deltaH(eng.U, Ustar)
+    assert dH >= -1e-3  # energy-descent invariant
+
+
+def test_native_matches_jax_lattice():
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _data(n=40, d=12, seed=3)
+    eng = NativeEngine(Y, kneighbors=4)
+    eng.set_query(psi)
+    lat = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    lat.set_query(psi)
+    np.testing.assert_array_equal(eng.idx * (eng.w > 0), np.asarray(lat.graph.idx) * (np.asarray(lat.graph.w) > 0))
+    U_native, _, _ = eng.solve_ustar(tol=1e-6, max_iters=200)
+    U_jax = lat.solve_Ustar(tol=1e-6, max_iters=200)
+    np.testing.assert_allclose(U_native, U_jax, rtol=3e-4, atol=3e-4)
+
+
+def test_native_speed_small_n():
+    Y, psi = _data(n=128, d=64, seed=4)
+    eng = NativeEngine(Y, kneighbors=6)  # warm (graph built in ctor)
+    t0 = time.perf_counter()
+    eng2 = NativeEngine(Y, kneighbors=6)
+    eng2.set_query(psi)
+    eng2.settle(max_iters=12, tol=1e-3)
+    ms = 1000 * (time.perf_counter() - t0)
+    assert ms < 250.0  # small-N E2E stays well under accelerator RPC latency
