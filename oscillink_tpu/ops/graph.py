@@ -163,10 +163,14 @@ def lap_matvec(g: Graph, X: jax.Array) -> jax.Array:
     Gather-SpMV over the padded neighbor rows — the TPU replacement for the
     reference's dense ``L_sym @ X`` (oscillink/core/lattice.py:177).
     """
-    gathered = jnp.take(X, g.idx, axis=0)  # [N, K, D]
-    return X - jnp.einsum(
-        "nk,nkd->nd", g.wn, gathered, precision=lax.Precision.HIGHEST
-    )
+    # K-step accumulation: one [N, D] gather per neighbor slot keeps the
+    # temporary footprint at O(N*D) — materializing the full [N, K, D]
+    # gather would cost K*N*D*4 bytes of HBM temp (12 GB at N=500k, D=768)
+    acc = X
+    for a in range(g.k_max):
+        nbr = jnp.take(X, g.idx[:, a], axis=0)
+        acc = acc - g.wn[:, a][:, None] * nbr
+    return acc
 
 
 def mmr_select(

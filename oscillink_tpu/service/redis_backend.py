@@ -1,0 +1,172 @@
+"""Redis state backend for multi-instance deployments
+(reference cloud/app/redis_backend.py:9-73).
+
+This image has no redis-py, so the client speaks RESP directly over a
+socket — the three operations the service needs (windowed counters, TTL
+get/set) cover rate limits, quotas, webhook idempotency, and CLI sessions
+across instances.  Enabled by OSCILLINK_STATE_BACKEND=redis +
+OSCILLINK_REDIS_URL; every call degrades to None/False on any error so the
+in-memory fallbacks keep serving (reference redis_backend.py:25-29).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+import time
+from typing import Optional
+from urllib.parse import urlparse
+
+__all__ = ["RespClient", "RedisState", "get_redis_state"]
+
+
+class RespClient:
+    """Minimal RESP2 client: connect lazily, one socket, thread-safe."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6379, timeout: float = 1.0):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+        self._sock: Optional[socket.socket] = None
+        self._buf = b""
+        self._lock = threading.Lock()
+
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            s = socket.create_connection((self.host, self.port), timeout=self.timeout)
+            s.settimeout(self.timeout)
+            self._sock = s
+            self._buf = b""
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except Exception:
+                pass
+            self._sock = None
+
+    def _read_line(self, s: socket.socket) -> bytes:
+        while b"\r\n" not in self._buf:
+            chunk = s.recv(4096)
+            if not chunk:
+                raise ConnectionError("redis closed connection")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\r\n", 1)
+        return line
+
+    def _read_exact(self, s: socket.socket, n: int) -> bytes:
+        while len(self._buf) < n + 2:  # payload + trailing CRLF
+            chunk = s.recv(4096)
+            if not chunk:
+                raise ConnectionError("redis closed connection")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n + 2 :]
+        return out
+
+    def _read_reply(self, s: socket.socket):
+        line = self._read_line(s)
+        kind, rest = line[:1], line[1:]
+        if kind == b"+":
+            return rest.decode()
+        if kind == b"-":
+            raise RuntimeError(f"redis error: {rest.decode()}")
+        if kind == b":":
+            return int(rest)
+        if kind == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            return self._read_exact(s, n)
+        if kind == b"*":
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self._read_reply(s) for _ in range(n)]
+        raise RuntimeError(f"unexpected RESP reply: {line!r}")
+
+    def command(self, *args):
+        parts = [b"*%d\r\n" % len(args)]
+        for a in args:
+            b = a if isinstance(a, bytes) else str(a).encode()
+            parts.append(b"$%d\r\n%s\r\n" % (len(b), b))
+        payload = b"".join(parts)
+        with self._lock:
+            try:
+                s = self._connect()
+                s.sendall(payload)
+                return self._read_reply(s)
+            except Exception:
+                self.close()
+                raise
+
+
+class RedisState:
+    """Service state operations over Redis, best-effort."""
+
+    def __init__(self, client: RespClient):
+        self.client = client
+
+    def ping(self) -> bool:
+        try:
+            return self.client.command("PING") == "PONG"
+        except Exception:
+            return False
+
+    def incr_with_window(self, key: str, window_seconds: int) -> Optional[int]:
+        """Fixed-window counter: INCR + EXPIRE on first increment; returns the
+        current count or None on failure (caller falls back to memory)."""
+        try:
+            count = self.client.command("INCR", key)
+            if count == 1:
+                self.client.command("EXPIRE", key, window_seconds)
+            return int(count)
+        except Exception:
+            return None
+
+    def get(self, key: str) -> Optional[bytes]:
+        try:
+            v = self.client.command("GET", key)
+            return v if isinstance(v, (bytes, type(None))) else str(v).encode()
+        except Exception:
+            return None
+
+    def set_with_ttl(self, key: str, value: str | bytes, ttl_seconds: int) -> bool:
+        try:
+            return self.client.command("SET", key, value, "EX", ttl_seconds) == "OK"
+        except Exception:
+            return False
+
+    def delete(self, key: str) -> bool:
+        try:
+            self.client.command("DEL", key)
+            return True
+        except Exception:
+            return False
+
+
+_state: Optional[RedisState] = None
+_checked_at = 0.0
+
+
+def get_redis_state() -> Optional[RedisState]:
+    """RedisState when OSCILLINK_STATE_BACKEND=redis and the server answers
+    PING; otherwise None (re-probed at most every 30 s)."""
+    global _state, _checked_at
+    if os.getenv("OSCILLINK_STATE_BACKEND", "").lower() != "redis":
+        return None
+    now = time.time()
+    if _state is not None:
+        return _state
+    if now - _checked_at < 30.0:
+        return None
+    _checked_at = now
+    url = urlparse(os.getenv("OSCILLINK_REDIS_URL", "redis://127.0.0.1:6379"))
+    client = RespClient(url.hostname or "127.0.0.1", url.port or 6379)
+    state = RedisState(client)
+    if state.ping():
+        _state = state
+        return state
+    return None

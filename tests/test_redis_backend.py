@@ -1,0 +1,150 @@
+"""RESP client + RedisState against an in-process fake Redis server."""
+
+import socket
+import threading
+import time
+
+import pytest
+
+from oscillink_tpu.service.redis_backend import RedisState, RespClient
+
+
+class FakeRedis:
+    """Tiny RESP2 server implementing PING/GET/SET/INCR/EXPIRE/DEL."""
+
+    def __init__(self):
+        self.data: dict[bytes, bytes] = {}
+        self.expiry: dict[bytes, float] = {}
+        self.sock = socket.socket()
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(4)
+        self.port = self.sock.getsockname()[1]
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _expired(self, key):
+        exp = self.expiry.get(key)
+        if exp is not None and time.time() > exp:
+            self.data.pop(key, None)
+            self.expiry.pop(key, None)
+            return True
+        return False
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def _handle(self, conn):
+        buf = b""
+        try:
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                buf += chunk
+                while True:
+                    cmd, buf2 = self._parse(buf)
+                    if cmd is None:
+                        break
+                    buf = buf2
+                    conn.sendall(self._execute(cmd))
+        except Exception:
+            pass
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _parse(buf):
+        if not buf.startswith(b"*") or b"\r\n" not in buf:
+            return None, buf
+        head, rest = buf.split(b"\r\n", 1)
+        n = int(head[1:])
+        args = []
+        for _ in range(n):
+            if not rest.startswith(b"$") or b"\r\n" not in rest:
+                return None, buf
+            lhead, rest = rest.split(b"\r\n", 1)
+            ln = int(lhead[1:])
+            if len(rest) < ln + 2:
+                return None, buf
+            args.append(rest[:ln])
+            rest = rest[ln + 2 :]
+        return args, rest
+
+    def _execute(self, args):
+        cmd = args[0].upper()
+        if cmd == b"PING":
+            return b"+PONG\r\n"
+        if cmd == b"SET":
+            self.data[args[1]] = args[2]
+            if len(args) >= 5 and args[3].upper() == b"EX":
+                self.expiry[args[1]] = time.time() + int(args[4])
+            return b"+OK\r\n"
+        if cmd == b"GET":
+            if self._expired(args[1]):
+                return b"$-1\r\n"
+            v = self.data.get(args[1])
+            return b"$-1\r\n" if v is None else b"$%d\r\n%s\r\n" % (len(v), v)
+        if cmd == b"INCR":
+            if self._expired(args[1]):
+                pass
+            v = int(self.data.get(args[1], b"0")) + 1
+            self.data[args[1]] = str(v).encode()
+            return b":%d\r\n" % v
+        if cmd == b"EXPIRE":
+            self.expiry[args[1]] = time.time() + int(args[2])
+            return b":1\r\n"
+        if cmd == b"DEL":
+            existed = args[1] in self.data
+            self.data.pop(args[1], None)
+            return b":%d\r\n" % (1 if existed else 0)
+        return b"-ERR unknown\r\n"
+
+    def stop(self):
+        self._stop = True
+        self.sock.close()
+
+
+@pytest.fixture()
+def fake_redis():
+    server = FakeRedis()
+    yield server
+    server.stop()
+
+
+def test_resp_roundtrip(fake_redis):
+    state = RedisState(RespClient("127.0.0.1", fake_redis.port))
+    assert state.ping()
+    assert state.set_with_ttl("k1", "v1", 60)
+    assert state.get("k1") == b"v1"
+    assert state.get("missing") is None
+    assert state.delete("k1")
+    assert state.get("k1") is None
+
+
+def test_windowed_counter(fake_redis):
+    state = RedisState(RespClient("127.0.0.1", fake_redis.port))
+    assert state.incr_with_window("rate:x", 60) == 1
+    assert state.incr_with_window("rate:x", 60) == 2
+    assert state.incr_with_window("rate:x", 60) == 3
+
+
+def test_degrades_on_dead_server():
+    state = RedisState(RespClient("127.0.0.1", 1))  # nothing listens here
+    assert not state.ping()
+    assert state.incr_with_window("x", 60) is None
+    assert state.get("x") is None
+    assert not state.set_with_ttl("x", "y", 60)
+
+
+def test_get_redis_state_disabled(monkeypatch):
+    from oscillink_tpu.service import redis_backend
+
+    monkeypatch.delenv("OSCILLINK_STATE_BACKEND", raising=False)
+    assert redis_backend.get_redis_state() is None

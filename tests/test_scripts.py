@@ -129,3 +129,31 @@ def test_version_sync():
 @pytest.mark.parametrize("mod", ["competitor_benchmark", "http_benchmark", "plot_benchmarks"])
 def test_scripts_importable(mod):
     __import__(mod)
+
+
+def test_adaptive_benchmark(capsys):
+    import benchmark_adaptive
+
+    rc = benchmark_adaptive.main(["--trials", "4", "--n", "30", "--d", "12"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["tuned"]["tune_f1"] >= out["default"]["tune_f1"]
+
+
+def test_micro_dynamics(capsys):
+    import bench_micro_dynamics
+
+    rc = bench_micro_dynamics.main(["--n", "50", "--d", "12", "--k", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    caps = [r["row_cap"] for r in out["row_cap_sweep"]]
+    assert caps == sorted(caps)
+    assert out["start_modes"]["warm_iters"] >= 1
+
+
+def test_stripe_setup_dry_run(tmp_path, capsys):
+    import stripe_setup
+
+    rc = stripe_setup.main(["--dry-run", "--out", str(tmp_path / "pm.json")])
+    assert rc == 0
+    assert (tmp_path / "pm.json").exists()
