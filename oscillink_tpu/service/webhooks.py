@@ -63,13 +63,39 @@ class WebhookProcessor:
         self.cli_sessions = cli_sessions
         self._events: Dict[str, dict] = {}  # idempotency store
 
-    # -- event store -------------------------------------------------------
+    # -- event store: memory first, Redis best-effort for cross-instance
+    # idempotency (reference billing_webhook.py:137-150 + services/events.py)
 
     def seen(self, event_id: str) -> Optional[dict]:
-        return self._events.get(event_id)
+        rec = self._events.get(event_id)
+        if rec is not None:
+            return rec
+        from .redis_backend import get_redis_state
+
+        rs = get_redis_state()
+        if rs is not None:
+            raw = rs.get(f"oscillink:webhook:{event_id}")
+            if raw:
+                try:
+                    rec = json.loads(raw)
+                    self._events[event_id] = rec
+                    return rec
+                except Exception:
+                    return None
+        return None
 
     def record(self, event_id: str, rec: dict) -> None:
         self._events[event_id] = rec
+        from .redis_backend import get_redis_state
+
+        rs = get_redis_state()
+        if rs is not None:
+            try:
+                rs.set_with_ttl(
+                    f"oscillink:webhook:{event_id}", json.dumps(rec), 7 * 86400
+                )
+            except Exception:
+                pass
 
     def events(self) -> list[dict]:
         return list(self._events.values())
