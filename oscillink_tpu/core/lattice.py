@@ -156,6 +156,44 @@ def _maybe_sync(x) -> None:
         jax.block_until_ready(x)
 
 
+def compute_graph_token(
+    y_hash: str, k: int, row_cap: float, deterministic: bool, seed
+) -> str:
+    """Deterministic fingerprint of the graph's generating inputs — identical
+    across backends (JAX / native) for the same inputs, so state signatures
+    and bundle-cache keys agree."""
+    return hashlib.sha256(
+        json.dumps([y_hash, k, float(row_cap), bool(deterministic), seed,
+                    "mutual-knn-v1"]).encode()
+    ).hexdigest()
+
+
+def compute_state_sig(
+    psi: np.ndarray,
+    B: np.ndarray,
+    lams: list[float],
+    chain_present: bool,
+    chain_len: int,
+    k: int,
+    detk: bool,
+    adj_token: str,
+) -> str:
+    """State signature over rounded query/gates, energy params, chain
+    metadata, and the adjacency token (reference lattice.py:729-744)."""
+    data = {
+        "psi": np.round(psi, 6).tolist(),
+        "B": np.round(B, 6).tolist(),
+        "lam": lams,
+        "chain_present": chain_present,
+        "chain_len": chain_len,
+        "k": k,
+        "detk": detk,
+        "adj": adj_token,
+    }
+    raw = json.dumps(data, sort_keys=True).encode("utf-8")
+    return hashlib.sha256(raw).hexdigest()
+
+
 # Device-staged scalar packs, shared across ALL lattice instances: on tunneled
 # runtimes each host->device transfer is a fixed ~25 ms RPC, so repeated
 # constructions with the same dt/tol/lambda values must not re-transfer.
@@ -301,18 +339,13 @@ class OscillinkLattice:
         self._edge_count_handle = self._fetch.defer(n_edges)
         # graph token: deterministic fingerprint of the generating inputs —
         # avoids a per-signature device fetch of the adjacency
-        self._graph_token = hashlib.sha256(
-            json.dumps(
-                [
-                    self._Y_hash,
-                    self._kneighbors,
-                    self._row_cap_val,
-                    self._deterministic_k,
-                    self._neighbor_seed,
-                    "mutual-knn-v1",
-                ]
-            ).encode()
-        ).hexdigest()
+        self._graph_token = compute_graph_token(
+            self._Y_hash,
+            self._kneighbors,
+            self._row_cap_val,
+            self._deterministic_k,
+            self._neighbor_seed,
+        )
         # host mirrors are fetched lazily (one batched transfer) on demand
         self._host_idx: Optional[np.ndarray] = None
         self._host_w: Optional[np.ndarray] = None
@@ -1029,18 +1062,16 @@ class OscillinkLattice:
     # -- internal helpers -------------------------------------------------
 
     def _signature(self) -> str:
-        data = {
-            "psi": np.round(self.psi, 6).tolist(),
-            "B": np.round(self.B_diag, 6).tolist(),
-            "lam": [self.lamG, self.lamC, self.lamQ, self.lamP],
-            "chain_present": self._path is not None,
-            "chain_len": len(self._chain_nodes) if self._chain_nodes else 0,
-            "k": self._kneighbors,
-            "detk": self._deterministic_k,
-            "adj": self._graph_token,
-        }
-        raw = json.dumps(data, sort_keys=True).encode("utf-8")
-        return hashlib.sha256(raw).hexdigest()
+        return compute_state_sig(
+            self.psi,
+            self.B_diag,
+            [self.lamG, self.lamC, self.lamQ, self.lamP],
+            self._path is not None,
+            len(self._chain_nodes) if self._chain_nodes else 0,
+            self._kneighbors,
+            self._deterministic_k,
+            self._graph_token,
+        )
 
     def _invalidate_cache(self) -> None:
         self._Ustar_cache_dev = None

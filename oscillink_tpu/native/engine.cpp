@@ -283,4 +283,92 @@ float osc_deltaH(const int32_t* idx, const float* w, const float* sqrt_deg,
   return (float)s;
 }
 
+// Per-node receipt components (reference receipts.py:28-60): coherence drop,
+// anchor penalty, query term.
+void osc_per_node(const int32_t* idx, const float* w, const float* sqrt_deg,
+                  const float* Y, const float* Ustar, const float* B,
+                  const float* psi, int32_t n, int32_t k, int32_t d,
+                  float lamG, float lamC, float lamQ, float* coh,
+                  float* anchor, float* query) {
+  for (int32_t i = 0; i < n; ++i) {
+    float inv_i = 1.0f / (sqrt_deg[i] + 1e-12f);
+    double c = 0.0;
+    for (int32_t a = 0; a < k; ++a) {
+      float wv = w[(size_t)i * k + a];
+      if (wv <= 0.0f) continue;
+      int32_t j = idx[(size_t)i * k + a];
+      float inv_j = 1.0f / (sqrt_deg[j] + 1e-12f);
+      double dy2 = 0.0, du2 = 0.0;
+      for (int32_t t = 0; t < d; ++t) {
+        float ydiff = Y[(size_t)i * d + t] * inv_i - Y[(size_t)j * d + t] * inv_j;
+        float udiff =
+            Ustar[(size_t)i * d + t] * inv_i - Ustar[(size_t)j * d + t] * inv_j;
+        dy2 += (double)ydiff * ydiff;
+        du2 += (double)udiff * udiff;
+      }
+      c += 0.5 * lamC * wv * (dy2 - du2);
+    }
+    coh[i] = (float)c;
+    double ap = 0.0, qp = 0.0;
+    for (int32_t t = 0; t < d; ++t) {
+      float da = Ustar[(size_t)i * d + t] - Y[(size_t)i * d + t];
+      float dq = Ustar[(size_t)i * d + t] - psi[t];
+      ap += (double)da * da;
+      qp += (double)dq * dq;
+    }
+    anchor[i] = lamG * (float)ap;
+    query[i] = lamQ * B[i] * (float)qp;
+  }
+}
+
+// Null-point diagnostics (reference receipts.py:63-83), edge-sparse with
+// dense-row z-score semantics. Returns number of flagged rows.
+int32_t osc_null_points(const int32_t* idx, const float* w,
+                        const float* sqrt_deg, const float* Ustar, int32_t n,
+                        int32_t k, int32_t d, float lamC, float z_th,
+                        int32_t* j_out, float* z_out, float* r_out,
+                        uint8_t* flag_out) {
+  std::vector<float> R(k);
+  int32_t flagged = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    float inv_i = 1.0f / (sqrt_deg[i] + 1e-12f);
+    double s1 = 0.0, s2 = 0.0;
+    float r_best = -1.0f;
+    int32_t j_best = 0;
+    for (int32_t a = 0; a < k; ++a) {
+      float wv = w[(size_t)i * k + a];
+      float r = 0.0f;
+      int32_t j = idx[(size_t)i * k + a];
+      if (wv > 0.0f) {
+        float inv_j = 1.0f / (sqrt_deg[j] + 1e-12f);
+        double d2 = 0.0;
+        for (int32_t t = 0; t < d; ++t) {
+          float diff =
+              Ustar[(size_t)i * d + t] * inv_i - Ustar[(size_t)j * d + t] * inv_j;
+          d2 += (double)diff * diff;
+        }
+        r = lamC * wv * (float)d2;
+      }
+      R[a] = r;
+      s1 += r;
+      s2 += (double)r * r;
+      if (r > r_best) {
+        r_best = r;
+        j_best = j;
+      }
+    }
+    double mu = s1 / n;
+    double var = s2 / n - mu * mu;
+    double sigma = std::sqrt(var > 0 ? var : 0.0) + 1e-12;
+    float z_best = (float)((r_best - mu) / sigma);
+    j_out[i] = j_best;
+    r_out[i] = r_best > 0.0f ? r_best : 0.0f;
+    z_out[i] = z_best;
+    uint8_t f = (r_best > 0.0f && z_best > z_th) ? 1 : 0;
+    flag_out[i] = f;
+    flagged += f;
+  }
+  return flagged;
+}
+
 }  // extern "C"

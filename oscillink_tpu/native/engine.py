@@ -72,6 +72,15 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     dll.osc_deltaH.restype = f32
     dll.osc_deltaH.argtypes = [pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32]
+    pu8 = np.ctypeslib.ndpointer(np.uint8, flags=("C_CONTIGUOUS", "WRITEABLE"))
+    dll.osc_per_node.restype = None
+    dll.osc_per_node.argtypes = [
+        pi, pf, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, pfo, pfo, pfo,
+    ]
+    dll.osc_null_points.restype = i32
+    dll.osc_null_points.argtypes = [
+        pi, pf, pf, pf, i32, i32, i32, f32, f32, pio, pfo, pfo, pu8,
+    ]
     return dll
 
 
@@ -157,6 +166,60 @@ class NativeEngine:
                 np.float32(self.lamG), np.float32(self.lamC), np.float32(self.lamQ),
             )
         )
+
+    def per_node(self, Ustar: np.ndarray):
+        coh = np.zeros(self.N, dtype=np.float32)
+        anchor = np.zeros(self.N, dtype=np.float32)
+        query = np.zeros(self.N, dtype=np.float32)
+        self._lib.osc_per_node(
+            self.idx, self.w, self.sqrt_deg, self.Y,
+            np.ascontiguousarray(Ustar, dtype=np.float32), self.B, self.psi,
+            self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
+            np.float32(self.lamQ), coh, anchor, query,
+        )
+        return coh, anchor, query
+
+    def null_points(self, Ustar: np.ndarray, z_th: float = 3.0):
+        j = np.zeros(self.N, dtype=np.int32)
+        z = np.zeros(self.N, dtype=np.float32)
+        r = np.zeros(self.N, dtype=np.float32)
+        flag = np.zeros(self.N, dtype=np.uint8)
+        self._lib.osc_null_points(
+            self.idx, self.w, self.sqrt_deg,
+            np.ascontiguousarray(Ustar, dtype=np.float32), self.N, self.k,
+            self.D, np.float32(self.lamC), np.float32(z_th), j, z, r, flag,
+        )
+        return [
+            {"edge": [int(i), int(j[i])], "z": float(z[i]), "residual": float(r[i])}
+            for i in range(self.N)
+            if flag[i]
+        ]
+
+    def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
+        """MMR-diversified bundle (host numpy; small N by construction)."""
+        Ustar, _, _ = self.solve_ustar()
+        u_norm = np.linalg.norm(Ustar, axis=1, keepdims=True) + 1e-12
+        psi_n = self.psi / (np.linalg.norm(self.psi) + 1e-12)
+        align = (Ustar / u_norm) @ psi_n
+        coh, _, _ = self.per_node(Ustar)
+        sigma = float(np.std(coh)) + 1e-12
+        z = (coh - float(np.mean(coh))) / sigma
+        score = alpha * z + (1 - alpha) * align
+        Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
+        chosen: list[int] = []
+        simmax = np.full(self.N, -np.inf, dtype=np.float32)
+        mask = np.zeros(self.N, dtype=bool)
+        for t in range(min(k, self.N)):
+            div = np.zeros(self.N, dtype=np.float32) if t == 0 else simmax
+            val = np.where(mask, -np.inf, 0.5 * score - 0.5 * div)
+            pick = int(np.argmax(val))
+            chosen.append(pick)
+            mask[pick] = True
+            simmax = np.maximum(simmax, Yn @ Yn[pick])
+        return [
+            {"id": int(i), "score": float(score[i]), "align": float(align[i])}
+            for i in chosen
+        ]
 
     def dense_adjacency(self) -> np.ndarray:
         A = np.zeros((self.N, self.N), dtype=np.float32)

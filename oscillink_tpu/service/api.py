@@ -178,7 +178,10 @@ def _parse(model, payload):
         raise ApiError(422, e.errors(include_url=False).__repr__()) from None
 
 
-def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[str]):
+def _validate_and_overrides(
+    state: ServiceState, req: SettleRequest, api_key: Optional[str]
+):
+    """Shape/cap validation + adaptive-profile overrides (no lattice built)."""
     Y = np.array(req.Y, dtype=np.float32)
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")
@@ -203,6 +206,13 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
     lamQ = float(overrides.get("lamQ", req.params.lamQ))
     k_req = int(overrides.get("kneighbors", req.params.kneighbors))
     k_eff = min(k_req, max(1, N - 1))
+    eff = {"lamG": lamG, "lamC": lamC, "lamQ": lamQ, "kneighbors": k_eff}
+    return Y, N, D, k_eff, eff, profile_id
+
+
+def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[str]):
+    Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(state, req, api_key)
+    lamG, lamC, lamQ = eff["lamG"], eff["lamC"], eff["lamQ"]
 
     lat = OscillinkLattice(
         Y,
@@ -232,7 +242,6 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
     if s_set.enable_signature and s_set.receipt_secret:
         lat.set_receipt_secret(s_set.receipt_secret)
 
-    eff = {"lamG": lamG, "lamC": lamC, "lamQ": lamQ, "kneighbors": k_eff}
     return lat, N, D, k_eff, eff, profile_id
 
 
@@ -309,18 +318,47 @@ def h_metrics(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
 
 
 def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
+    from .native_path import eligible as native_eligible
+    from .native_path import native_settle
+
     ctx = _feature_context(state, req)
     sreq = _parse(SettleRequest, req.json())
     _check_diffusion_allowed(sreq.gates, ctx["features"])
-    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, sreq, ctx["api_key"])
+
+    _, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+        state, sreq, ctx["api_key"]
+    )
     units = N * D
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     t0 = time.perf_counter()
     try:
-        stats = lat.settle(
-            dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
-        )
+        if native_eligible(sreq, N):
+            out = native_settle(sreq, eff, include_receipt=include_receipt)
+            stats = out["settle_stats"]
+            receipt, bundle, state_sig = out["receipt"], out["bundle"], out["state_sig"]
+            served_native = True
+        else:
+            lat, N, D, k_eff, eff, profile_id = _build_lattice(
+                state, sreq, ctx["api_key"]
+            )
+            stats = lat.settle(
+                dt=sreq.options.dt, max_iters=sreq.options.max_iters,
+                tol=sreq.options.tol,
+            )
+            want_receipt = (
+                sreq.options.include_receipt
+                if include_receipt is None
+                else include_receipt
+            )
+            receipt = lat.receipt() if want_receipt else None
+            bundle = (
+                lat.bundle(k=sreq.options.bundle_k) if sreq.options.bundle_k else None
+            )
+            state_sig = (
+                receipt.get("meta", {}).get("state_sig") if receipt else None
+            ) or lat._signature()
+            served_native = False
         state.metrics.settle_counter.labels(status="ok").inc()
     except ApiError:
         raise
@@ -335,12 +373,6 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     state.metrics.usage_nodes.inc(N)
     state.metrics.usage_units.inc(units)
 
-    want_receipt = (
-        sreq.options.include_receipt if include_receipt is None else include_receipt
-    )
-    receipt = lat.receipt() if want_receipt else None
-    bundle = lat.bundle(k=sreq.options.bundle_k) if sreq.options.bundle_k else None
-
     state.learners.record_observation(
         ctx["api_key"],
         profile_id,
@@ -352,10 +384,6 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             "tol": float(sreq.options.tol),
         },
     )
-
-    state_sig = (
-        receipt.get("meta", {}).get("state_sig") if receipt else None
-    ) or lat._signature()
     monthly_block = (
         {
             "limit": monthly_ctx["limit"],
@@ -383,6 +411,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
                 "P": sreq.params.lamP,
             },
             "profile_id": profile_id,
+            "backend": "native" if served_native else "device",
             "request_id": req.header(REQUEST_ID_HEADER) or "",
             "usage": {"nodes": N, "node_dim_units": units, "monthly": monthly_block},
             "quota": None
@@ -405,17 +434,15 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             "monthly": monthly_block,
         }
     )
-    return resp, lat, sreq, ctx
+    return resp
 
 
 def h_settle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
-    resp, _, _, _ = _settle_core(state, req)
-    return resp
+    return _settle_core(state, req)
 
 
 def h_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
-    resp, _, _, _ = _settle_core(state, req, include_receipt=True)
-    return resp
+    return _settle_core(state, req, include_receipt=True)
 
 
 def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:

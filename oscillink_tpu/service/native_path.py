@@ -1,0 +1,168 @@
+"""Small-N native serving fast path.
+
+When OSCILLINK_NATIVE_SMALL_N is set to a positive threshold and a request
+has N <= threshold, no chain prior, and the native engine built, the settle
+is served by the C++ host engine instead of dispatching to the accelerator —
+dodging the fixed per-request device round-trip (measured ~30-60 ms through
+tunneled runtimes) for lattices that settle in well under a millisecond on
+the host.  The response shape (receipt, signatures, HMAC) is identical to
+the device path; state signatures agree across backends by construction
+(shared graph-token scheme, core/lattice.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from .. import __version__
+from ..core.lattice import OscillinkLattice, compute_graph_token, compute_state_sig
+from ..core.receipts import sign_payload
+from .config import get_settings
+
+__all__ = ["native_threshold", "eligible", "native_settle"]
+
+
+def native_threshold() -> int:
+    try:
+        return int(os.getenv("OSCILLINK_NATIVE_SMALL_N", "0"))
+    except ValueError:
+        return 0
+
+
+def eligible(sreq, n: int) -> bool:
+    thr = native_threshold()
+    if thr <= 0 or n > thr:
+        return False
+    if sreq.chain:
+        return False  # chain priors stay on the device path
+    if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
+        return False  # seed-jitter tie-break is a device-path feature
+    try:
+        from ..native import native_available
+
+        return native_available()
+    except Exception:
+        return False
+
+
+def native_settle(
+    sreq, eff_params: dict, *, include_receipt: Optional[bool] = None
+) -> dict[str, Any]:
+    """Run the settle on the native engine; returns the response body pieces
+    {state_sig, receipt, bundle, settle_stats, t_ms}."""
+    from ..native import NativeEngine
+
+    Y = np.array(sreq.Y, dtype=np.float32)
+    n, d = Y.shape
+    k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
+    t0 = time.perf_counter()
+    eng = NativeEngine(
+        Y,
+        kneighbors=k_eff,
+        lamG=eff_params["lamG"],
+        lamC=eff_params["lamC"],
+        lamQ=eff_params["lamQ"],
+    )
+    psi = (
+        np.array(sreq.psi, dtype=np.float32)
+        if sreq.psi is not None
+        else np.zeros(d, dtype=np.float32)
+    )
+    gates = (
+        np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
+    )
+    eng.set_query(psi, gates=gates)
+    stats = eng.settle(
+        dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
+    )
+    t_ms = 1000.0 * (time.perf_counter() - t0)
+
+    y_hash = OscillinkLattice._hash_anchors(Y)
+    token = compute_graph_token(y_hash, k_eff, 1.0, False, sreq.params.neighbor_seed)
+    state_sig = compute_state_sig(
+        psi,
+        eng.B,
+        [eng.lamG, eng.lamC, eng.lamQ, 0.0],
+        False,
+        0,
+        k_eff,
+        bool(sreq.params.deterministic_k),
+        token,
+    )
+
+    want_receipt = (
+        sreq.options.include_receipt if include_receipt is None else include_receipt
+    )
+    receipt = None
+    if want_receipt:
+        Ustar, uiters, ures = eng.solve_ustar()
+        dH = eng.deltaH(eng.U, Ustar)
+        coh, anchor, query = eng.per_node(Ustar)
+        nulls = eng.null_points(Ustar)
+        meta: dict[str, Any] = {
+            "ustar_cached": False,
+            "ustar_solves": 1,
+            "ustar_cache_hits": 0,
+            "ustar_converged": bool(ures <= 1e-4),
+            "ustar_res": float(ures),
+            "ustar_iters": int(uiters),
+            "ustar_solve_ms": 0.0,
+            "graph_build_ms": 0.0,
+            "last_settle_ms": float(t_ms),
+            "avg_degree": float((eng.w > 0).sum() / max(n, 1)),
+            "edge_density": float((eng.w > 0).sum() / max(n * (n - 1), 1)),
+            "gates_min": float(eng.B.min()),
+            "gates_max": float(eng.B.max()),
+            "gates_mean": float(eng.B.mean()),
+            "gates_uniform": bool(np.allclose(eng.B, eng.B[0])),
+            "state_sig": state_sig,
+            "receipt_detail": "full",
+            "backend": "native",
+            "null_points_summary": {
+                "total_null_points": len(nulls),
+                "returned_null_points": len(nulls),
+                "null_cap_applied": False,
+            },
+        }
+        s = get_settings()
+        if s.enable_signature and s.receipt_secret:
+            payload = {
+                "sig_v": 1,
+                "mode": "minimal",
+                "state_sig": state_sig,
+                "deltaH_total": float(dH),
+            }
+            meta["signature"] = {
+                "algorithm": "HMAC-SHA256",
+                "payload": payload,
+                "signature": sign_payload(payload, s.receipt_secret),
+            }
+        receipt = {
+            "version": str(__version__),
+            "deltaH_total": float(dH),
+            "coh_drop_sum": float(coh.sum()),
+            "anchor_pen_sum": float(anchor.sum()),
+            "query_term_sum": float(query.sum()),
+            "cg_iters": int(stats["iters"]),
+            "residual": float(stats["res"]),
+            "t_ms": float(t_ms),
+            "null_points": nulls,
+            "meta": meta,
+        }
+
+    bundle = None
+    if sreq.options.bundle_k:
+        bundle = eng.bundle(k=sreq.options.bundle_k)
+
+    return {
+        "state_sig": state_sig,
+        "receipt": receipt,
+        "bundle": bundle,
+        "settle_stats": stats,
+        "t_ms": t_ms,
+        "k_eff": k_eff,
+    }

@@ -1,0 +1,73 @@
+"""Small-N native serving fast path through the service API."""
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.native import native_available
+from oscillink_tpu.service import LocalClient
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="native build unavailable")
+
+
+def _payload(n=24, d=8, seed=0, **opts):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    return {
+        "Y": Y.tolist(),
+        "psi": psi.tolist(),
+        "options": {"max_iters": 12, "tol": 1e-3, **opts},
+    }
+
+
+@pytest.fixture()
+def client(monkeypatch):
+    for var in ("OSCILLINK_API_KEYS", "OSCILLINK_RECEIPT_SECRET"):
+        monkeypatch.delenv(var, raising=False)
+    return LocalClient()
+
+
+def test_native_path_serves_small_requests(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    r = client.post("/v1/settle", json_body=_payload(n=24))
+    assert r.status_code == 200
+    body = r.json()
+    assert body["meta"]["backend"] == "native"
+    assert body["receipt"]["meta"]["backend"] == "native"
+    assert np.isfinite(body["receipt"]["deltaH_total"])
+
+
+def test_device_path_above_threshold(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "8")
+    r = client.post("/v1/settle", json_body=_payload(n=24))
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "device"
+
+
+def test_chain_requests_stay_on_device(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    p = {**_payload(n=24), "chain": [0, 1, 2]}
+    r = client.post("/v1/settle", json_body=p)
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "device"
+
+
+def test_native_and_device_agree(client, monkeypatch):
+    p = _payload(n=32, d=10, seed=7)
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    rn = client.post("/v1/settle", json_body=p).json()
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/settle", json_body=p).json()
+    # same state signature across backends (shared token scheme)
+    assert rn["state_sig"] == rd["state_sig"]
+    dn, dd = rn["receipt"]["deltaH_total"], rd["receipt"]["deltaH_total"]
+    assert abs(dn - dd) <= max(1e-2, 5e-3 * abs(dd))
+
+
+def test_native_bundle_matches_device(client, monkeypatch):
+    p = {**_payload(n=32, d=10, seed=9), "options": {"bundle_k": 5}}
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    bn = client.post("/v1/settle", json_body=p).json()["bundle"]
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    bd = client.post("/v1/settle", json_body=p).json()["bundle"]
+    assert [e["id"] for e in bn] == [e["id"] for e in bd]
