@@ -96,5 +96,8 @@ def create_app(state: Optional[ServiceState] = None):
 
 
 def run(host: str = "127.0.0.1", port: int = 8000):  # pragma: no cover
+    from .warmup import run_warmup
+
+    run_warmup()
     app = create_app()
     web.run_app(app, host=host, port=port)
