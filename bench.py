@@ -72,17 +72,57 @@ def run_config(OscillinkLattice, n, d, k, repeats):
     }
 
 
-def main() -> None:
+def compile_warmup(OscillinkLattice, n, d, k):
+    """Compile every jitted path for a shape WITHOUT any device->host fetch
+    (construction, settle, U* solve and deltaH all stay device-side)."""
     import jax
+
+    from oscillink_tpu.core.lattice import _jit_deltaH
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    lat = OscillinkLattice(Y, kneighbors=k)
+    lat.set_query(psi)
+    lat.settle(max_iters=2, tol=1e-2)
+    ustar = lat._solve_ustar_device()
+    dH = _jit_deltaH(lat._graph, lat._path, lat._U_dev, ustar, lat._lam(), lat._B_dev)
+    jax.block_until_ready(dH)
+
+
+def main() -> None:
+    import threading
+
+    import jax
+    import jax.numpy as jnp
 
     from oscillink_tpu import OscillinkLattice
 
-    # Absorb the tunnel's one-time device->host channel setup (measured 26 s -
-    # 300 s+ on axon) before anything is timed.
-    t0 = time.perf_counter()
-    np.asarray(jax.numpy.ones((4, 4)))
+    # The tunnel's one-time device->host channel setup is slow and highly
+    # variable (measured 26 s - 10 min on axon).  Start it on a background
+    # thread and overlap it with the (fetch-free) compilation warmups.
+    d2h_done = {}
+
+    def _warm_d2h():
+        t0 = time.perf_counter()
+        np.asarray(jnp.ones((4, 4)) * 2.0)
+        d2h_done["t"] = time.perf_counter() - t0
+
+    d2h_thread = threading.Thread(target=_warm_d2h, daemon=True)
+    d2h_thread.start()
+
+    for shape in ((5000, 128, 6), (1200, 128, 6)):
+        t0 = time.perf_counter()
+        compile_warmup(OscillinkLattice, *shape)
+        print(
+            f"# compiled {shape} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    d2h_thread.join()
     print(
-        f"# d2h channel ready in {time.perf_counter() - t0:.1f}s",
+        f"# d2h channel ready in {d2h_done.get('t', 0.0):.1f}s",
         file=sys.stderr,
         flush=True,
     )
@@ -91,6 +131,39 @@ def main() -> None:
     print("# N=5000 done", file=sys.stderr, flush=True)
     r1200 = run_config(OscillinkLattice, 1200, 128, 6, REPEATS)
     print("# N=1200 done", file=sys.stderr, flush=True)
+
+    # the framework's latency-optimal backend for the reference's small
+    # headline config is the native host engine (service auto-routing via
+    # OSCILLINK_NATIVE_SMALL_N)
+    r1200_native = None
+    try:
+        from oscillink_tpu.native import NativeEngine, native_available
+
+        if native_available():
+            rng = np.random.default_rng(0)
+            Yn = rng.standard_normal((1200, 128)).astype(np.float32)
+            psin = rng.standard_normal(128).astype(np.float32)
+
+            def native_pass():
+                t0 = time.perf_counter()
+                eng = NativeEngine(Yn, kneighbors=6)
+                eng.set_query(psin)
+                eng.settle(max_iters=12, tol=1e-3)
+                Ustar, _, _ = eng.solve_ustar(tol=1e-4, max_iters=64)
+                eng.deltaH(eng.U, Ustar)
+                return 1000.0 * (time.perf_counter() - t0)
+
+            native_pass()
+            times = [native_pass() for _ in range(REPEATS)]
+            med_native = float(np.median(times))
+            r1200_native = {
+                "e2e_ms": round(med_native, 3),
+                "vs_baseline": round(BASELINE_N1200_MS / med_native, 3),
+                "backend": "native-host",
+            }
+            print("# N=1200 native done", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# native path unavailable: {e}", file=sys.stderr, flush=True)
 
     med = r5000["e2e_ms"]
     out = {
@@ -101,6 +174,7 @@ def main() -> None:
         "detail": {
             "N5000": r5000,
             "N1200": {**r1200, "vs_baseline": round(BASELINE_N1200_MS / r1200["e2e_ms"], 3)},
+            "N1200_native": r1200_native,
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N5000_source": "reference benchmarks/scale_latest.jsonl (dev CPU)",
             "baseline_N1200_ms": BASELINE_N1200_MS,

@@ -26,6 +26,79 @@
 
 extern "C" {
 
+// Graph build from a precomputed similarity matrix S[n*n] (row-major; the
+// caller computes S = Yn Yn^T with BLAS — ~10x the flops/s of the scalar
+// loop for mid-size N — and this routine does selection/mutual/cap).
+// Diagonal entries are ignored. Returns directed edge count.
+int32_t osc_build_graph_from_sims(const float* S, int32_t n, int32_t k,
+                                  float row_cap, int32_t* idx_out,
+                                  float* w_out, float* sqrt_deg_out) {
+  if (n <= 1 || k < 1) {
+    for (int32_t i = 0; i < n; ++i) sqrt_deg_out[i] = std::sqrt(1e-12f);
+    std::fill(idx_out, idx_out + (size_t)n * k, 0);
+    std::fill(w_out, w_out + (size_t)n * k, 0.0f);
+    return 0;
+  }
+  if (k > n - 1) k = n - 1;
+  std::vector<int32_t> order(n);
+  std::vector<float> raw_vals((size_t)n * k);
+  std::vector<int32_t> raw_idx((size_t)n * k);
+  for (int32_t i = 0; i < n; ++i) {
+    const float* si = S + (size_t)i * n;
+    int32_t m = 0;
+    for (int32_t j = 0; j < n; ++j)
+      if (j != i) order[m++] = j;
+    std::partial_sort(order.begin(), order.begin() + k, order.begin() + m,
+                      [&](int32_t a, int32_t b) {
+                        if (si[a] != si[b]) return si[a] > si[b];
+                        return a < b;
+                      });
+    for (int32_t a = 0; a < k; ++a) {
+      raw_idx[(size_t)i * k + a] = order[a];
+      float v = si[order[a]];
+      raw_vals[(size_t)i * k + a] = v > 0.0f ? v : 0.0f;
+    }
+  }
+  auto back_weight = [&](int32_t j, int32_t i) -> float {
+    for (int32_t b = 0; b < k; ++b)
+      if (raw_idx[(size_t)j * k + b] == i) return raw_vals[(size_t)j * k + b];
+    return -1.0f;
+  };
+  for (int32_t i = 0; i < n; ++i) {
+    for (int32_t a = 0; a < k; ++a) {
+      int32_t j = raw_idx[(size_t)i * k + a];
+      float wij = raw_vals[(size_t)i * k + a];
+      float wji = back_weight(j, i);
+      idx_out[(size_t)i * k + a] = j;
+      w_out[(size_t)i * k + a] =
+          (wij > 0.0f && wji > 0.0f) ? std::max(wij, wji) : 0.0f;
+    }
+  }
+  std::vector<float> scale(n);
+  for (int32_t i = 0; i < n; ++i) {
+    float s = 0.0f;
+    for (int32_t a = 0; a < k; ++a) s += w_out[(size_t)i * k + a];
+    scale[i] = std::min(1.0f, row_cap / (s + 1e-12f));
+  }
+  int32_t n_edges = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    for (int32_t a = 0; a < k; ++a) {
+      float& w = w_out[(size_t)i * k + a];
+      if (w > 0.0f) {
+        int32_t j = idx_out[(size_t)i * k + a];
+        w *= std::sqrt(scale[i] * scale[j]);
+        if (w > 0.0f) ++n_edges;
+      }
+    }
+  }
+  for (int32_t i = 0; i < n; ++i) {
+    float deg = 0.0f;
+    for (int32_t a = 0; a < k; ++a) deg += w_out[(size_t)i * k + a];
+    sqrt_deg_out[i] = std::sqrt(std::max(deg, 1e-12f));
+  }
+  return n_edges;
+}
+
 // Build mutual-kNN graph. Outputs: idx[n*k], w[n*k] (capped adjacency),
 // sqrt_deg[n]. Returns number of directed edges (w > 0 entries).
 int32_t osc_build_graph(const float* Y, int32_t n, int32_t d, int32_t k,

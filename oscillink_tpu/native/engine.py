@@ -60,6 +60,8 @@ def _build() -> Optional[ctypes.CDLL]:
 
     dll.osc_build_graph.restype = i32
     dll.osc_build_graph.argtypes = [pf, i32, i32, i32, f32, pio, pfo, pfo]
+    dll.osc_build_graph_from_sims.restype = i32
+    dll.osc_build_graph_from_sims.argtypes = [pf, i32, i32, f32, pio, pfo, pfo]
     dll.osc_solve_ustar.restype = i32
     dll.osc_solve_ustar.argtypes = [
         pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, i32, pfo,
@@ -118,12 +120,24 @@ class NativeEngine:
         self.idx = np.zeros((self.N, self.k), dtype=np.int32)
         self.w = np.zeros((self.N, self.k), dtype=np.float32)
         self.sqrt_deg = np.zeros(self.N, dtype=np.float32)
-        self.n_edges = int(
-            lib.osc_build_graph(
-                self.Y, self.N, self.D, self.k, np.float32(row_cap_val),
-                self.idx, self.w, self.sqrt_deg,
+        if self.N > 192:
+            # BLAS similarity + C++ selection: sgemm runs ~10x the scalar
+            # loop's flops/s at mid-size N
+            Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
+            S = np.ascontiguousarray(Yn @ Yn.T, dtype=np.float32)
+            self.n_edges = int(
+                lib.osc_build_graph_from_sims(
+                    S, self.N, self.k, np.float32(row_cap_val),
+                    self.idx, self.w, self.sqrt_deg,
+                )
             )
-        )
+        else:
+            self.n_edges = int(
+                lib.osc_build_graph(
+                    self.Y, self.N, self.D, self.k, np.float32(row_cap_val),
+                    self.idx, self.w, self.sqrt_deg,
+                )
+            )
         self.U = self.Y.copy()
         self.psi = np.zeros(self.D, dtype=np.float32)
         self.B = np.ones(self.N, dtype=np.float32)
