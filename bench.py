@@ -91,26 +91,14 @@ def compile_warmup(OscillinkLattice, n, d, k):
 
 
 def main() -> None:
-    import threading
-
     import jax
     import jax.numpy as jnp
 
     from oscillink_tpu import OscillinkLattice
 
-    # The tunnel's one-time device->host channel setup is slow and highly
-    # variable (measured 26 s - 10 min on axon).  Start it on a background
-    # thread and overlap it with the (fetch-free) compilation warmups.
-    d2h_done = {}
-
-    def _warm_d2h():
-        t0 = time.perf_counter()
-        np.asarray(jnp.ones((4, 4)) * 2.0)
-        d2h_done["t"] = time.perf_counter() - t0
-
-    d2h_thread = threading.Thread(target=_warm_d2h, daemon=True)
-    d2h_thread.start()
-
+    # Compile every shape first (NO device->host fetch involved), then open
+    # the d2h channel once.  Concurrent fetch + compile through the tunnel
+    # deadlocks the client, so these stay strictly sequential.
     for shape in ((5000, 128, 6), (1200, 128, 6)):
         t0 = time.perf_counter()
         compile_warmup(OscillinkLattice, *shape)
@@ -120,9 +108,11 @@ def main() -> None:
             flush=True,
         )
 
-    d2h_thread.join()
+    # One-time d2h channel setup: measured 26 s - 10 min through axon.
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones((4, 4)) * 2.0)
     print(
-        f"# d2h channel ready in {d2h_done.get('t', 0.0):.1f}s",
+        f"# d2h channel ready in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
         flush=True,
     )

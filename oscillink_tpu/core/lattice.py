@@ -835,6 +835,108 @@ class OscillinkLattice:
             "edges": edges,
         }
 
+    def solve_Ustar_batch(
+        self,
+        psis: np.ndarray,
+        gates: Optional[np.ndarray] = None,
+        tol: float = 1e-4,
+        max_iters: int = 64,
+    ) -> np.ndarray:
+        """U* for a batch of queries over this lattice's shared graph.
+
+        psis: [Q, D]; gates: optional [Q, N] (default all-ones).  The graph
+        build is amortized across the whole batch (models/batched.py) —
+        the multi-query serving pattern the per-request reference design
+        cannot express.  Returns [Q, N, D].
+        """
+        from ..models.batched import solve_stationary_batch
+
+        psis = np.asarray(psis, dtype=np.float32)
+        if psis.ndim != 2 or psis.shape[1] != self.D:
+            raise ValueError("psis must be [Q, D]")
+        q = psis.shape[0]
+        if gates is None:
+            gates_a = np.ones((q, self.N), dtype=np.float32)
+        else:
+            gates_a = np.asarray(gates, dtype=np.float32)
+            if gates_a.shape != (q, self.N):
+                raise ValueError("gates must be [Q, N]")
+        psis_d, gates_d = jax.device_put((psis, gates_a))
+        Ustars, iters, res = solve_stationary_batch(
+            self._graph,
+            self._Y_dev,
+            psis_d,
+            gates_d,
+            self._lam(),
+            tol=self._opts(tol)[0],
+            max_iters=jnp.int32(max_iters),
+        )
+        self._log(
+            "ustar_batch",
+            {"queries": q, "tol": tol, "max_iters": max_iters},
+        )
+        return np.asarray(Ustars)
+
+    def bundle_batch(
+        self,
+        psis: np.ndarray,
+        gates: Optional[np.ndarray] = None,
+        k: int = 8,
+        alpha: float = 0.5,
+    ) -> list[list[dict]]:
+        """MMR bundles for a batch of queries over the shared graph."""
+        from ..models.batched import solve_stationary_batch
+        from ..ops.graph import mmr_select, normalize_rows
+
+        psis = np.asarray(psis, dtype=np.float32)
+        q = psis.shape[0]
+        if gates is None:
+            gates_a = np.ones((q, self.N), dtype=np.float32)
+        else:
+            gates_a = np.asarray(gates, dtype=np.float32)
+        psis_d, gates_d = jax.device_put((psis, gates_a))
+        Ustars, _, _ = solve_stationary_batch(
+            self._graph, self._Y_dev, psis_d, gates_d, self._lam(),
+            tol=self._opts(1e-4)[0], max_iters=jnp.int32(64),
+        )
+        from ..ops.receipts import bundle_scores
+
+        k_eff = min(max(int(k), 1), self.N)
+
+        @partial(jax.jit, static_argnames=("kk",))
+        def batch_scores(g, Y, Ustars, psis, lamC, alpha, kk):
+            def one(Ustar, psi):
+                score, align = bundle_scores(g, Y, Ustar, psi, lamC, alpha)
+                picks = mmr_select(normalize_rows(Y), score, kk, lambda_div=0.5)
+                return picks, score, align
+
+            return jax.vmap(one)(Ustars, psis)
+
+        picks, scores, aligns = jax.device_get(
+            batch_scores(
+                self._graph,
+                self._Y_dev,
+                Ustars,
+                psis_d,
+                self._lam().lamC,
+                self._opts(alpha)[0],
+                k_eff,
+            )
+        )
+        out = []
+        for qi in range(q):
+            out.append(
+                [
+                    {
+                        "id": int(i),
+                        "score": float(scores[qi][i]),
+                        "align": float(aligns[qi][i]),
+                    }
+                    for i in picks[qi]
+                ]
+            )
+        return out
+
     def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
         """Top-k MMR-diversified bundle scored by
         alpha * z(coherence_drop) + (1 - alpha) * cos(U*, psi)."""
