@@ -36,6 +36,7 @@ from .metrics import Metrics
 from .models import (
     AdminKeyUpdate,
     AutoCorrectRequest,
+    BatchSettleRequest,
     BundleRequest,
     ChainReceiptRequest,
     CompetitorBenchRequest,
@@ -520,6 +521,63 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     return resp
 
 
+def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """One corpus, Q queries: vmapped stationary solves + per-query bundles.
+
+    Units charged: N * D * Q (each query is a full solve)."""
+    ctx = _feature_context(state, req)
+    breq = _parse(BatchSettleRequest, req.json())
+    _check_diffusion_allowed(breq.gates_batch, ctx["features"])
+    Y = np.array(breq.Y, dtype=np.float32)
+    if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
+        raise ApiError(400, "Empty matrix")
+    N, D = Y.shape
+    s = get_settings()
+    if N > s.max_nodes:
+        raise ApiError(413, f"N>{s.max_nodes} exceeds limit")
+    if D > s.max_dim:
+        raise ApiError(413, f"D>{s.max_dim} exceeds limit")
+    psis = np.array(breq.psis, dtype=np.float32)
+    if psis.ndim != 2 or psis.shape[1] != D:
+        raise ApiError(400, "psis must be [Q, D]")
+    Q = psis.shape[0]
+    if Q == 0 or Q > 256:
+        raise ApiError(400, "Q must be in [1, 256]")
+    gates = None
+    if breq.gates_batch is not None:
+        gates = np.array(breq.gates_batch, dtype=np.float32)
+        if gates.shape != (Q, N):
+            raise ApiError(400, "gates_batch must be [Q, N]")
+
+    units = N * D * Q
+    monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+
+    k_eff = min(int(breq.params.kneighbors), max(1, N - 1))
+    t0 = time.perf_counter()
+    lat = OscillinkLattice(
+        Y,
+        kneighbors=k_eff,
+        lamG=breq.params.lamG,
+        lamC=breq.params.lamC,
+        lamQ=breq.params.lamQ,
+        deterministic_k=breq.params.deterministic_k,
+        neighbor_seed=breq.params.neighbor_seed,
+    )
+    bundles = lat.bundle_batch(psis, gates=gates, k=breq.bundle_k, alpha=breq.alpha)
+    t_ms = 1000.0 * (time.perf_counter() - t0)
+    state.metrics.usage_units.inc(units)
+    resp = ApiResponse(
+        body={
+            "queries": Q,
+            "bundles": bundles,
+            "timings_ms": {"total_ms": t_ms, "per_query_ms": t_ms / Q},
+            "meta": {"N": N, "D": D, "kneighbors_effective": k_eff},
+        }
+    )
+    _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, "baseline")
+    return resp
+
+
 def h_autocorrect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     _feature_context(state, req)
     areq = _parse(AutoCorrectRequest, req.json())
@@ -846,6 +904,7 @@ _route("POST", "/v1/settle", h_settle)
 _route("POST", "/v1/receipt", h_receipt)
 _route("POST", "/v1/bundle", h_bundle)
 _route("POST", "/v1/chain/receipt", h_chain_receipt)
+_route("POST", "/v1/settle/batch", h_settle_batch)
 _route("POST", "/v1/autocorrect", h_autocorrect)
 _route("POST", "/v1/bench/competitor", h_bench_competitor)
 _route("POST", "/v1/jobs/settle", h_jobs_submit)

@@ -43,6 +43,17 @@ class ChainReceiptRequest(SettleRequest):
     z_th: float = 2.5
 
 
+class BatchSettleRequest(BaseModel):
+    """One corpus, many queries — served by the vmapped batched solver."""
+
+    Y: list[list[float]] = Field(..., description="Matrix N x D (shared corpus)")
+    psis: list[list[float]] = Field(..., description="Q query vectors [Q x D]")
+    gates_batch: Optional[list[list[float]]] = None  # [Q x N]
+    params: Params = Params()
+    bundle_k: int = 8
+    alpha: float = 0.5
+
+
 class AutoCorrectRequest(BaseModel):
     text: str
     preserve: Optional[list[str]] = None

@@ -324,3 +324,42 @@ def test_validation_errors(client):
 
 def test_unknown_route_404(client):
     assert client.get("/v1/doesnotexist").status_code == 404
+
+
+def test_settle_batch_endpoint(client):
+    rng = np.random.default_rng(11)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    psis = rng.standard_normal((3, 8)).astype(np.float32)
+    r = client.post(
+        "/v1/settle/batch",
+        json_body={"Y": Y.tolist(), "psis": psis.tolist(), "bundle_k": 4},
+    )
+    assert r.status_code == 200
+    body = r.json()
+    assert body["queries"] == 3
+    assert len(body["bundles"]) == 3 and len(body["bundles"][0]) == 4
+    # batch result matches a single-query settle bundle
+    single = client.post(
+        "/v1/settle",
+        json_body={
+            "Y": Y.tolist(),
+            "psi": psis[0].tolist(),
+            "options": {"bundle_k": 4, "include_receipt": False},
+        },
+    ).json()
+    assert [e["id"] for e in body["bundles"][0]] == [e["id"] for e in single["bundle"]]
+
+
+def test_settle_batch_validation(client):
+    rng = np.random.default_rng(12)
+    Y = rng.standard_normal((10, 4)).astype(np.float32)
+    assert (
+        client.post(
+            "/v1/settle/batch", json_body={"Y": Y.tolist(), "psis": [[1.0, 2.0]]}
+        ).status_code
+        == 400
+    )
+    assert (
+        client.post("/v1/settle/batch", json_body={"Y": Y.tolist(), "psis": []}).status_code
+        == 400
+    )
