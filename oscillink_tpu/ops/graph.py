@@ -108,6 +108,48 @@ def _topk_blocked(Yn: jax.Array, k: int, block_rows: int):
     return vals.reshape(npad, k)[:n], idx.reshape(npad, k)[:n]
 
 
+def _topk_blocked_fast(Yn: jax.Array, k: int, block_rows: int, overscan: int = 4):
+    """Two-pass blocked top-k: bf16 MXU candidate scan + exact f32 rescore.
+
+    Pass 1 computes similarities at DEFAULT (bf16-input) MXU precision — ~6x
+    the f32-HIGHEST throughput — and keeps ``overscan * k`` candidates per
+    row.  Pass 2 rescores just those candidates with exact f32 dots and takes
+    the true top-k.  The selected set equals the exact build whenever the
+    true top-k survives in the bf16 top-(overscan*k), which holds except for
+    pathological near-tie spectra (bf16 sim error ~2e-3 vs typical neighbor
+    gaps).  Candidate values ARE the exact f32 similarities, so downstream
+    weights are full precision either way.
+    """
+    n, d = Yn.shape
+    kc = min(overscan * k, n - 1)
+    nblocks = -(-n // block_rows)
+    npad = nblocks * block_rows
+    Ypad = jnp.pad(Yn, ((0, npad - n), (0, 0)))
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    Yn_bf16 = Yn.astype(jnp.bfloat16)
+    Ypad_bf16 = Ypad.astype(jnp.bfloat16)
+
+    def one_block(b):
+        rows = lax.dynamic_slice_in_dim(Ypad_bf16, b * block_rows, block_rows)
+        S = jnp.dot(rows, Yn_bf16.T, preferred_element_type=jnp.float32)  # [B, N]
+        gidx = b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        S = jnp.where(col_ids[None, :] == gidx[:, None], -jnp.inf, S)
+        _, cand = lax.top_k(S, kc)  # [B, kc] candidate ids
+        # exact rescore of the candidates in f32
+        rows_f32 = lax.dynamic_slice_in_dim(Ypad, b * block_rows, block_rows)
+        cand_rows = jnp.take(Yn, cand, axis=0)  # [B, kc, D]
+        exact = jnp.einsum(
+            "bd,bkd->bk", rows_f32, cand_rows, precision=lax.Precision.HIGHEST
+        )
+        exact = jnp.where(cand == gidx[:, None], -jnp.inf, exact)
+        vals, sel = lax.top_k(exact, k)
+        idx = jnp.take_along_axis(cand, sel, axis=1)
+        return vals, idx.astype(jnp.int32)
+
+    vals, idx = lax.map(one_block, jnp.arange(nblocks))
+    return vals.reshape(npad, k)[:n], idx.reshape(npad, k)[:n]
+
+
 def build_graph(
     Y: jax.Array,
     k: int,
@@ -116,16 +158,21 @@ def build_graph(
     jitter: Optional[jax.Array] = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     dense_limit: int = DENSE_TOPK_LIMIT,
+    similarity: str = "exact",
 ) -> Graph:
     """Build the mutual-kNN graph. ``k`` must be pre-clamped to [1, N-1].
 
     ``jitter`` is an optional [N, N] tie-break perturbation (reference
     graph.py:54-58 seed mode); only supported on the dense path.
+    ``similarity="fast"`` uses the bf16-scan + f32-rescore two-pass top-k on
+    the blocked path (large N) — ~6x faster candidate scan, exact weights.
     """
     n = Y.shape[0]
     Yn = normalize_rows(Y.astype(jnp.float32))
     if jitter is not None or n <= dense_limit:
         vals, idx = _topk_dense(Yn, k, jitter)
+    elif similarity == "fast":
+        vals, idx = _topk_blocked_fast(Yn, k, block_rows)
     else:
         vals, idx = _topk_blocked(Yn, k, block_rows)
 
