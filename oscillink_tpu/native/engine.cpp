@@ -202,7 +202,9 @@ int32_t osc_build_graph(const float* Y, int32_t n, int32_t d, int32_t k,
 
 namespace {
 
-// M X = lamG X + lamC (X - Wn X) + lamQ B X, Wn = D^-1/2 A D^-1/2 (k-sparse)
+// M X = lamG X + lamC L_sym X + lamQ B X (+ lamP L_path X), all k-sparse.
+// L_path acts as identity on every node (zero-degree rows, SURVEY.md §2.1) —
+// its matvec is X - Wp X over the chain's COO edges.
 struct Operator {
   const int32_t* idx;
   const float* w;
@@ -211,6 +213,12 @@ struct Operator {
   float lamG, lamC, lamQ;
   const float* B;
   float dt;  // 0 => stationary operator M; else I + dt*M
+  // optional chain prior (lamP <= 0 disables)
+  float lamP = 0.0f;
+  int32_t n_path_edges = 0;
+  const int32_t* path_src = nullptr;
+  const int32_t* path_dst = nullptr;
+  const float* path_wn = nullptr;  // degree-normalized, self-loops pre-halved
 
   void apply(const float* X, float* out) const {
     for (int32_t i = 0; i < n; ++i) {
@@ -227,11 +235,28 @@ struct Operator {
         const float* xj = X + (size_t)j * d;
         for (int32_t t = 0; t < d; ++t) oi[t] -= wn * xj[t];
       }
-      float gi = lamG + lamQ * B[i];
-      for (int32_t t = 0; t < d; ++t) {
-        float m = gi * xi[t] + lamC * oi[t];
-        oi[t] = (dt == 0.0f) ? m : xi[t] + dt * m;
+      // M x = (lamG + lamQ B + lamP) x + lamC * lap - lamP * Wp x
+      float gi = lamG + lamQ * B[i] + (lamP > 0.0f ? lamP : 0.0f);
+      for (int32_t t = 0; t < d; ++t) oi[t] = gi * xi[t] + lamC * oi[t];
+    }
+    // subtract lamP * Wp X over chain edges (both directions)
+    if (lamP > 0.0f && n_path_edges > 0) {
+      for (int32_t e = 0; e < n_path_edges; ++e) {
+        int32_t s = path_src[e], t2 = path_dst[e];
+        float wn = lamP * path_wn[e];
+        const float* xs = X + (size_t)s * d;
+        const float* xt = X + (size_t)t2 * d;
+        float* os = out + (size_t)s * d;
+        float* ot = out + (size_t)t2 * d;
+        for (int32_t t = 0; t < d; ++t) {
+          os[t] -= wn * xt[t];
+          ot[t] -= wn * xs[t];
+        }
       }
+    }
+    // implicit Euler wrapping: out = X + dt * (M X)
+    if (dt != 0.0f) {
+      for (size_t o = 0; o < (size_t)n * d; ++o) out[o] = X[o] + dt * out[o];
     }
   }
 };
@@ -306,6 +331,46 @@ int32_t cg(const Operator& op, const float* b, const float* x0,
 
 }  // namespace
 
+// Stationary solve with an optional chain prior.
+int32_t osc_solve_ustar_chain(
+    const int32_t* idx, const float* w, const float* sqrt_deg, const float* Y,
+    const float* psi, const float* B, int32_t n, int32_t k, int32_t d,
+    float lamG, float lamC, float lamQ, float lamP, int32_t n_edges,
+    const int32_t* path_src, const int32_t* path_dst, const float* path_wn,
+    float tol, int32_t max_iters, float* Ustar, float* res_out) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, 0.0f,
+              lamP, n_edges, path_src, path_dst, path_wn};
+  std::vector<float> rhs((size_t)n * d);
+  std::vector<float> M_diag(n);
+  for (int32_t i = 0; i < n; ++i) {
+    M_diag[i] = lamG + lamQ * B[i] + (lamP > 0.0f ? lamP : 0.0f);
+    for (int32_t t = 0; t < d; ++t)
+      rhs[(size_t)i * d + t] = lamG * Y[(size_t)i * d + t] + lamQ * B[i] * psi[t];
+  }
+  return cg(op, rhs.data(), Y, M_diag.data(), tol, max_iters, Ustar, res_out);
+}
+
+// Implicit Euler settle with an optional chain prior.
+int32_t osc_settle_chain(
+    const int32_t* idx, const float* w, const float* sqrt_deg, const float* U,
+    const float* Y, const float* psi, const float* B, int32_t n, int32_t k,
+    int32_t d, float lamG, float lamC, float lamQ, float lamP, int32_t n_edges,
+    const int32_t* path_src, const int32_t* path_dst, const float* path_wn,
+    float dt, float tol, int32_t max_iters, float* U_out, float* res_out) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, dt,
+              lamP, n_edges, path_src, path_dst, path_wn};
+  std::vector<float> rhs((size_t)n * d);
+  std::vector<float> M_diag(n);
+  for (int32_t i = 0; i < n; ++i) {
+    M_diag[i] = 1.0f + dt * (lamG + lamQ * B[i] + (lamP > 0.0f ? lamP : 0.0f));
+    for (int32_t t = 0; t < d; ++t) {
+      size_t o = (size_t)i * d + t;
+      rhs[o] = U[o] + dt * (lamG * Y[o] + lamQ * B[i] * psi[t]);
+    }
+  }
+  return cg(op, rhs.data(), U, M_diag.data(), tol, max_iters, U_out, res_out);
+}
+
 // Stationary solve M U* = lamG Y + lamQ B psi^T, x0 = Y.
 int32_t osc_solve_ustar(const int32_t* idx, const float* w,
                         const float* sqrt_deg, const float* Y,
@@ -348,6 +413,24 @@ float osc_deltaH(const int32_t* idx, const float* w, const float* sqrt_deg,
                  const float* U, const float* Ustar, const float* B, int32_t n,
                  int32_t k, int32_t d, float lamG, float lamC, float lamQ) {
   Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, 0.0f};
+  std::vector<float> diff((size_t)n * d), term((size_t)n * d);
+  for (size_t t = 0; t < (size_t)n * d; ++t) diff[t] = U[t] - Ustar[t];
+  op.apply(diff.data(), term.data());
+  double s = 0.0;
+  for (size_t t = 0; t < (size_t)n * d; ++t) s += (double)diff[t] * term[t];
+  return (float)s;
+}
+
+// deltaH with the chain prior term included.
+float osc_deltaH_chain(const int32_t* idx, const float* w,
+                       const float* sqrt_deg, const float* U,
+                       const float* Ustar, const float* B, int32_t n,
+                       int32_t k, int32_t d, float lamG, float lamC,
+                       float lamQ, float lamP, int32_t n_edges,
+                       const int32_t* path_src, const int32_t* path_dst,
+                       const float* path_wn) {
+  Operator op{idx, w, sqrt_deg, n, k, d, lamG, lamC, lamQ, B, 0.0f,
+              lamP, n_edges, path_src, path_dst, path_wn};
   std::vector<float> diff((size_t)n * d), term((size_t)n * d);
   for (size_t t = 0; t < (size_t)n * d; ++t) diff[t] = U[t] - Ustar[t];
   op.apply(diff.data(), term.data());

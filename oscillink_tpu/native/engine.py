@@ -74,7 +74,21 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     dll.osc_deltaH.restype = f32
     dll.osc_deltaH.argtypes = [pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32]
+    dll.osc_deltaH_chain.restype = f32
+    dll.osc_deltaH_chain.argtypes = [
+        pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, i32, pi, pi, pf,
+    ]
     pu8 = np.ctypeslib.ndpointer(np.uint8, flags=("C_CONTIGUOUS", "WRITEABLE"))
+    dll.osc_solve_ustar_chain.restype = i32
+    dll.osc_solve_ustar_chain.argtypes = [
+        pi, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, i32,
+        pi, pi, pf, f32, i32, pfo, ctypes.POINTER(f32),
+    ]
+    dll.osc_settle_chain.restype = i32
+    dll.osc_settle_chain.argtypes = [
+        pi, pf, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, f32, i32,
+        pi, pi, pf, f32, f32, i32, pfo, ctypes.POINTER(f32),
+    ]
     dll.osc_per_node.restype = None
     dll.osc_per_node.argtypes = [
         pi, pf, pf, pf, pf, pf, pf, i32, i32, i32, f32, f32, f32, pfo, pfo, pfo,
@@ -141,41 +155,92 @@ class NativeEngine:
         self.U = self.Y.copy()
         self.psi = np.zeros(self.D, dtype=np.float32)
         self.B = np.ones(self.N, dtype=np.float32)
+        self.lamP = 0.0
+        self._path_src = np.zeros(0, dtype=np.int32)
+        self._path_dst = np.zeros(0, dtype=np.int32)
+        self._path_wn = np.zeros(0, dtype=np.float32)
 
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
         self.psi = np.ascontiguousarray(psi, dtype=np.float32)
         if gates is not None:
             self.B = np.ascontiguousarray(gates, dtype=np.float32)
 
+    def add_chain(self, chain, lamP: float = 0.2, weights=None) -> None:
+        """Chain prior (reference add_chain semantics; ops/path.py build)."""
+        from ..ops.path import build_path_graph
+
+        pg = build_path_graph(self.N, chain, weights)
+        self._path_src = np.ascontiguousarray(np.asarray(pg.src), dtype=np.int32)
+        self._path_dst = np.ascontiguousarray(np.asarray(pg.dst), dtype=np.int32)
+        self._path_wn = np.ascontiguousarray(np.asarray(pg.wn), dtype=np.float32)
+        self.lamP = float(lamP)
+
+    def clear_chain(self) -> None:
+        self.lamP = 0.0
+        self._path_src = np.zeros(0, dtype=np.int32)
+        self._path_dst = np.zeros(0, dtype=np.int32)
+        self._path_wn = np.zeros(0, dtype=np.float32)
+
     def settle(self, dt=1.0, max_iters=12, tol=1e-3):
         out = np.zeros_like(self.U)
         res = ctypes.c_float(0.0)
-        iters = self._lib.osc_settle(
-            self.idx, self.w, self.sqrt_deg, self.U, self.Y, self.psi, self.B,
-            self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
-            np.float32(self.lamQ), np.float32(dt), np.float32(tol),
-            np.int32(max_iters), out, ctypes.byref(res),
-        )
+        if self.lamP > 0 and len(self._path_src):
+            iters = self._lib.osc_settle_chain(
+                self.idx, self.w, self.sqrt_deg, self.U, self.Y, self.psi,
+                self.B, self.N, self.k, self.D, np.float32(self.lamG),
+                np.float32(self.lamC), np.float32(self.lamQ),
+                np.float32(self.lamP), np.int32(len(self._path_src)),
+                self._path_src, self._path_dst, self._path_wn,
+                np.float32(dt), np.float32(tol), np.int32(max_iters),
+                out, ctypes.byref(res),
+            )
+        else:
+            iters = self._lib.osc_settle(
+                self.idx, self.w, self.sqrt_deg, self.U, self.Y, self.psi, self.B,
+                self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
+                np.float32(self.lamQ), np.float32(dt), np.float32(tol),
+                np.int32(max_iters), out, ctypes.byref(res),
+            )
         self.U = out
         return {"iters": int(iters), "res": float(res.value)}
 
     def solve_ustar(self, tol=1e-4, max_iters=64):
         out = np.zeros_like(self.Y)
         res = ctypes.c_float(0.0)
-        iters = self._lib.osc_solve_ustar(
-            self.idx, self.w, self.sqrt_deg, self.Y, self.psi, self.B,
-            self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
-            np.float32(self.lamQ), np.float32(tol), np.int32(max_iters),
-            out, ctypes.byref(res),
-        )
+        if self.lamP > 0 and len(self._path_src):
+            iters = self._lib.osc_solve_ustar_chain(
+                self.idx, self.w, self.sqrt_deg, self.Y, self.psi, self.B,
+                self.N, self.k, self.D, np.float32(self.lamG),
+                np.float32(self.lamC), np.float32(self.lamQ),
+                np.float32(self.lamP), np.int32(len(self._path_src)),
+                self._path_src, self._path_dst, self._path_wn,
+                np.float32(tol), np.int32(max_iters), out, ctypes.byref(res),
+            )
+        else:
+            iters = self._lib.osc_solve_ustar(
+                self.idx, self.w, self.sqrt_deg, self.Y, self.psi, self.B,
+                self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
+                np.float32(self.lamQ), np.float32(tol), np.int32(max_iters),
+                out, ctypes.byref(res),
+            )
         return out, int(iters), float(res.value)
 
     def deltaH(self, U: np.ndarray, Ustar: np.ndarray) -> float:
+        Uc = np.ascontiguousarray(U, dtype=np.float32)
+        Us = np.ascontiguousarray(Ustar, dtype=np.float32)
+        if self.lamP > 0 and len(self._path_src):
+            return float(
+                self._lib.osc_deltaH_chain(
+                    self.idx, self.w, self.sqrt_deg, Uc, Us, self.B,
+                    self.N, self.k, self.D, np.float32(self.lamG),
+                    np.float32(self.lamC), np.float32(self.lamQ),
+                    np.float32(self.lamP), np.int32(len(self._path_src)),
+                    self._path_src, self._path_dst, self._path_wn,
+                )
+            )
         return float(
             self._lib.osc_deltaH(
-                self.idx, self.w, self.sqrt_deg,
-                np.ascontiguousarray(U, dtype=np.float32),
-                np.ascontiguousarray(Ustar, dtype=np.float32),
+                self.idx, self.w, self.sqrt_deg, Uc, Us,
                 self.B, self.N, self.k, self.D,
                 np.float32(self.lamG), np.float32(self.lamC), np.float32(self.lamQ),
             )

@@ -37,8 +37,6 @@ def eligible(sreq, n: int) -> bool:
     thr = native_threshold()
     if thr <= 0 or n > thr:
         return False
-    if sreq.chain:
-        return False  # chain priors stay on the device path
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break is a device-path feature
     try:
@@ -76,6 +74,8 @@ def native_settle(
         np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
     )
     eng.set_query(psi, gates=gates)
+    if sreq.chain:
+        eng.add_chain(sreq.chain, lamP=sreq.params.lamP)
     stats = eng.settle(
         dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
     )
@@ -86,9 +86,9 @@ def native_settle(
     state_sig = compute_state_sig(
         psi,
         eng.B,
-        [eng.lamG, eng.lamC, eng.lamQ, 0.0],
-        False,
-        0,
+        [eng.lamG, eng.lamC, eng.lamQ, float(eng.lamP)],
+        bool(sreq.chain),
+        len(sreq.chain) if sreq.chain else 0,
         k_eff,
         bool(sreq.params.deterministic_k),
         token,

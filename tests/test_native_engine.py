@@ -68,6 +68,31 @@ def test_native_matches_jax_lattice():
     np.testing.assert_allclose(U_native, U_jax, rtol=3e-4, atol=3e-4)
 
 
+def test_native_chain_matches_jax():
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _data(n=40, d=12, seed=5)
+    chain = [1, 4, 7, 9]
+    eng = NativeEngine(Y, kneighbors=4)
+    eng.set_query(psi)
+    eng.add_chain(chain, lamP=0.3)
+    U_native, it_n, res_n = eng.solve_ustar(tol=1e-6, max_iters=200)
+    assert res_n <= 1e-5
+
+    lat = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    lat.set_query(psi)
+    lat.add_chain(chain, lamP=0.3)
+    U_jax = lat.solve_Ustar(tol=1e-6, max_iters=200)
+    np.testing.assert_allclose(U_native, U_jax, rtol=3e-4, atol=3e-4)
+    # clear_chain restores the chain-free solution
+    eng.clear_chain()
+    U_nc, _, _ = eng.solve_ustar(tol=1e-6, max_iters=200)
+    lat.clear_chain()
+    np.testing.assert_allclose(
+        U_nc, lat.solve_Ustar(tol=1e-6, max_iters=200), rtol=3e-4, atol=3e-4
+    )
+
+
 def test_native_speed_small_n():
     Y, psi = _data(n=128, d=64, seed=4)
     eng = NativeEngine(Y, kneighbors=6)  # warm (graph built in ctor)

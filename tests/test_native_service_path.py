@@ -44,12 +44,17 @@ def test_device_path_above_threshold(client, monkeypatch):
     assert r.json()["meta"]["backend"] == "device"
 
 
-def test_chain_requests_stay_on_device(client, monkeypatch):
+def test_chain_requests_serve_natively(client, monkeypatch):
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
-    p = {**_payload(n=24), "chain": [0, 1, 2]}
+    p = {**_payload(n=24), "chain": [0, 1, 2], "params": {"lamP": 0.2}}
     r = client.post("/v1/settle", json_body=p)
     assert r.status_code == 200
-    assert r.json()["meta"]["backend"] == "device"
+    body = r.json()
+    assert body["meta"]["backend"] == "native"
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/settle", json_body=p).json()
+    dn, dd = body["receipt"]["deltaH_total"], rd["receipt"]["deltaH_total"]
+    assert abs(dn - dd) <= max(1e-2, 5e-3 * abs(dd))
 
 
 def test_native_and_device_agree(client, monkeypatch):
