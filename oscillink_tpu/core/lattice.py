@@ -1070,6 +1070,65 @@ class OscillinkLattice:
         else:
             raise ValueError("format must be 'json' or 'npz'")
 
+    def save_orbax(self, path: str) -> None:
+        """Persist lattice state as an Orbax checkpoint (TPU-native format:
+        async-capable, sharded-array aware — the right container for
+        million-node lattices where JSON/NPZ round-trips through host RAM)."""
+        import orbax.checkpoint as ocp
+
+        state = {
+            "Y": self.Y,
+            "psi": self.psi,
+            "B_diag": self.B_diag,
+            "idx": self._mirrors()[0],
+            "w": self._mirrors()[1],
+            "meta": np.frombuffer(
+                json.dumps(
+                    {
+                        "params": {
+                            "lamG": self.lamG,
+                            "lamC": self.lamC,
+                            "lamQ": self.lamQ,
+                            "lamP": self.lamP,
+                        },
+                        "kneighbors": int(self._kneighbors),
+                        "deterministic_k": bool(self._deterministic_k),
+                        "neighbor_seed": self._neighbor_seed,
+                        "chain_nodes": self._chain_nodes,
+                    }
+                ).encode(),
+                dtype=np.uint8,
+            ).copy(),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), state)
+        ckptr.wait_until_finished()
+
+    @classmethod
+    def from_orbax(cls, path: str) -> "OscillinkLattice":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(os.path.abspath(path))
+        meta = json.loads(bytes(np.asarray(state["meta"], dtype=np.uint8)).decode())
+        params = meta["params"]
+        lat = cls(
+            np.asarray(state["Y"], dtype=np.float32),
+            kneighbors=meta.get("kneighbors", 6),
+            lamG=params.get("lamG", 1.0),
+            lamC=params.get("lamC", 0.5),
+            lamQ=params.get("lamQ", 4.0),
+            deterministic_k=meta.get("deterministic_k", False),
+            neighbor_seed=meta.get("neighbor_seed"),
+        )
+        lat.set_query(
+            np.asarray(state["psi"], dtype=np.float32),
+            gates=np.asarray(state["B_diag"], dtype=np.float32),
+        )
+        if meta.get("chain_nodes") and params.get("lamP", 0.0) > 0:
+            lat.add_chain(list(meta["chain_nodes"]), lamP=params["lamP"])
+        return lat
+
     @classmethod
     def from_npz(cls, path: str) -> "OscillinkLattice":
         with np.load(path, allow_pickle=False) as data:

@@ -89,6 +89,17 @@ def solve_stationary(
     return cg_solve(M_mul, rhs, x0=Y if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
 
 
+solve_stationary_donated = jax.jit(
+    solve_stationary,
+    donate_argnums=(2,),  # Y: consumed by rhs + x0 init, then dead — donating
+    # it frees N*D*4 bytes mid-CG (the 43 MB margin that OOMs N=500k, D=768
+    # on one v5e chip; benchmarks/scale_tpu.json)
+    static_argnames=(),
+)
+"""Stationary solve that donates the anchors buffer (single-shot use only:
+the caller's Y is invalidated)."""
+
+
 def settle_step(
     g: Graph,
     pg: Optional[PathGraph],
