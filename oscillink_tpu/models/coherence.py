@@ -89,6 +89,48 @@ def solve_stationary(
     return cg_solve(M_mul, rhs, x0=Y if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
 
 
+def solve_stationary_chunked(
+    g,
+    pg,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: "EnergyParams",
+    tol=1e-4,
+    max_iters=64,
+    col_chunks: int = 2,
+):
+    """Stationary solve with the embedding columns split into chunks.
+
+    CG over the [N, D] block is column-separable (per-column alpha/beta), so
+    solving D/c columns at a time divides the solver working set by c — the
+    knob that fits N=500k, D=768 on one 16 GB chip (the full-width solve
+    misses by ~31 MB, benchmarks/scale_tpu.json).  Termination is per-chunk
+    max-column-norm, so per-chunk iteration counts may differ from the
+    full-width solve by ±1 (all columns still reach ``tol``).
+
+    Returns (Ustar [N, D], max iters across chunks, max residual).
+    """
+    d = Y.shape[1]
+    if d % col_chunks != 0:
+        raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
+    w = d // col_chunks
+    outs, iters_all, res_all = [], [], []
+    for c in range(col_chunks):
+        sl = slice(c * w, (c + 1) * w)
+        U_c, it_c, res_c = solve_stationary(
+            g, pg, Y[:, sl], psi[sl], B, lam, tol=tol, max_iters=max_iters
+        )
+        outs.append(U_c)
+        iters_all.append(it_c)
+        res_all.append(res_c)
+    return (
+        jnp.concatenate(outs, axis=1),
+        jnp.max(jnp.stack(iters_all)),
+        jnp.max(jnp.stack(res_all)),
+    )
+
+
 solve_stationary_donated = jax.jit(
     solve_stationary,
     donate_argnums=(2,),  # Y: consumed by rhs + x0 init, then dead — donating

@@ -28,6 +28,37 @@ def test_orbax_roundtrip(tmp_path):
     assert abs(r1["deltaH_total"] - r2["deltaH_total"]) < 1e-3
 
 
+def test_chunked_solve_matches():
+    import jax
+    import jax.numpy as jnp
+
+    from oscillink_tpu.models.coherence import (
+        EnergyParams,
+        solve_stationary,
+        solve_stationary_chunked,
+    )
+    from oscillink_tpu.ops.graph import build_graph
+
+    rng = np.random.default_rng(2)
+    Y = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32))
+    psi = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    B = jnp.ones(48, dtype=jnp.float32)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+    g = jax.jit(lambda Y: build_graph(Y, 4))(Y)
+    U_full, _, _ = jax.jit(
+        lambda: solve_stationary(g, None, Y, psi, B, lam, tol=1e-6, max_iters=200)
+    )()
+    U_chunk, it, res = jax.jit(
+        lambda: solve_stationary_chunked(
+            g, None, Y, psi, B, lam, tol=1e-6, max_iters=200, col_chunks=4
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(U_chunk), np.asarray(U_full), rtol=1e-5, atol=1e-5
+    )
+    assert float(res) <= 1e-6 * 1.01
+
+
 def test_donated_solve_matches():
     import jax.numpy as jnp
     import jax
