@@ -104,10 +104,15 @@ def solve_stationary_chunked(
 
     CG over the [N, D] block is column-separable (per-column alpha/beta), so
     solving D/c columns at a time divides the solver working set by c — the
-    knob that fits N=500k, D=768 on one 16 GB chip (the full-width solve
-    misses by ~31 MB, benchmarks/scale_tpu.json).  Termination is per-chunk
-    max-column-norm, so per-chunk iteration counts may differ from the
-    full-width solve by ±1 (all columns still reach ``tol``).
+    knob that fits N=500k-1M, D=768 on one 16 GB chip (the full-width solve
+    misses by ~31 MB at 500k, benchmarks/scale_tpu.json).  Termination is
+    per-chunk max-column-norm, so per-chunk iteration counts may differ from
+    the full-width solve by ±1 (all columns still reach ``tol``).
+
+    This is a HOST-LEVEL loop over per-chunk jitted solves: placing all
+    chunks inside one jit lets XLA schedule the independent chunk solves
+    concurrently, multiplying peak memory (observed OOM at N=1M) — separate
+    dispatches serialize them.  Do not wrap this function in jax.jit.
 
     Returns (Ustar [N, D], max iters across chunks, max residual).
     """
@@ -115,12 +120,17 @@ def solve_stationary_chunked(
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
+    solve_one = jax.jit(
+        lambda Yc, psic, B: solve_stationary(
+            g, pg, Yc, psic, B, lam, tol=tol, max_iters=max_iters
+        )
+    )
     outs, iters_all, res_all = [], [], []
     for c in range(col_chunks):
         sl = slice(c * w, (c + 1) * w)
-        U_c, it_c, res_c = solve_stationary(
-            g, pg, Y[:, sl], psi[sl], B, lam, tol=tol, max_iters=max_iters
-        )
+        U_c, it_c, res_c = solve_one(Y[:, sl], psi[sl], B)
+        # serialize: the next chunk's dispatch waits for this chunk's result
+        jax.block_until_ready(U_c)
         outs.append(U_c)
         iters_all.append(it_c)
         res_all.append(res_c)

@@ -48,11 +48,9 @@ def test_chunked_solve_matches():
     U_full, _, _ = jax.jit(
         lambda: solve_stationary(g, None, Y, psi, B, lam, tol=1e-6, max_iters=200)
     )()
-    U_chunk, it, res = jax.jit(
-        lambda: solve_stationary_chunked(
-            g, None, Y, psi, B, lam, tol=1e-6, max_iters=200, col_chunks=4
-        )
-    )()
+    U_chunk, it, res = solve_stationary_chunked(
+        g, None, Y, psi, B, lam, tol=1e-6, max_iters=200, col_chunks=4
+    )
     np.testing.assert_allclose(
         np.asarray(U_chunk), np.asarray(U_full), rtol=1e-5, atol=1e-5
     )
