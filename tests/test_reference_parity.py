@@ -1,0 +1,147 @@
+"""Side-by-side parity against the actual reference implementation.
+
+These tests import the upstream NumPy reference from /root/reference (mounted
+read-only in the build/judge environments) and compare end-to-end outputs at
+fixed seeds.  Skipped automatically when the reference isn't present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "oscillink")),
+    reason="reference implementation not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import oscillink as ref_pkg  # noqa: F401
+
+        yield ref_pkg
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def _inputs(n=80, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = (Y[:10].mean(axis=0) / (np.linalg.norm(Y[:10].mean(axis=0)) + 1e-12)).astype(
+        np.float32
+    )
+    return Y, psi
+
+
+def test_settle_receipt_parity(ref):
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _inputs()
+    ours = OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    ours.set_query(psi)
+    ours.settle(dt=1.0, max_iters=12, tol=1e-3)
+    rec_ours = ours.receipt()
+
+    theirs = ref.OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    theirs.set_query(psi)
+    theirs.settle(dt=1.0, max_iters=12, tol=1e-3)
+    rec_ref = theirs.receipt()
+
+    assert abs(rec_ours["deltaH_total"] - rec_ref["deltaH_total"]) <= max(
+        1e-2, 1e-4 * abs(rec_ref["deltaH_total"])
+    )
+    ours_edges = {tuple(e["edge"]) for e in rec_ours["null_points"]}
+    ref_edges = {tuple(e["edge"]) for e in rec_ref["null_points"]}
+    assert ours_edges == ref_edges
+    np.testing.assert_allclose(
+        rec_ours["coh_drop_sum"], rec_ref["coh_drop_sum"], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        rec_ours["anchor_pen_sum"], rec_ref["anchor_pen_sum"], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_bundle_parity(ref):
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _inputs(seed=1)
+    ours = OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    ours.set_query(psi)
+    theirs = ref.OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    theirs.set_query(psi)
+    ids_ours = [e["id"] for e in ours.bundle(k=6)]
+    ids_ref = [e["id"] for e in theirs.bundle(k=6)]
+    assert ids_ours == ids_ref
+
+
+def test_chain_receipt_parity(ref):
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _inputs(seed=2)
+    chain = [3, 7, 11, 15]
+    ours = OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    ours.set_query(psi)
+    ours.add_chain(chain, lamP=0.2)
+    theirs = ref.OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    theirs.set_query(psi)
+    theirs.add_chain(chain, lamP=0.2)
+    c_ours = ours.chain_receipt(chain)
+    c_ref = theirs.chain_receipt(chain)
+    assert c_ours["verdict"] == c_ref["verdict"]
+    assert c_ours["weakest_link"]["edge"] == c_ref["weakest_link"]["edge"]
+    for a, b in zip(c_ours["edges"], c_ref["edges"]):
+        np.testing.assert_allclose(a["z_struct"], b["z_struct"], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(a["z_path"], b["z_path"], rtol=1e-3, atol=1e-3)
+
+
+def test_hmac_cross_verification(ref):
+    """A receipt signed by our implementation verifies under the reference's
+    verifier and vice versa (wire compatibility)."""
+    from oscillink_tpu import OscillinkLattice, verify_receipt
+
+    Y, psi = _inputs(seed=3)
+    ours = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    ours.set_query(psi)
+    ours.set_receipt_secret("shared-secret")
+    rec_ours = ours.receipt()
+    # reference's verifier accepts our signature block
+    assert ref.verify_receipt(rec_ours, "shared-secret")
+    ok, payload = ref.verify_receipt_mode(rec_ours, "shared-secret", require_mode="minimal")
+    assert ok and payload["mode"] == "minimal"
+
+    theirs = ref.OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    theirs.set_query(psi)
+    theirs.set_receipt_secret("shared-secret")
+    rec_ref = theirs.receipt()
+    # our verifier accepts the reference's signature block
+    assert verify_receipt(rec_ref, "shared-secret")
+
+
+def test_adjacency_fingerprint_parity(ref):
+    """Same edges, same SHA-256 fingerprint as the reference's _signature
+    adjacency component (np.argwhere subset)."""
+    import hashlib
+
+    from oscillink_tpu import OscillinkLattice
+
+    Y, _ = _inputs(seed=4)
+    ours = OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    theirs = ref.OscillinkLattice(Y, kneighbors=5, deterministic_k=True)
+    nz_ref = np.argwhere(theirs.A > 0)[:2048]
+    ref_fp = hashlib.sha256(nz_ref.tobytes()).hexdigest()
+    assert ours.adjacency_fingerprint() == ref_fp
+
+
+def test_diffusion_gates_parity(ref):
+    from oscillink_tpu import compute_diffusion_gates
+
+    Y, psi = _inputs(seed=5)
+    h_ours = compute_diffusion_gates(Y, psi, kneighbors=5, deterministic_k=True)
+    h_ref = ref.compute_diffusion_gates(Y, psi, kneighbors=5, deterministic_k=True)
+    np.testing.assert_allclose(h_ours, h_ref, atol=5e-3)
