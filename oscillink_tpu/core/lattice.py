@@ -70,9 +70,9 @@ _FULL_HASH_LIMIT = 128 * 1024 * 1024
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _jit_build_graph(Y, jitter, k, row_cap):
-    g = build_graph(Y, k, row_cap=row_cap, jitter=jitter)
+@partial(jax.jit, static_argnames=("k", "similarity"))
+def _jit_build_graph(Y, jitter, k, row_cap, similarity="exact"):
+    g = build_graph(Y, k, row_cap=row_cap, jitter=jitter, similarity=similarity)
     n_edges = jnp.count_nonzero(g.w > 0)
     return g, n_edges
 
@@ -238,7 +238,10 @@ class OscillinkLattice:
         lamQ: float = 4.0,
         deterministic_k: bool = False,
         neighbor_seed: Optional[int] = None,
+        similarity: str = "exact",
     ):
+        if similarity not in {"exact", "fast", "fastest"}:
+            raise ValueError("similarity must be 'exact', 'fast' or 'fastest'")
         if isinstance(Y, jax.Array):
             Y = np.asarray(Y)
         if not isinstance(Y, np.ndarray) or Y.ndim != 2:
@@ -263,6 +266,7 @@ class OscillinkLattice:
         self._deterministic_k = bool(deterministic_k)
         self._neighbor_seed = neighbor_seed
         self._row_cap_val = float(row_cap_val)
+        self._similarity = similarity
 
         self._fetch = DeferredFetchGroup()
         self._settle_callbacks: list[Callable] = []
@@ -333,19 +337,25 @@ class OscillinkLattice:
             jitter,
             self._kneighbors,
             self._opts(self._row_cap_val)[0],
+            similarity=self._similarity,
         )
         _maybe_sync(g.w)
         self._graph = g
         self._edge_count_handle = self._fetch.defer(n_edges)
         # graph token: deterministic fingerprint of the generating inputs —
         # avoids a per-signature device fetch of the adjacency
-        self._graph_token = compute_graph_token(
+        token = compute_graph_token(
             self._Y_hash,
             self._kneighbors,
             self._row_cap_val,
             self._deterministic_k,
             self._neighbor_seed,
         )
+        if self._similarity != "exact":
+            token = hashlib.sha256(
+                f"{token}:{self._similarity}".encode()
+            ).hexdigest()
+        self._graph_token = token
         # host mirrors are fetched lazily (one batched transfer) on demand
         self._host_idx: Optional[np.ndarray] = None
         self._host_w: Optional[np.ndarray] = None
@@ -1255,7 +1265,12 @@ class OscillinkLattice:
         kneighbors: Optional[int] = None,
         deterministic_k: Optional[bool] = None,
         neighbor_seed: Optional[int] = None,
+        similarity: Optional[str] = None,
     ) -> None:
+        if similarity is not None:
+            if similarity not in {"exact", "fast", "fastest"}:
+                raise ValueError("similarity must be 'exact', 'fast' or 'fastest'")
+            self._similarity = similarity
         if row_cap_val is not None:
             self._row_cap_val = float(row_cap_val)
         if kneighbors is not None:

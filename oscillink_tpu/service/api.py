@@ -215,6 +215,8 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
     Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(state, req, api_key)
     lamG, lamC, lamQ = eff["lamG"], eff["lamC"], eff["lamQ"]
 
+    if req.params.similarity not in {"exact", "fast", "fastest"}:
+        raise ApiError(422, "params.similarity must be exact|fast|fastest")
     lat = OscillinkLattice(
         Y,
         kneighbors=k_eff,
@@ -223,6 +225,7 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
         lamQ=lamQ,
         deterministic_k=req.params.deterministic_k,
         neighbor_seed=req.params.neighbor_seed,
+        similarity=req.params.similarity,
     )
     if req.psi is not None:
         psi = np.array(req.psi, dtype=np.float32)

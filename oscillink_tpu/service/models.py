@@ -15,6 +15,8 @@ class Params(BaseModel):
     kneighbors: int = 6
     deterministic_k: bool = False
     neighbor_seed: Optional[int] = None
+    # graph-build precision mode: exact | fast (recall .99) | fastest (.95)
+    similarity: str = "exact"
 
 
 class SettleOptions(BaseModel):

@@ -7,6 +7,47 @@ import jax.numpy as jnp
 from oscillink_tpu.ops.graph import build_graph
 
 
+def test_lattice_similarity_mode():
+    from oscillink_tpu import OscillinkLattice
+
+    rng = np.random.default_rng(1)
+    Y = rng.standard_normal((40, 12)).astype(np.float32)
+    lat_e = OscillinkLattice(Y, kneighbors=4)
+    lat_f = OscillinkLattice(Y, kneighbors=4, similarity="fast")
+    # small N uses the dense path either way — same graph, distinct signature
+    assert lat_e.adjacency_fingerprint() == lat_f.adjacency_fingerprint()
+    assert lat_e._signature() != lat_f._signature()
+    import pytest
+
+    with pytest.raises(ValueError):
+        OscillinkLattice(Y, similarity="bogus")
+    lat_f.rebuild_graph(similarity="exact")
+    assert lat_f._signature() == lat_e._signature()
+
+
+def test_service_similarity_param():
+    from oscillink_tpu.service import LocalClient
+
+    rng = np.random.default_rng(2)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    psi = rng.standard_normal(8).astype(np.float32)
+    c = LocalClient()
+    r = c.post(
+        "/v1/settle",
+        json_body={
+            "Y": Y.tolist(),
+            "psi": psi.tolist(),
+            "params": {"similarity": "fast"},
+        },
+    )
+    assert r.status_code == 200
+    r2 = c.post(
+        "/v1/settle",
+        json_body={"Y": Y.tolist(), "params": {"similarity": "nope"}},
+    )
+    assert r2.status_code == 422
+
+
 def test_fast_build_matches_exact_blocked():
     rng = np.random.default_rng(0)
     N, D, K = 600, 32, 6
