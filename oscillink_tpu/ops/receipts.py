@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.coherence import EnergyParams, stationary_matvec
-from .graph import Graph, normalize_rows
+from .graph import Graph
 from .path import PathGraph
 
 __all__ = [

@@ -23,8 +23,6 @@ iteration, max-column-norm termination).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

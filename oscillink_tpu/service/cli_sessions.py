@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import secrets
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 
 def _ttl() -> float:
