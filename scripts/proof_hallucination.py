@@ -31,6 +31,20 @@ CORPORA = {
         ("tea is traditionally served with scones", "filler"),
         ("saturn's moon titan has a dense atmosphere", "fact"),
     ],
+    # landmark/capital corpus mirroring the reference's 10-doc "paris" study
+    # shape: 5 gold facts, 3 explicit false claims, 2 off-topic
+    "capitals": [
+        ("madrid is the capital of spain", "fact"),
+        ("the prado museum is located in madrid", "fact"),
+        ("lisbon is the capital of spain", "trap"),
+        ("the sagrada familia stands in barcelona", "fact"),
+        ("oslo is the capital of japan", "trap"),
+        ("spain borders portugal and france", "fact"),
+        ("the pyramids of giza are in egypt", "offtopic"),
+        ("madrid uses the ruble as its currency", "trap"),
+        ("the retiro park is a landmark of madrid", "fact"),
+        ("photosynthesis converts light into chemical energy", "offtopic"),
+    ],
     "rivers": [
         ("the nile flows north into the mediterranean sea", "fact"),
         ("the amazon carries more water than any other river", "fact"),
