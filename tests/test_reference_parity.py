@@ -138,6 +138,33 @@ def test_adjacency_fingerprint_parity(ref):
     assert ours.adjacency_fingerprint() == ref_fp
 
 
+def test_state_file_interop(ref):
+    """Exported state files load in the OTHER implementation (drop-in):
+    ours -> reference.from_state reproduces deltaH bit-identically on this
+    host (adjacency travels in the file); reference -> ours matches the
+    adjacency fingerprint exactly."""
+    import hashlib
+
+    from oscillink_tpu import OscillinkLattice
+
+    Y, psi = _inputs(n=40, d=12, seed=6)
+    ours = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    ours.set_query(psi)
+    ours.add_chain([1, 2, 3], lamP=0.25)
+    state = ours.export_state()
+    theirs = ref.OscillinkLattice.from_state(state)
+    assert (theirs.N, theirs.D, theirs.lamP) == (ours.N, ours.D, 0.25)
+    d_ours = ours.receipt()["deltaH_total"]
+    d_ref = theirs.receipt()["deltaH_total"]
+    assert abs(d_ours - d_ref) <= max(1e-3, 1e-5 * abs(d_ref))
+
+    ref_lat = ref.OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    ref_lat.set_query(psi)
+    ours2 = OscillinkLattice.from_state(ref_lat.export_state())
+    ref_fp = hashlib.sha256(np.argwhere(ref_lat.A > 0)[:2048].tobytes()).hexdigest()
+    assert ours2.adjacency_fingerprint() == ref_fp
+
+
 def test_diffusion_gates_parity(ref):
     from oscillink_tpu import compute_diffusion_gates
 
