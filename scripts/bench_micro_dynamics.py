@@ -6,6 +6,11 @@ row-cap vs edge density, and warm- vs cold-start settle iterations.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

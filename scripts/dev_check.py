@@ -3,6 +3,11 @@ tests, skipping tools that aren't installed in this image."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import shutil
 import subprocess
 import sys

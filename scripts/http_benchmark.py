@@ -8,6 +8,11 @@ latency JSONL + p50/p95/p99 summary.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import asyncio
 import json
