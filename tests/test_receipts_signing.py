@@ -67,6 +67,37 @@ def test_verify_current_receipt():
     assert not lat.verify_current_receipt("xyz")
 
 
+def test_minimal_subset_downscope():
+    """An extended payload whose full signature doesn't match can still be
+    accepted when the signature was actually minted over the minimal subset
+    (reference receipts.py:158-176)."""
+    from oscillink_tpu.core.receipts import sign_payload
+
+    lat = _lat(7)
+    lat.set_receipt_secret("s")
+    rec = lat.receipt()  # minimal signature
+    minimal_payload = rec["meta"]["signature"]["payload"]
+    # wrap the minimal-signed signature inside an extended-looking payload
+    forged_extended = {
+        **minimal_payload,
+        "mode": "extended",
+        "params": {"lamG": lat.lamG},
+    }
+    rec["meta"]["signature"]["payload"] = forged_extended
+    ok_plain, _ = verify_receipt_mode(rec, "s")
+    assert not ok_plain  # full extended payload doesn't match the signature
+    ok_subset, payload = verify_receipt_mode(rec, "s", minimal_subset=True)
+    assert ok_subset and payload["mode"] == "minimal"
+    assert payload["deltaH_total"] == minimal_payload["deltaH_total"]
+    # but subset downscope must NOT satisfy an extended-mode requirement
+    ok_ext, _ = verify_receipt_mode(
+        rec, "s", minimal_subset=True, require_mode="extended"
+    )
+    assert not ok_ext
+    # sanity: the minimal subset signature really is what was minted
+    assert rec["meta"]["signature"]["signature"] == sign_payload(minimal_payload, "s")
+
+
 def test_invalid_modes_raise():
     lat = _lat(6)
     import pytest
