@@ -40,6 +40,38 @@ def solve_stationary_batch(
     return jax.vmap(one)(psis, Bs)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def settle_lattice_batch(
+    Ys: jax.Array,  # [B, N, D] — a batch of same-shape corpora
+    psis: jax.Array,  # [B, D]
+    Bs: jax.Array,  # [B, N]
+    lam: EnergyParams,
+    k: int,
+    dt=1.0,
+    tol=1e-3,
+    max_iters=12,
+):
+    """Batch-of-lattices (the DP analog, SURVEY.md §2.7): vmap the FULL
+    pipeline — graph build + implicit-Euler settle — over a batch of
+    independent same-shape corpora.  Returns (U+ [B,N,D], iters [B], res [B]).
+
+    Note on termination under vmap: the batched while_loop iterates until
+    EVERY lane converges, so early-converging lanes run extra CG iterations —
+    which only tightens them further toward the same stationary point (they
+    end at <= tol, typically below it).
+    """
+    from ..ops.graph import build_graph
+    from .coherence import settle_step
+
+    def one(Y, psi, B):
+        g = build_graph(Y, k)
+        return settle_step(
+            g, None, Y, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters
+        )
+
+    return jax.vmap(one)(Ys, psis, Bs)
+
+
 @jax.jit
 def bundle_scores_batch(
     g: Graph,

@@ -42,6 +42,32 @@ def test_batch_validation():
         )
 
 
+def test_settle_lattice_batch_matches_individual():
+    """Batch-of-lattices vmap agrees with per-corpus settles."""
+    import jax.numpy as jnp
+
+    from oscillink_tpu.models.batched import settle_lattice_batch
+    from oscillink_tpu.models.coherence import EnergyParams
+
+    rng = np.random.default_rng(4)
+    Bsz, N, D, K = 3, 32, 10, 3
+    Ys = rng.standard_normal((Bsz, N, D)).astype(np.float32)
+    psis = rng.standard_normal((Bsz, D)).astype(np.float32)
+    gates = np.ones((Bsz, N), dtype=np.float32)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+    U_batch, iters, res = settle_lattice_batch(
+        jnp.asarray(Ys), jnp.asarray(psis), jnp.asarray(gates), lam, K,
+        tol=1e-5, max_iters=50,
+    )
+    for b in range(Bsz):
+        lat = OscillinkLattice(Ys[b], kneighbors=K)
+        lat.set_query(psis[b])
+        lat.settle(tol=1e-5, max_iters=50)
+        np.testing.assert_allclose(
+            np.asarray(U_batch[b]), lat.U, rtol=3e-4, atol=3e-4
+        )
+
+
 def test_bundle_batch_matches_single():
     lat, rng = _lat(seed=3)
     psis = rng.standard_normal((2, lat.D)).astype(np.float32)
