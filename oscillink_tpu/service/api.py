@@ -311,6 +311,25 @@ def h_license_status(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     )
 
 
+def h_openapi(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Serve the generated OpenAPI schema for this dispatcher."""
+    import importlib.util
+    import os as _os
+
+    spec_path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "scripts",
+        "export_openapi.py",
+    )
+    try:
+        spec = importlib.util.spec_from_file_location("_export_openapi", spec_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return ApiResponse(body=mod.build_schema())
+    except Exception as e:
+        raise ApiError(500, f"schema generation failed: {e}") from None
+
+
 def h_metrics(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     admin_secret = os.getenv("OSCILLINK_METRICS_ADMIN_SECRET")
     if admin_secret and req.header("x-admin-secret") != admin_secret:
@@ -903,6 +922,7 @@ def _route(method: str, pattern: str, handler: Handler) -> None:
 _route("GET", "/health", h_health)
 _route("GET", "/license/status", h_license_status)
 _route("GET", "/metrics", h_metrics)
+_route("GET", "/openapi.json", h_openapi)
 _route("POST", "/v1/settle", h_settle)
 _route("POST", "/v1/receipt", h_receipt)
 _route("POST", "/v1/bundle", h_bundle)
