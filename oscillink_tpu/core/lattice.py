@@ -328,10 +328,14 @@ class OscillinkLattice:
             and not self._deterministic_k
             and self.N <= _DENSE_LIMIT
         ):
-            rng = np.random.default_rng(self._neighbor_seed)
-            jitter = jnp.asarray(
-                rng.uniform(-1e-8, 1e-8, size=(self.N, self.N)).astype(np.float32)
-            )
+            # Seeded tie-break contract (reference graph.py:54-58): jitter is
+            # float64 uniform(-1e-8, 1e-8) added to the similarity matrix.
+            # In f32 on device the jitter vanishes below the similarity ULP,
+            # so the SELECTION runs host-side in f64 for exact neighbor-set
+            # parity; weights are the jittered values cast to f32, matching
+            # the reference's A assignment (graph.py:59-62).
+            self._build_graph_seeded_host()
+            return
         g, n_edges = _jit_build_graph(
             self._Y_dev,
             jitter,
@@ -361,6 +365,31 @@ class OscillinkLattice:
         self._host_w: Optional[np.ndarray] = None
         self._host_sqrt_deg: Optional[np.ndarray] = None
         self._edge_pairs_cache: Optional[np.ndarray] = None
+
+    def _build_graph_seeded_host(self) -> None:
+        """Host f64 build for the seeded-jitter mode (exact reference parity)."""
+        Y = self.Y
+        n = self.N
+        k = self._kneighbors
+        Yn = Y / (np.linalg.norm(Y, axis=1, keepdims=True) + 1e-12)
+        S = (Yn @ Yn.T).astype(np.float64)
+        np.fill_diagonal(S, -np.inf)
+        rng = np.random.default_rng(self._neighbor_seed)
+        S = S + rng.uniform(-1e-8, 1e-8, size=S.shape)
+        idx = np.argpartition(-S, kth=k, axis=1)[:, :k]
+        A = np.zeros((n, n), dtype=np.float32)
+        rows = np.arange(n)[:, None]
+        A[rows, idx] = np.clip(S[rows, idx].astype(np.float32), 0.0, None)
+        M = (A > 0) & (A.T > 0)
+        A = np.maximum(A * M, (A * M).T)
+        sums = A.sum(axis=1, keepdims=True) + 1e-12
+        scale = np.minimum(1.0, self._row_cap_val / sums).astype(np.float32)
+        A = (A * np.sqrt(scale * scale.T)).astype(np.float32)
+        A = 0.5 * (A + A.T)
+        self._set_adjacency_dense(A)
+        # token derived from the actual adjacency (seeded builds are
+        # data-dependent in a way the input-token scheme can't capture)
+        self._graph_token = hashlib.sha256(b"seeded:" + A.tobytes()).hexdigest()
 
     def _mirrors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host copies of (idx, w, sqrt_deg) — one batched fetch, cached."""

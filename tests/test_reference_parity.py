@@ -165,6 +165,30 @@ def test_state_file_interop(ref):
     assert ours2.adjacency_fingerprint() == ref_fp
 
 
+def test_seeded_jitter_parity(ref):
+    """Seeded tie-break mode selects byte-identical neighbor sets + weights
+    (host f64 selection path)."""
+    import hashlib
+
+    from oscillink_tpu import OscillinkLattice
+
+    # duplicate rows force exact similarity ties that only the f64 jitter
+    # can break deterministically
+    rng = np.random.default_rng(7)
+    Y = rng.standard_normal((30, 8)).astype(np.float32)
+    Y[10] = Y[3]
+    Y[20] = Y[3]
+    for seed in (0, 42):
+        ours = OscillinkLattice(Y, kneighbors=4, neighbor_seed=seed)
+        theirs = ref.OscillinkLattice(Y, kneighbors=4, neighbor_seed=seed)
+        nz_ref = np.argwhere(theirs.A > 0)[:2048]
+        ref_fp = hashlib.sha256(nz_ref.tobytes()).hexdigest()
+        assert ours.adjacency_fingerprint() == ref_fp
+        np.testing.assert_allclose(
+            ours.dense_adjacency(), theirs.A, rtol=1e-6, atol=1e-7
+        )
+
+
 def test_diffusion_gates_parity(ref):
     from oscillink_tpu import compute_diffusion_gates
 
