@@ -1,10 +1,21 @@
-"""Benchmark aggregate comparator (reference oscillink/core/perf.py:6-26)."""
+"""Benchmark aggregate comparator (behavioral counterpart of the reference's
+core/perf.py:6-26): flags metrics whose mean regressed past a tolerance.
+
+Input objects carry ``{"aggregates": {<metric>: {"mean": <float>}}}`` — the
+shape produced by scripts/benchmark.py and scripts/perf_snapshot.py.
+"""
 
 from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence
 
-__all__ = ["compare_perf"]
+__all__ = ["compare_perf", "DEFAULT_METRICS"]
+
+DEFAULT_METRICS: tuple[str, ...] = ("build_ms", "settle_ms", "receipt_ms")
+
+
+def _mean_of(report: Dict[str, Any], metric: str) -> float:
+    return float(report["aggregates"][metric]["mean"])
 
 
 def compare_perf(
@@ -13,24 +24,32 @@ def compare_perf(
     metrics: Optional[Sequence[str]] = None,
     tolerance_pct: float = 20.0,
 ) -> Dict[str, Any]:
-    """Compare mean timings between two benchmark JSON objects.
+    """Percentage deviation per metric + the list that breached tolerance.
 
-    Both inputs carry ``{"aggregates": {metric: {"mean": float}}}``; a metric
-    regresses when its mean exceeds baseline by more than ``tolerance_pct``.
+    Non-positive baseline means are skipped (uninitialized placeholders).
+    A positive deviation means "slower than baseline".
     """
-    if metrics is None:
-        metrics = ["build_ms", "settle_ms", "receipt_ms"]
+    selected = tuple(metrics) if metrics is not None else DEFAULT_METRICS
+
     deviations: Dict[str, float] = {}
-    failures = []
-    for m in metrics:
-        bmean = baseline["aggregates"][m]["mean"]
-        cmean = current["aggregates"][m]["mean"]
-        if bmean <= 0:
+    for metric in selected:
+        base_mean = _mean_of(baseline, metric)
+        if base_mean <= 0:
             continue
-        pct = 100.0 * (cmean - bmean) / bmean
-        deviations[m] = pct
-        if pct > tolerance_pct:
-            failures.append(
-                {"metric": m, "pct": pct, "baseline": bmean, "current": cmean}
-            )
-    return {"deviations": deviations, "failures": failures, "tolerance_pct": tolerance_pct}
+        deviations[metric] = 100.0 * (_mean_of(current, metric) - base_mean) / base_mean
+
+    failures = [
+        {
+            "metric": metric,
+            "pct": pct,
+            "baseline": _mean_of(baseline, metric),
+            "current": _mean_of(current, metric),
+        }
+        for metric, pct in deviations.items()
+        if pct > tolerance_pct
+    ]
+    return {
+        "deviations": deviations,
+        "failures": failures,
+        "tolerance_pct": tolerance_pct,
+    }

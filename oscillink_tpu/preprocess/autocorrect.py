@@ -1,117 +1,107 @@
-"""Typo autocorrect that preserves technical tokens and code blocks.
+"""Typo autocorrect that preserves technical tokens and code.
 
-Behavioral contract (reference: oscillink/preprocess/autocorrect.py):
+Behavioral contract (counterpart of the reference preprocess/autocorrect.py):
   * only words in the curated typo map are corrected (case-insensitive);
-  * acronyms, snake_case, camelCase, digit-bearing and code-like tokens are
-    left untouched, as are URLs / emails / non-ASCII tokens;
-  * original casing (UPPER / Title / lower) is preserved in the replacement;
-  * Markdown ``` code fences toggle a no-touch region.
+  * acronyms, snake_case, camelCase, digit-bearing, code-like, URL/email and
+    non-ASCII tokens are left untouched;
+  * original casing (UPPER / Title / lower) carries over to the replacement;
+  * Markdown ``` fences toggle a no-touch region;
+  * tokens are space-delimited with surrounding punctuation stripped before
+    lookup and re-attached after.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 __all__ = ["smart_correct", "COMMON_TYPOS"]
 
-# Curated common-typo map (data parity with the reference list).
-COMMON_TYPOS: dict[str, str] = {
-    "teh": "the",
-    "recieve": "receive",
-    "seperate": "separate",
-    "definately": "definitely",
-    "occured": "occurred",
-    "accomodate": "accommodate",
-    "acheive": "achieve",
-    "adress": "address",
-    "becuase": "because",
-    "comming": "coming",
-    "enviroment": "environment",
-    "goverment": "government",
-    "independant": "independent",
-    "occuring": "occurring",
-    "occurence": "occurrence",
-    "publically": "publicly",
-    "seperately": "separately",
-    "wich": "which",
-}
+# Curated common-typo corrections (data parity with the reference list).
+_TYPO_PAIRS = (
+    ("teh", "the"),
+    ("recieve", "receive"),
+    ("seperate", "separate"),
+    ("definately", "definitely"),
+    ("occured", "occurred"),
+    ("accomodate", "accommodate"),
+    ("acheive", "achieve"),
+    ("adress", "address"),
+    ("becuase", "because"),
+    ("comming", "coming"),
+    ("enviroment", "environment"),
+    ("goverment", "government"),
+    ("independant", "independent"),
+    ("occuring", "occurring"),
+    ("occurence", "occurrence"),
+    ("publically", "publicly"),
+    ("seperately", "separately"),
+    ("wich", "which"),
+)
+COMMON_TYPOS = dict(_TYPO_PAIRS)
 
-_SKIP_RES = (
-    re.compile(r"^[A-Z]{2,}$"),  # acronyms
-    re.compile(r"^[A-Za-z]+_[A-Za-z0-9_]+$"),  # snake_case
-    re.compile(r"^[A-Za-z]+[A-Z][A-Za-z0-9]+$"),  # camelCase / PascalCase
-    re.compile(r".*[0-9].*"),  # digits
-    re.compile(r".*[()\[\]{}<>`].*"),  # code-like
+# A token is left alone when any of these hold.
+_TECHNICAL = re.compile(
+    r"^[A-Z]{2,}$"  # acronym
+    r"|^[A-Za-z]+_[A-Za-z0-9_]+$"  # snake_case
+    r"|^[A-Za-z]+[A-Z][A-Za-z0-9]+$"  # camel/Pascal case
+    r"|.*\d"  # digits anywhere
+    r"|.*[()\[\]{}<>`]"  # code punctuation
 )
 
-_DEFAULT_PRESERVE = {
-    "Oscillink",
-    "lamG",
-    "lamC",
-    "lamQ",
-    "SPD",
-    "kNN",
-    "k-NN",
-    "API",
-    "LLM",
-    "FFT",
-}
+_DEFAULT_PRESERVE = frozenset(
+    {"Oscillink", "lamG", "lamC", "lamQ", "SPD", "kNN", "k-NN", "API", "LLM", "FFT"}
+)
 
-_PUNCT = ",.!?;:\"'’”()[]{}"
+# leading / core / trailing punctuation split
+_EDGES = re.compile(r"^([,.!?;:\"'’”()\[\]{}]*)(.*?)([,.!?;:\"'’”()\[\]{}]*)$", re.S)
+_FENCE = re.compile(r"^\s*```")
 
 
-def _recase(template: str, word: str) -> str:
+def _carry_case(template: str, replacement: str) -> str:
     if template.isupper():
-        return word.upper()
+        return replacement.upper()
     if template.istitle():
-        return word.title()
-    return word
+        return replacement.title()
+    return replacement
 
 
-def _skip(core: str, preserve) -> bool:
-    if not core or core in preserve:
-        return True
-    if "://" in core or "@" in core:
-        return True
-    if not core.isascii():
-        return True
-    return any(p.match(core) for p in _SKIP_RES)
-
-
-def _correct_token(tok: str, preserve: Iterable[str]) -> str:
-    if not tok:
-        return tok
-    lead, core, trail = "", tok, ""
-    while core and core[0] in _PUNCT:
-        lead += core[0]
-        core = core[1:]
-    while core and core[-1] in _PUNCT:
-        trail = core[-1] + trail
-        core = core[:-1]
-    if _skip(core, preserve):
-        return tok
-    repl = COMMON_TYPOS.get(core.lower())
-    if repl is None:
-        return tok
-    return f"{lead}{_recase(core, repl)}{trail}"
+def _corrected(token: str, preserve: frozenset) -> str:
+    if not token:
+        return token
+    m = _EDGES.match(token)
+    lead, core, trail = m.group(1), m.group(2), m.group(3)
+    untouchable = (
+        not core
+        or core in preserve
+        or "://" in core
+        or "@" in core
+        or not core.isascii()
+        or _TECHNICAL.match(core) is not None
+    )
+    if untouchable:
+        return token
+    fix = COMMON_TYPOS.get(core.lower())
+    return token if fix is None else lead + _carry_case(core, fix) + trail
 
 
 def smart_correct(text: str, custom_preserve: Optional[List[str]] = None) -> str:
     """Correct common typos while preserving technical terms and code."""
-    preserve = set(_DEFAULT_PRESERVE)
-    if custom_preserve:
-        preserve.update(custom_preserve)
+    preserve = (
+        _DEFAULT_PRESERVE | frozenset(custom_preserve)
+        if custom_preserve
+        else _DEFAULT_PRESERVE
+    )
 
-    out: List[str] = []
-    in_code = False
+    result: List[str] = []
+    inside_fence = False
     for line in text.splitlines():
-        if line.strip().startswith("```"):
-            in_code = not in_code
-            out.append(line)
-            continue
-        if in_code:
-            out.append(line)
-            continue
-        out.append(" ".join(_correct_token(t, preserve) for t in line.split(" ")))
-    return "\n".join(out)
+        if _FENCE.match(line):
+            inside_fence = not inside_fence
+            result.append(line)
+        elif inside_fence:
+            result.append(line)
+        else:
+            result.append(" ".join(_corrected(t, preserve) for t in line.split(" ")))
+    return "\n".join(result)
+
