@@ -350,6 +350,31 @@ def test_settle_batch_endpoint(client):
     assert [e["id"] for e in body["bundles"][0]] == [e["id"] for e in single["bundle"]]
 
 
+def test_adaptive_profiles_through_service(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "ak")
+    monkeypatch.setenv("OSCILLINK_ADAPTIVE_PROFILES", "1")
+    h = {"X-API-Key": "ak"}
+    r = client.post("/v1/settle", json_body=_payload(), headers=h)
+    assert r.status_code == 200
+    assert r.json()["meta"]["profile_id"] == "baseline"
+    # learned profile applied and clipped
+    client.state.learners.store.set(
+        "ak", {"active_profile_id": "p-x", "learned_params": {"lamQ": 99.0}}
+    )
+    r2 = client.post("/v1/settle", json_body=_payload(), headers=h)
+    assert r2.json()["meta"]["profile_id"] == "p-x"
+    assert r2.json()["meta"]["lam"]["Q"] == 8.0  # clipped to the bound
+    assert r2.headers["X-Profile-Id"] == "p-x"
+    # exploration surfaces as the 'explore' profile
+    monkeypatch.setenv("OSCILLINK_ADAPTIVE_LEARN", "1")
+    monkeypatch.setenv("OSCILLINK_ADAPTIVE_EPS", "1.0")
+    r3 = client.post("/v1/settle", json_body=_payload(), headers=h)
+    assert r3.json()["meta"]["profile_id"] == "explore"
+    # observations recorded
+    doc = client.state.learners.store.get("ak")
+    assert doc and doc["obs_count"] >= 1
+
+
 def test_settle_batch_validation(client):
     rng = np.random.default_rng(12)
     Y = rng.standard_normal((10, 4)).astype(np.float32)
