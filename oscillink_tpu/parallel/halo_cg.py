@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.coherence import EnergyParams
 from ..ops.graph import Graph
 
-__all__ = ["HaloPlan", "build_halo_plan", "halo_solve"]
+__all__ = ["HaloPlan", "build_halo_plan", "halo_solve", "solve_auto"]
 
 
 class HaloPlan(NamedTuple):
@@ -215,3 +215,69 @@ def halo_solve(
         return x, it, res
 
     return jax.jit(solve)(Y, B, psi, wn, remap, send_map, send_valid)
+
+
+def solve_auto(
+    mesh: Mesh,
+    Y: np.ndarray,
+    psi: np.ndarray,
+    B: np.ndarray | None = None,
+    *,
+    k: int = 8,
+    lamG: float = 1.0,
+    lamC: float = 0.5,
+    lamQ: float = 4.0,
+    tol: float = 1e-4,
+    max_iters: int = 64,
+    halo_fraction_cutoff: float = 0.5,
+    reorder_levels: int = 4,
+):
+    """Tier-selecting sharded stationary solve.
+
+    Reorders rows by PCA bisection, builds the graph, measures the halo
+    (`reorder.halo_stats`), and picks halo-exchange when the mean halo is
+    below ``halo_fraction_cutoff`` of the all-gather volume — otherwise the
+    all_gather shard_map path.  Returns (Ustar in ORIGINAL row order, info
+    dict with the decision and stats).
+    """
+    from ..ops.graph import build_graph
+    from .reorder import apply_order, halo_stats, pca_bisection_order
+    from .shardmap_cg import shardmap_solve
+
+    Y = np.asarray(Y, dtype=np.float32)
+    n = Y.shape[0]
+    n_dev = mesh.devices.size
+    if B is None:
+        B = np.ones(n, dtype=np.float32)
+    order = pca_bisection_order(Y, levels=reorder_levels)
+    Y_s, B_s, inv = apply_order(order, Y, np.asarray(B, dtype=np.float32))
+
+    Yd = jnp.asarray(Y_s)
+    g = jax.jit(lambda Y: build_graph(Y, k))(Yd)
+    idx_h, w_h = np.asarray(g.idx), np.asarray(g.w)
+    stats = halo_stats(idx_h, w_h, n_dev)
+
+    lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
+    psi_d = jnp.asarray(np.asarray(psi, dtype=np.float32))
+    B_d = jnp.asarray(B_s)
+    use_halo = (
+        stats["halo_mean"] < halo_fraction_cutoff * stats["allgather_rows"]
+    )
+    if use_halo:
+        plan = build_halo_plan(idx_h, w_h, n_dev)
+        U, it, res = halo_solve(
+            mesh, g, plan, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
+        )
+        tier = "halo-exchange"
+    else:
+        U, it, res = shardmap_solve(
+            mesh, g, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
+        )
+        tier = "all-gather"
+    U_orig = np.asarray(U)[inv]
+    return U_orig, {
+        "tier": tier,
+        "halo_stats": stats,
+        "iters": int(jax.device_get(it)),
+        "res": float(jax.device_get(res)),
+    }

@@ -70,3 +70,41 @@ def test_halo_solve_matches_single_device():
     assert abs(int(it_h) - int(it_ref)) <= 1
     # the plan's halo should be far smaller than the all-gather volume
     assert plan.r_max * 8 < 512 - plan.rows_per
+
+
+def test_solve_auto_picks_tiers():
+    from oscillink_tpu.models.coherence import EnergyParams
+    from oscillink_tpu.parallel.halo_cg import solve_auto
+
+    mesh = lattice_mesh(8)
+    rng = np.random.default_rng(5)
+
+    # clustered -> halo tier; result matches the direct solve in ORIGINAL order
+    Yc = _clustered(512, 24, seed=5)
+    psi = rng.standard_normal(24).astype(np.float32)
+    U, info = solve_auto(mesh, Yc, psi, k=6, tol=1e-6, max_iters=200)
+    assert info["tier"] == "halo-exchange"
+    assert info["res"] <= 1e-5
+
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+    g = jax.jit(lambda Y: build_graph(Y, 6))(jnp.asarray(Yc))
+    U_ref, _, _ = jax.jit(
+        lambda: solve_stationary(
+            g, None, jnp.asarray(Yc), jnp.asarray(psi),
+            jnp.ones(512, dtype=jnp.float32), lam, tol=1e-6, max_iters=200,
+        )
+    )()
+    np.testing.assert_allclose(U, np.asarray(U_ref), rtol=3e-4, atol=3e-4)
+
+    # isotropic high-D random data: the tier decision must be consistent
+    # with the measured halo, and high-D randomness should defeat locality
+    rng2 = np.random.default_rng(6)
+    Yr = rng2.standard_normal((512, 128)).astype(np.float32)
+    psi_r = rng2.standard_normal(128).astype(np.float32)
+    _, info_r = solve_auto(mesh, Yr, psi_r, k=6, tol=1e-4, max_iters=50)
+    s = info_r["halo_stats"]
+    expected = (
+        "halo-exchange" if s["halo_mean"] < 0.5 * s["allgather_rows"] else "all-gather"
+    )
+    assert info_r["tier"] == expected
+    assert s["halo_fraction_mean"] > 0.5  # random high-D: halo stays large
