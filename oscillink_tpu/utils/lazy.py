@@ -104,3 +104,9 @@ class LazyStats(Mapping):
 
     def to_dict(self) -> Dict[str, Any]:
         return {k: self[k] for k in self}
+
+    def get(self, key: str, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
