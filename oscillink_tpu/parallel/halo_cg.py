@@ -46,6 +46,11 @@ class HaloPlan(NamedTuple):
     remap:    [N, K] int32 — neighbor indices rewritten into each owning
               shard's extended frame: local rows keep [0, rows_per); halo
               references point at rows_per + d_src * R_max + slot.
+    The matvec uses the LOCAL/HALO split of remap so the local accumulation
+    carries no data dependency on the collective (XLA's latency-hiding
+    scheduler overlaps the all_to_all with it):
+    idx_local/w_local: [N, K] — local-frame gather (0-weight on halo edges).
+    idx_halo/w_halo:   [N, K] — halo-frame gather (0-weight on local edges).
     r_max:    int — padded per-pair request count.
     rows_per: int
     """
@@ -53,6 +58,10 @@ class HaloPlan(NamedTuple):
     send_map: np.ndarray
     send_valid: np.ndarray
     remap: np.ndarray
+    idx_local: np.ndarray
+    w_local_mask: np.ndarray
+    idx_halo: np.ndarray
+    w_halo_mask: np.ndarray
     r_max: int
     rows_per: int
 
@@ -107,7 +116,16 @@ def build_halo_plan(idx: np.ndarray, w: np.ndarray, n_dev: int) -> HaloPlan:
                     remap[r, a] = j - lo
                 else:
                     remap[r, a] = rows_per + halo_pos[dst][j]
-    return HaloPlan(send_map, send_valid, remap, r_max, rows_per)
+
+    is_halo = remap >= rows_per
+    idx_local = np.where(is_halo, 0, remap).astype(np.int32)
+    w_local_mask = (~is_halo).astype(np.float32)
+    idx_halo = np.where(is_halo, remap - rows_per, 0).astype(np.int32)
+    w_halo_mask = is_halo.astype(np.float32)
+    return HaloPlan(
+        send_map, send_valid, remap, idx_local, w_local_mask, idx_halo,
+        w_halo_mask, r_max, rows_per,
+    )
 
 
 def halo_solve(
@@ -137,7 +155,10 @@ def halo_solve(
     B = jax.device_put(B, vec)
     psi = jax.device_put(psi, repl)
     wn = jax.device_put(g.wn, row)
-    remap = jax.device_put(jnp.asarray(plan.remap), row)
+    idx_local = jax.device_put(jnp.asarray(plan.idx_local), row)
+    w_local_mask = jax.device_put(jnp.asarray(plan.w_local_mask), row)
+    idx_halo = jax.device_put(jnp.asarray(plan.idx_halo), row)
+    w_halo_mask = jax.device_put(jnp.asarray(plan.w_halo_mask), row)
     # shard the send plan by SOURCE shard (leading axis)
     send_map = jax.device_put(jnp.asarray(plan.send_map), NamedSharding(mesh, P(axis_name, None, None)))
     send_valid = jax.device_put(
@@ -155,32 +176,43 @@ def halo_solve(
             P(axis_name),  # B
             P(),  # psi
             P(axis_name, None),  # wn
-            P(axis_name, None),  # remap
+            P(axis_name, None),  # idx_local
+            P(axis_name, None),  # w_local_mask
+            P(axis_name, None),  # idx_halo
+            P(axis_name, None),  # w_halo_mask
             P(axis_name, None, None),  # send_map  [1, n_dev, R]
             P(axis_name, None, None),  # send_valid
         ),
         out_specs=(P(axis_name, None), P(), P()),
     )
-    def solve(Y_l, B_l, psi_r, wn_l, remap_l, smap_l, svalid_l, ):
+    def solve(Y_l, B_l, psi_r, wn_l, il_l, wl_l, ih_l, wh_l, smap_l, svalid_l):
         smap = smap_l[0]  # [n_dev, R]
         svalid = svalid_l[0]
+        k = wn_l.shape[1]
 
-        def extend(X_l):
-            # 1. stage outgoing boundary rows per destination
+        def halo_of(X_l):
+            # stage outgoing boundary rows per destination + ONE all_to_all;
+            # slot s of `recv` holds what shard s sent us
             send = jnp.take(X_l, smap.reshape(-1), axis=0).reshape(
                 smap.shape[0], smap.shape[1], X_l.shape[1]
             )
             send = jnp.where(svalid[:, :, None], send, 0.0)
-            # 2. one all_to_all: slot d of `recv` holds what shard d sent us
-            recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=False)
-            halo = recv.reshape(-1, X_l.shape[1])  # [n_dev * R, D]
-            return jnp.concatenate([X_l, halo], axis=0)
+            recv = lax.all_to_all(
+                send, axis_name, split_axis=0, concat_axis=0, tiled=False
+            )
+            return recv.reshape(-1, X_l.shape[1])  # [n_dev * R, D]
 
         def M_mul(p_l):
-            p_ext = extend(p_l)
+            halo = halo_of(p_l)
+            # interior accumulation carries NO dependency on the collective —
+            # XLA overlaps the all_to_all with these gathers
             acc = p_l
-            for a in range(remap_l.shape[1]):
-                acc = acc - wn_l[:, a][:, None] * jnp.take(p_ext, remap_l[:, a], axis=0)
+            for a in range(k):
+                wa = (wn_l[:, a] * wl_l[:, a])[:, None]
+                acc = acc - wa * jnp.take(p_l, il_l[:, a], axis=0)
+            for a in range(k):
+                wa = (wn_l[:, a] * wh_l[:, a])[:, None]
+                acc = acc - wa * jnp.take(halo, ih_l[:, a], axis=0)
             return lam.lamG * p_l + lam.lamC * acc + lam.lamQ * (B_l[:, None] * p_l)
 
         rhs = lam.lamG * Y_l + lam.lamQ * (B_l[:, None] * psi_r[None, :])
@@ -214,7 +246,10 @@ def halo_solve(
         )
         return x, it, res
 
-    return jax.jit(solve)(Y, B, psi, wn, remap, send_map, send_valid)
+    return jax.jit(solve)(
+        Y, B, psi, wn, idx_local, w_local_mask, idx_halo, w_halo_mask,
+        send_map, send_valid,
+    )
 
 
 def solve_auto(
