@@ -619,15 +619,32 @@ class OscillinkLattice:
             return self._Ustar_cache_dev
 
         t0 = time.perf_counter()
-        Ustar, iters, res, converged = _jit_solve_ustar(
-            self._graph,
-            self._path,
-            self._Y_dev,
-            self._psi_dev,
-            self._B_dev,
-            self._lam(),
-            self._opts(tol, max_iters),
-        )
+        col_chunks = self._auto_col_chunks()
+        if col_chunks > 1:
+            from ..models.coherence import solve_stationary_chunked
+
+            Ustar, iters, res = solve_stationary_chunked(
+                self._graph,
+                self._path,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                tol=self._opts(tol)[0],
+                max_iters=jnp.int32(max_iters),
+                col_chunks=col_chunks,
+            )
+            converged = res <= tol
+        else:
+            Ustar, iters, res, converged = _jit_solve_ustar(
+                self._graph,
+                self._path,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                self._opts(tol, max_iters),
+            )
         _maybe_sync(Ustar)
         solve_ms = 1000.0 * (time.perf_counter() - t0)
         self.last_ustar = LazyStats(
@@ -1272,6 +1289,28 @@ class OscillinkLattice:
             self._deterministic_k,
             self._graph_token,
         )
+
+    def _auto_col_chunks(self) -> int:
+        """Column-chunk the stationary solve when its working set approaches
+        HBM (~6 row-blocks of state; docs/SCALING.md memory budget).
+        OSCILLINK_COL_CHUNKS overrides (0/1 disables, >1 forces)."""
+        raw = os.getenv("OSCILLINK_COL_CHUNKS", "").strip()
+        if raw:
+            try:
+                forced = int(raw)
+                if forced > 1 and self.D % forced == 0:
+                    return forced
+                return 1
+            except ValueError:
+                return 1
+        # auto: ~6 f32 row-blocks + gather temp; chunk past ~8 GB working set
+        working_gb = self.N * self.D * 4 * 7 / 1e9
+        if working_gb <= 8.0:
+            return 1
+        for c in (2, 4, 8):
+            if self.D % c == 0 and working_gb / c <= 8.0:
+                return c
+        return 8 if self.D % 8 == 0 else 1
 
     def _invalidate_cache(self) -> None:
         self._Ustar_cache_dev = None

@@ -57,6 +57,27 @@ def test_chunked_solve_matches():
     assert float(res) <= 1e-6 * 1.01
 
 
+def test_lattice_forced_col_chunks(monkeypatch):
+    """OSCILLINK_COL_CHUNKS routes the lattice's U* solve through the
+    chunked path with matching results."""
+    rng = np.random.default_rng(5)
+    Y = rng.standard_normal((40, 12)).astype(np.float32)
+    psi = rng.standard_normal(12).astype(np.float32)
+    lat = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    lat.set_query(psi)
+    U_full = lat.solve_Ustar(tol=1e-6, max_iters=200).copy()
+
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "4")
+    lat2 = OscillinkLattice(Y, kneighbors=4, deterministic_k=True)
+    lat2.set_query(psi)
+    assert lat2._auto_col_chunks() == 4
+    U_chunk = lat2.solve_Ustar(tol=1e-6, max_iters=200)
+    np.testing.assert_allclose(U_chunk, U_full, rtol=1e-5, atol=1e-5)
+    # indivisible chunk request is ignored
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "5")
+    assert lat2._auto_col_chunks() == 1
+
+
 def test_donated_solve_matches():
     import jax.numpy as jnp
     import jax
