@@ -501,6 +501,28 @@ class OscillinkLattice:
 
     # -- public API -------------------------------------------------------
 
+    @classmethod
+    def from_texts(
+        cls,
+        texts: list[str],
+        query: Optional[str] = None,
+        *,
+        embed_dim: int = 384,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        **kwargs,
+    ) -> "OscillinkLattice":
+        """Build a lattice straight from texts via the embedding adapters
+        (sentence-transformers when available, hash fallback otherwise).
+        ``query`` embeds and installs as psi when given."""
+        from ..adapters.text import embed_texts
+
+        Y = embed_texts(texts, model_name=model_name, fallback_dim=embed_dim)
+        lat = cls(Y.astype(np.float32), **kwargs)
+        if query is not None:
+            psi = embed_texts([query], model_name=model_name, fallback_dim=embed_dim)[0]
+            lat.set_query(psi.astype(np.float32))
+        return lat
+
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
         self.psi = np.asarray(psi, dtype=np.float32).copy()
         if gates is not None:
