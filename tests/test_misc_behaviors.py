@@ -58,6 +58,34 @@ def test_job_cancel_queued():
     gate.set()
 
 
+def test_job_store_concurrent_submissions():
+    """JobStore stays consistent under concurrent submitters."""
+    import threading
+
+    store = JobStore()
+    ids = []
+    lock = threading.Lock()
+
+    def submit_some():
+        for _ in range(10):
+            rec = store.submit(lambda: {"ok": True})
+            with lock:
+                ids.append(rec["id"])
+
+    threads = [threading.Thread(target=submit_some) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(ids)) == 40
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if all(store.get(i)["status"] == "done" for i in ids):
+            break
+        time.sleep(0.05)
+    assert all(store.get(i)["status"] == "done" for i in ids)
+
+
 def test_bundle_cache_ttl_and_lru(monkeypatch):
     monkeypatch.setenv("OSCILLINK_BUNDLE_CACHE_TTL", "100")
     monkeypatch.setenv("OSCILLINK_BUNDLE_CACHE_SIZE", "2")

@@ -89,3 +89,16 @@ def test_embed_texts_fallback():
     v = embed_texts(["a", "b", "c"], fallback_dim=16)
     assert v.shape == (3, 16)
     assert embed_texts([], fallback_dim=16).shape == (0, 16)
+
+
+def test_from_texts_constructor():
+    from oscillink_tpu import Oscillink
+
+    texts = ["alpha beta", "beta gamma", "gamma delta", "delta epsilon"]
+    lat = Oscillink.from_texts(texts, query="beta", kneighbors=2, embed_dim=32)
+    assert (lat.N, lat.D) == (4, 32)
+    assert np.linalg.norm(lat.psi) > 0  # query installed
+    lat.settle()
+    assert len(lat.bundle(k=2)) == 2
+    lat2 = Oscillink.from_texts(texts, kneighbors=2, embed_dim=32)
+    assert np.allclose(lat2.psi, 0)  # no query → zero psi
