@@ -31,7 +31,7 @@ import hashlib
 import json
 import os
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -197,8 +197,12 @@ def compute_state_sig(
 # Device-staged scalar packs, shared across ALL lattice instances: on tunneled
 # runtimes each host->device transfer is a fixed ~25 ms RPC, so repeated
 # constructions with the same dt/tol/lambda values must not re-transfer.
-_SCALAR_PACK_CACHE: dict[tuple, jax.Array] = {}
-_LAM_PACK_CACHE: dict[tuple, EnergyParams] = {}
+# LRU-bounded: the service's adaptive learner samples fresh lambda values on
+# every explore request, so unbounded dicts would leak one host entry plus a
+# device buffer per distinct tuple under learning-enabled traffic.
+_PACK_CACHE_MAX = 512
+_SCALAR_PACK_CACHE: "OrderedDict[tuple, jax.Array]" = OrderedDict()
+_LAM_PACK_CACHE: "OrderedDict[tuple, EnergyParams]" = OrderedDict()
 
 
 def _scalar_pack(*vals: float) -> jax.Array:
@@ -207,6 +211,10 @@ def _scalar_pack(*vals: float) -> jax.Array:
     if arr is None:
         arr = jnp.asarray(np.array(key, dtype=np.float32))
         _SCALAR_PACK_CACHE[key] = arr
+        while len(_SCALAR_PACK_CACHE) > _PACK_CACHE_MAX:
+            _SCALAR_PACK_CACHE.popitem(last=False)
+    else:
+        _SCALAR_PACK_CACHE.move_to_end(key)
     return arr
 
 
@@ -217,6 +225,10 @@ def _lam_pack(lamG: float, lamC: float, lamQ: float, lamP: float) -> EnergyParam
         lam4 = jnp.asarray(np.array(key, dtype=np.float32))
         lam = EnergyParams(lam4[0], lam4[1], lam4[2], lam4[3])
         _LAM_PACK_CACHE[key] = lam
+        while len(_LAM_PACK_CACHE) > _PACK_CACHE_MAX:
+            _LAM_PACK_CACHE.popitem(last=False)
+    else:
+        _LAM_PACK_CACHE.move_to_end(key)
     return lam
 
 

@@ -89,6 +89,11 @@ def solve_stationary(
     return cg_solve(M_mul, rhs, x0=Y if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
 
 
+_solve_stationary_chunk = jax.jit(solve_stationary)
+"""Per-chunk stationary solve; module-level so the compile cache is reused
+across solve_stationary_chunked calls (one trace per chunk shape)."""
+
+
 def solve_stationary_chunked(
     g,
     pg,
@@ -120,15 +125,14 @@ def solve_stationary_chunked(
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
-    solve_one = jax.jit(
-        lambda Yc, psic, B: solve_stationary(
-            g, pg, Yc, psic, B, lam, tol=tol, max_iters=max_iters
-        )
-    )
     outs, iters_all, res_all = [], [], []
     for c in range(col_chunks):
         sl = slice(c * w, (c + 1) * w)
-        U_c, it_c, res_c = solve_one(Y[:, sl], psi[sl], B)
+        # module-level jit: graph/params are traced arguments (not baked-in
+        # constants), so the shape-keyed compile cache is shared across calls
+        U_c, it_c, res_c = _solve_stationary_chunk(
+            g, pg, Y[:, sl], psi[sl], B, lam, tol, max_iters
+        )
         # serialize: the next chunk's dispatch waits for this chunk's result
         jax.block_until_ready(U_c)
         outs.append(U_c)

@@ -84,7 +84,9 @@ def native_settle(
     t_ms = 1000.0 * (time.perf_counter() - t0)
 
     y_hash = OscillinkLattice._hash_anchors(Y)
-    token = compute_graph_token(y_hash, k_eff, 1.0, False, sreq.params.neighbor_seed)
+    token = compute_graph_token(
+        y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
+    )
     state_sig = compute_state_sig(
         psi,
         eng.B,
