@@ -100,6 +100,28 @@ def _jit_solve_ustar(g, pg, Y, psi, B, lam, opts):
 
 
 @jax.jit
+def _jit_solve_ustar_windowed(ctx, Y, psi, B, lam, opts):
+    from ..models.coherence import solve_stationary_windowed
+
+    tol, max_iters = opts[0], opts[1].astype(jnp.int32)
+    Ustar, iters, res = solve_stationary_windowed(
+        ctx, Y, psi, B, lam, tol=tol, max_iters=max_iters
+    )
+    return Ustar, iters, res, res <= tol
+
+
+@partial(jax.jit, static_argnames=("use_jacobi",))
+def _jit_settle_windowed(ctx, U, Y, psi, B, lam, opts, x0, use_jacobi):
+    from ..models.coherence import settle_step_windowed
+
+    dt, tol, max_iters = opts[0], opts[1], opts[2].astype(jnp.int32)
+    return settle_step_windowed(
+        ctx, U, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters, x0=x0,
+        use_jacobi=use_jacobi,
+    )
+
+
+@jax.jit
 def _jit_deltaH(g, pg, U, Ustar, lam, B):
     return deltaH_trace(g, pg, U, Ustar, lam, B)
 
@@ -334,6 +356,9 @@ class OscillinkLattice:
         return h.hexdigest()
 
     def _build_graph_device(self) -> None:
+        # defaults for paths that return before _maybe_build_window_ctx
+        self._window_ctx = None
+        self._window_coverage = None
         jitter = None
         if (
             self._neighbor_seed is not None
@@ -377,6 +402,74 @@ class OscillinkLattice:
         self._host_w: Optional[np.ndarray] = None
         self._host_sqrt_deg: Optional[np.ndarray] = None
         self._edge_pairs_cache: Optional[np.ndarray] = None
+        self._maybe_build_window_ctx()
+
+    def _locality_order(self) -> np.ndarray:
+        """Rows sorted by leading-principal-direction projection (host).
+
+        Mutual-kNN neighbors of real (clustered) embeddings concentrate near
+        the diagonal under this order — the precondition for the windowed
+        matvec kernel (ops/pallas/window_spmv.py)."""
+        Yc = self.Y - self.Y.mean(axis=0, keepdims=True)
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(self.D).astype(np.float32)
+        v /= np.linalg.norm(v) + 1e-12
+        for _ in range(8):
+            v = Yc.T @ (Yc @ v)
+            v /= np.linalg.norm(v) + 1e-12
+        return np.argsort(Yc @ v, kind="stable").astype(np.int32)
+
+    def _maybe_build_window_ctx(self) -> None:
+        """Build the windowed-matvec context when enabled and worthwhile.
+
+        Gated by OSCILLINK_WINDOWED_MATVEC (auto|0|1): 'auto' requires
+        N >= OSCILLINK_WINDOWED_MIN_N and plan coverage >=
+        OSCILLINK_WINDOWED_MIN_COVERAGE; '1' forces it (tests); '0' disables.
+        The context never changes results beyond CG solver float ordering —
+        receipts stay within solve tolerance of the XLA gather path."""
+        self._window_ctx = None
+        self._window_coverage: Optional[float] = None
+        mode = os.getenv("OSCILLINK_WINDOWED_MATVEC", "auto").strip().lower()
+        if mode in {"0", "off", "false", "no"}:
+            return
+        forced = mode in {"1", "force", "on", "true"}
+        try:
+            min_n = int(os.getenv("OSCILLINK_WINDOWED_MIN_N", "32768"))
+        except ValueError:
+            min_n = 32768
+        if not forced and self.N < min_n:
+            return
+        try:
+            min_cov = float(os.getenv("OSCILLINK_WINDOWED_MIN_COVERAGE", "0.92"))
+        except ValueError:
+            min_cov = 0.92
+        from ..models.coherence import WindowCtx
+        from ..ops.pallas.window_spmv import (
+            DEFAULT_W,
+            build_onehot,
+            build_window_plan,
+        )
+
+        idx, wn = jax.device_get([self._graph.idx, self._graph.wn])  # one RPC
+        order = self._locality_order()
+        inv = np.empty(self.N, dtype=np.int32)
+        inv[order] = np.arange(self.N, dtype=np.int32)
+        plan, cov = build_window_plan(inv[idx[order]], wn[order])
+        self._window_coverage = cov
+        if not forced and cov < min_cov:
+            self._log("window_ctx_skipped", {"coverage": cov})
+            return
+        self._window_ctx = WindowCtx(
+            plan=plan,
+            oh=build_onehot(plan, DEFAULT_W),
+            order=jnp.asarray(order),
+            inv_order=jnp.asarray(inv),
+        )
+        self._log(
+            "window_ctx",
+            {"coverage": cov, "n_pad": plan.n_pad,
+             "stragglers": int(plan.strag_dst.shape[0])},
+        )
 
     def _build_graph_seeded_host(self) -> None:
         """Host f64 build for the seeded-jitter mode (exact reference parity)."""
@@ -600,18 +693,31 @@ class OscillinkLattice:
         U_prev = self._U_dev
         x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
         t0 = time.perf_counter()
-        U_plus, iters, res = _jit_settle(
-            self._graph,
-            self._path,
-            self._U_dev,
-            self._Y_dev,
-            self._psi_dev,
-            self._B_dev,
-            self._lam(),
-            self._opts(dt, tol, max_iters),
-            x0,
-            precond == "jacobi",
-        )
+        if self._window_ctx is not None and self._path is None:
+            U_plus, iters, res = _jit_settle_windowed(
+                self._window_ctx,
+                self._U_dev,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                self._opts(dt, tol, max_iters),
+                x0,
+                precond == "jacobi",
+            )
+        else:
+            U_plus, iters, res = _jit_settle(
+                self._graph,
+                self._path,
+                self._U_dev,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                self._opts(dt, tol, max_iters),
+                x0,
+                precond == "jacobi",
+            )
         _maybe_sync(U_plus)
         self._U_dev = U_plus
         self.last = LazyStats(
@@ -669,6 +775,15 @@ class OscillinkLattice:
                 col_chunks=col_chunks,
             )
             converged = res <= tol
+        elif self._window_ctx is not None and self._path is None:
+            Ustar, iters, res, converged = _jit_solve_ustar_windowed(
+                self._window_ctx,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                self._opts(tol, max_iters),
+            )
         else:
             Ustar, iters, res, converged = _jit_solve_ustar(
                 self._graph,
@@ -1305,6 +1420,8 @@ class OscillinkLattice:
         self._host_sqrt_deg = sqrt_deg
         self._edge_pairs_cache = None
         self._edge_count_handle = self._fetch.defer(jnp.int32(int((w > 0).sum())))
+        self._window_ctx = None
+        self._window_coverage = None
         self._graph_token = hashlib.sha256(
             b"imported-dense:" + A.tobytes()
         ).hexdigest()

@@ -185,3 +185,101 @@ def settle_step(
         M_diag = 1.0 + dt * diag_base
 
     return cg_solve(A_mul, rhs, x0=U if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
+
+
+# -- windowed-matvec solves (contiguous-DMA Pallas kernel) ------------------
+#
+# For large lattices on locality-ordered data the Laplacian matvec runs
+# through ops.pallas.window_spmv instead of the XLA gather path (see that
+# module's header for the measured cost model).  The solve permutes rows into
+# the plan's locality order, pads to the plan geometry, runs CG entirely in
+# permuted space (padded rows carry decoupled lamG-only equations), and
+# un-permutes the solution — two extra N-row gathers per solve, amortized
+# over all CG iterations.
+
+
+class WindowCtx(NamedTuple):
+    """Locality-ordered window-matvec context (pytree of arrays)."""
+
+    plan: "WindowPlan"  # ops.pallas.window_spmv.WindowPlan
+    oh: jax.Array  # [Npad, 2W] one-hot weights (built once per graph)
+    order: jax.Array  # [N] int32: permuted position -> original row
+    inv_order: jax.Array  # [N] int32: original row -> permuted position
+
+
+def _permuted_operands(ctx: WindowCtx, arrays):
+    from ..ops.pallas.window_spmv import pad_rows
+
+    n_pad = ctx.plan.n_pad
+    return [pad_rows(jnp.take(a, ctx.order, axis=0), n_pad) for a in arrays]
+
+
+def solve_stationary_windowed(
+    ctx: WindowCtx,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    tol=1e-4,
+    max_iters=64,
+    x0: Optional[jax.Array] = None,
+):
+    """Stationary solve with the windowed Laplacian matvec (no chain prior)."""
+    from ..ops.pallas.window_spmv import lap_matvec_windowed
+
+    n = Y.shape[0]
+    ops = [Y, B[:, None]] + ([x0] if x0 is not None else [])
+    perm = _permuted_operands(ctx, ops)
+    Yp, Bp = perm[0], perm[1][:, 0]
+    x0p = perm[2] if x0 is not None else Yp
+    rhs = lam.lamG * Yp + lam.lamQ * (Bp[:, None] * psi[None, :])
+    M_diag = lam.lamG + lam.lamQ * Bp
+
+    def M_mul(X):
+        return (
+            lam.lamG * X
+            + lam.lamC * lap_matvec_windowed(ctx.plan, ctx.oh, X)
+            + lam.lamQ * (Bp[:, None] * X)
+        )
+
+    Up, iters, res = cg_solve(
+        M_mul, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
+    return jnp.take(Up, ctx.inv_order, axis=0), iters, res
+
+
+def settle_step_windowed(
+    ctx: WindowCtx,
+    U: jax.Array,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    dt=1.0,
+    tol=1e-3,
+    max_iters=12,
+    x0: Optional[jax.Array] = None,
+    use_jacobi: bool = True,
+):
+    """Implicit Euler step with the windowed Laplacian matvec (no chain)."""
+    from ..ops.pallas.window_spmv import lap_matvec_windowed
+
+    dt = jnp.asarray(dt, dtype=jnp.float32)
+    ops = [U, Y, B[:, None]] + ([x0] if x0 is not None else [])
+    perm = _permuted_operands(ctx, ops)
+    Up0, Yp, Bp = perm[0], perm[1], perm[2][:, 0]
+    x0p = perm[3] if x0 is not None else Up0
+    rhs = Up0 + dt * (lam.lamG * Yp + lam.lamQ * (Bp[:, None] * psi[None, :]))
+
+    def A_mul(X):
+        return X + dt * (
+            lam.lamG * X
+            + lam.lamC * lap_matvec_windowed(ctx.plan, ctx.oh, X)
+            + lam.lamQ * (Bp[:, None] * X)
+        )
+
+    M_diag = 1.0 + dt * (lam.lamG + lam.lamQ * Bp) if use_jacobi else None
+    Up, iters, res = cg_solve(
+        A_mul, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
+    return jnp.take(Up, ctx.inv_order, axis=0), iters, res

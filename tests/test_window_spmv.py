@@ -1,0 +1,116 @@
+"""Windowed Laplacian matvec: plan construction, kernel parity, lattice path.
+
+The Pallas kernel runs in interpret mode on the CPU test mesh; the same code
+compiles through Mosaic on TPU (exercised by bench.py / benchmarks).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oscillink_tpu.ops.graph import Graph, build_graph, lap_matvec
+from oscillink_tpu.ops.pallas import window_spmv as ws
+
+
+def _clustered(n, d, n_centers=8, seed=0, spread=0.25):
+    rng = np.random.default_rng(seed)
+    centers = 4.0 * rng.standard_normal((n_centers, d)).astype(np.float32)
+    lbl = np.sort(rng.integers(0, n_centers, size=n))
+    return (centers[lbl] + spread * rng.standard_normal((n, d))).astype(np.float32)
+
+
+def test_plan_partitions_every_live_edge():
+    rng = np.random.default_rng(3)
+    n, k = 700, 5
+    idx = rng.integers(0, n, size=(n, k)).astype(np.int32)
+    wn = (rng.random((n, k)) * 0.2).astype(np.float32)
+    wn[rng.random((n, k)) < 0.3] = 0.0  # padding slots
+    plan, cov = ws.build_window_plan(idx, wn, W=256, R=128)
+    n_live = int((wn != 0).sum())
+    n_in1 = int((np.asarray(plan.wn1) != 0).sum())
+    n_in2 = int((np.asarray(plan.wn2) != 0).sum())
+    n_strag = int((np.asarray(plan.strag_w) != 0).sum())
+    assert n_in1 + n_in2 + n_strag == n_live
+    assert cov == pytest.approx(1.0 - n_strag / n_live)
+    # straggler dst list must be non-decreasing (scatter uses sorted hint)
+    dst = np.asarray(plan.strag_dst)
+    assert (np.diff(dst) >= 0).all()
+    # local ids within window bounds wherever weights are live
+    for idx_l, w_l in ((plan.idx1l, plan.wn1), (plan.idx2l, plan.wn2)):
+        il, wl = np.asarray(idx_l), np.asarray(w_l)
+        assert il[wl != 0].min() >= 0 and il[wl != 0].max() < 256
+
+
+@pytest.mark.parametrize("seed,gen", [(0, "clustered"), (1, "random")])
+def test_windowed_matvec_matches_xla(seed, gen):
+    rng = np.random.default_rng(seed)
+    n, d, k = 1500, 64, 6
+    if gen == "clustered":
+        Y = _clustered(n, d, seed=seed)
+    else:
+        Y = rng.standard_normal((n, d)).astype(np.float32)
+    g = jax.jit(lambda Y: build_graph(Y, k))(jnp.asarray(Y))
+    plan, cov = ws.build_window_plan(
+        np.asarray(g.idx), np.asarray(g.wn), W=512, R=256
+    )
+    oh = ws.build_onehot(plan, 512)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    out = np.asarray(ws.lap_matvec_windowed(plan, oh, Xp, W=512, R=256))[:n]
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 1e-5, (gen, cov, rel)
+
+
+def test_lattice_windowed_solve_matches_default(monkeypatch):
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=2)
+    rng = np.random.default_rng(2)
+    psi = rng.standard_normal(48).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    U_ref = base.solve_Ustar(tol=1e-5, max_iters=96)
+    r_ref = base.receipt()
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")  # force at small N
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None
+    assert lat._window_coverage is not None and lat._window_coverage > 0.5
+    lat.set_query(psi)
+    U_win = lat.solve_Ustar(tol=1e-5, max_iters=96)
+    scale = np.abs(U_ref).max()
+    assert np.abs(U_win - U_ref).max() / scale < 5e-4
+    r_win = lat.receipt()
+    assert r_win["deltaH_total"] == pytest.approx(
+        r_ref["deltaH_total"], rel=1e-3, abs=1e-3
+    )
+    # settle through the windowed path stays SPD-sane
+    out = lat.settle(max_iters=12, tol=1e-3)
+    assert out["res"] is not None
+
+
+def test_lattice_windowed_chain_falls_back(monkeypatch):
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    Y = _clustered(600, 32, seed=4)
+    lat = OscillinkLattice(Y, kneighbors=4)
+    assert lat._window_ctx is not None
+    lat.add_chain([1, 5, 9], lamP=0.2)
+    # chain prior present -> solve must route through the XLA path (no error)
+    lat.set_query(np.zeros(32, dtype=np.float32))
+    rec = lat.chain_receipt([1, 5, 9])
+    assert "verdict" in rec
+
+
+def test_auto_mode_skips_small_n(monkeypatch):
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    monkeypatch.delenv("OSCILLINK_WINDOWED_MATVEC", raising=False)
+    lat = OscillinkLattice(_clustered(300, 16, seed=5), kneighbors=4)
+    assert lat._window_ctx is None
