@@ -72,6 +72,81 @@ def readback_pass(OscillinkLattice, Y, psi, k):
     return 1000.0 * (time.perf_counter() - t0), rec["deltaH_total"]
 
 
+def fused_pass(Y, psi, k):
+    """One-shot fused pipeline (models/oneshot.py): one dispatch, one fetch."""
+    from oscillink_tpu.models.oneshot import settle_receipt_light
+
+    t0 = time.perf_counter()
+    rec = settle_receipt_light(Y, psi, kneighbors=k)
+    assert np.isfinite(rec["deltaH_total"])
+    return 1000.0 * (time.perf_counter() - t0), rec["deltaH_total"]
+
+
+def matvec_kernel_compare():
+    """Windowed Pallas kernel vs the XLA gather matvec at 100k x 768 x k8.
+
+    Slope-timed (T24-T4)/20 chained applies so the tunnel's RPC floor and a
+    possibly-lying block_until_ready cancel out of the measurement."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from oscillink_tpu.ops.graph import Graph, lap_matvec
+    from oscillink_tpu.ops.pallas import window_spmv as ws
+
+    rng = np.random.default_rng(0)
+    n, d, k = 100_000, 768, 8
+    idx = ((np.arange(n)[:, None] + rng.integers(-400, 400, size=(n, k))) % n).astype(
+        np.int32
+    )
+    wn = (rng.random((n, k)) * 0.1).astype(np.float32)
+    plan, cov = ws.build_window_plan(idx, wn)
+    oh = ws.build_onehot(plan, ws.DEFAULT_W)
+    X = jnp.asarray(rng.standard_normal((plan.n_pad, d)).astype(np.float32))
+    g = Graph(
+        idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),
+        sqrt_deg=jnp.ones(n),
+    )
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain_xla(X, reps):
+        def body(i, acc):
+            return lap_matvec(g, acc) * 0.999
+
+        return jnp.sum(lax.fori_loop(0, reps, body, X[:n])[:8, :8])
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain_win(plan, oh, X, reps):
+        def body(i, acc):
+            return ws.lap_matvec_windowed(plan, oh, acc) * 0.999
+
+        return jnp.sum(lax.fori_loop(0, reps, body, X)[:8, :8])
+
+    def slope(fn):
+        import jax
+
+        for reps in (4, 24):
+            float(jax.device_get(fn(reps)))
+        ts = []
+        for reps in (4, 24, 4, 24):
+            t0 = time.perf_counter()
+            float(jax.device_get(fn(reps)))
+            ts.append(1000.0 * (time.perf_counter() - t0))
+        return ((ts[1] + ts[3]) / 2 - (ts[0] + ts[2]) / 2) / 20
+
+    xla_ms = slope(lambda r: chain_xla(X, r))
+    win_ms = slope(lambda r: chain_win(plan, oh, X, r))
+    return {
+        "xla_gather_ms_per_apply": round(xla_ms, 3),
+        "windowed_kernel_ms_per_apply": round(win_ms, 3),
+        "speedup": round(xla_ms / win_ms, 2) if win_ms > 0 else None,
+        "plan_coverage": round(cov, 4),
+        "config": "N=100k D=768 k=8, locality-ordered (+-400 neighbor spread)",
+    }
+
+
 def sync_is_trustworthy() -> bool:
     """The tunnel's completion-sync path has been observed to silently stop
     blocking (warm 55-TFLOP calls 'completing' in 0 ms).  Validate it against
@@ -154,6 +229,25 @@ def main() -> None:
     worker.join(READBACK_DEADLINE_S)
     readback_ok = 5000 in readback
 
+    # fused one-shot serving path (one dispatch + one scalar fetch)
+    fused = {}
+    try:
+        for n, cfg in configs.items():
+            fused_pass(cfg["Y"], cfg["psi"], cfg["k"])  # compile
+            times = [fused_pass(cfg["Y"], cfg["psi"], cfg["k"])[0] for _ in range(REPEATS)]
+            fused[n] = round(float(np.median(times)), 3)
+            log(f"# N={n} fused one-shot: {fused[n]} ms")
+    except Exception as e:  # pragma: no cover
+        log(f"# fused path failed: {e}")
+
+    # windowed matvec kernel vs XLA gather (the CG hot op)
+    matvec = None
+    try:
+        matvec = matvec_kernel_compare()
+        log(f"# matvec kernel compare: {matvec}")
+    except Exception as e:  # pragma: no cover
+        log(f"# matvec compare failed: {e}")
+
     # native host engine at the reference's small headline config
     r1200_native = None
     try:
@@ -187,12 +281,17 @@ def main() -> None:
     # value preference: full readback (best) > sync-validated compute E2E >
     # the last committed good readback (conservative) — dispatch-only
     # numbers are never reported as the headline value.
+    # value preference: full readback (best) > sync-validated compute E2E.
+    # If BOTH device channels are broken this run produced no measurement:
+    # the headline value/vs_baseline are null and any cached last-good number
+    # lives ONLY under detail.cached_last_good (never in the headline).
+    cached_detail = None
     if readback_ok:
         value, quality = readback[5000]["e2e_ms"], "full-readback"
     elif sync_ok:
         value, quality = configs[5000]["compute_e2e_ms"], "compute-synced"
     else:
-        value, quality = None, "degraded (sync + d2h broken)"
+        value, quality = None, "degraded (sync + d2h broken): no measurement this run"
         try:
             import os as _os
 
@@ -201,25 +300,39 @@ def main() -> None:
                 "benchmarks",
                 "bench_latest.json",
             )
-            cached = json.load(open(cached_path))
-            value = cached["value"]
-            quality = "cached-last-good readback (this run's device channels broken)"
+            cached_detail = {
+                "value": json.load(open(cached_path))["value"],
+                "note": "previous committed run; NOT this run's measurement",
+            }
         except Exception:
-            value = configs[5000]["compute_e2e_ms"]
-            quality = "dispatch-only (device sync broken; no cached measurement)"
+            cached_detail = None
     out = {
         "metric": "e2e_build_settle_receipt_ms_N5000_D128_k6",
         "value": value,
         "unit": "ms",
-        "vs_baseline": round(BASELINE_N5000_MS / value, 3),
+        "vs_baseline": round(BASELINE_N5000_MS / value, 3) if value else None,
         "detail": {
             "measurement_quality": quality,
             "includes_readback": readback_ok,
+            "cached_last_good": cached_detail,
             "N5000_compute_ms": configs[5000]["compute_e2e_ms"],
             "N5000_readback": readback.get(5000),
+            "N5000_fused_ms": fused.get(5000),
             "N1200_compute_ms": configs[1200]["compute_e2e_ms"],
             "N1200_readback": readback.get(1200),
+            "N1200_fused_ms": fused.get(1200),
             "N1200_native": r1200_native,
+            "N1200_serving_default": (
+                {
+                    "backend": "native-host (deploy default: "
+                    "OSCILLINK_NATIVE_SMALL_N=2048)",
+                    "e2e_ms": r1200_native["e2e_ms"],
+                    "vs_baseline": r1200_native["vs_baseline"],
+                }
+                if r1200_native
+                else {"backend": "tpu-fused", "e2e_ms": fused.get(1200)}
+            ),
+            "matvec_100k": matvec,
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N5000_source": "reference benchmarks/scale_latest.jsonl (dev CPU)",
             "baseline_N1200_ms": BASELINE_N1200_MS,
@@ -228,7 +341,8 @@ def main() -> None:
             "repeats": REPEATS,
             "tunnel_note": (
                 "d2h data channel setup is 26s-to-wedged through the axon tunnel; "
-                "compute timings sync via the healthy control channel"
+                "each d2h RPC ~25-50ms and h2d ~13ms — a ~39ms network floor on "
+                "any full-readback E2E that does not exist off-tunnel"
             ),
         },
     }

@@ -20,4 +20,10 @@ if [ -n "${OSCILLINK_USAGE_LOG}" ] && [ -n "${OSCILLINK_USAGE_FLUSH_URL}" ]; the
     python -m oscillink_tpu.tools.usage_flush &
 fi
 
+# Serving routing policy: requests with N <= this threshold are settled by
+# the C++ host engine when it is available (identical receipts/signatures),
+# dodging the fixed per-request accelerator round-trip that dominates the
+# small-N regime. Set to 0 to force every request onto the device path.
+export OSCILLINK_NATIVE_SMALL_N="${OSCILLINK_NATIVE_SMALL_N:-2048}"
+
 exec python -m oscillink_tpu.service --host "${HOST:-0.0.0.0}" --port "${PORT:-8000}"
