@@ -127,6 +127,30 @@ def _jit_deltaH(g, pg, U, Ustar, lam, B):
 
 
 @jax.jit
+def _jit_locality_order(Y):
+    """Rows sorted by leading-principal-direction projection (on device).
+
+    Mutual-kNN neighbors of real (clustered) embeddings concentrate near the
+    diagonal under this order — the precondition for the windowed matvec
+    kernel (ops/pallas/window_spmv.py). Returns (order, inverse)."""
+    Yc = Y - jnp.mean(Y, axis=0, keepdims=True)
+    # fixed deterministic start vector (seed-free: shapes decide the program)
+    v = jnp.sin(jnp.arange(Y.shape[1], dtype=jnp.float32) + 1.0)
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+
+    def body(_, v):
+        v = Yc.T @ (Yc @ v)
+        return v / (jnp.linalg.norm(v) + 1e-12)
+
+    v = jax.lax.fori_loop(0, 8, body, v)
+    order = jnp.argsort(Yc @ v, stable=True).astype(jnp.int32)
+    inv = jnp.zeros(Y.shape[0], jnp.int32).at[order].set(
+        jnp.arange(Y.shape[0], dtype=jnp.int32)
+    )
+    return order, inv
+
+
+@jax.jit
 def _jit_receipt_full(g, pg, U, Ustar, lam, B, Y, psi):
     dH = deltaH_trace(g, pg, U, Ustar, lam, B)
     coh, anchor, query = per_node_components(g, Y, Ustar, lam, B, psi)
@@ -404,29 +428,19 @@ class OscillinkLattice:
         self._edge_pairs_cache: Optional[np.ndarray] = None
         self._maybe_build_window_ctx()
 
-    def _locality_order(self) -> np.ndarray:
-        """Rows sorted by leading-principal-direction projection (host).
-
-        Mutual-kNN neighbors of real (clustered) embeddings concentrate near
-        the diagonal under this order — the precondition for the windowed
-        matvec kernel (ops/pallas/window_spmv.py)."""
-        Yc = self.Y - self.Y.mean(axis=0, keepdims=True)
-        rng = np.random.default_rng(0)
-        v = rng.standard_normal(self.D).astype(np.float32)
-        v /= np.linalg.norm(v) + 1e-12
-        for _ in range(8):
-            v = Yc.T @ (Yc @ v)
-            v /= np.linalg.norm(v) + 1e-12
-        return np.argsort(Yc @ v, kind="stable").astype(np.int32)
-
     def _maybe_build_window_ctx(self) -> None:
         """Build the windowed-matvec context when enabled and worthwhile.
 
         Gated by OSCILLINK_WINDOWED_MATVEC (auto|0|1): 'auto' requires
         N >= OSCILLINK_WINDOWED_MIN_N and plan coverage >=
         OSCILLINK_WINDOWED_MIN_COVERAGE; '1' forces it (tests); '0' disables.
-        The context never changes results beyond CG solver float ordering —
-        receipts stay within solve tolerance of the XLA gather path."""
+
+        Everything runs ON DEVICE (locality ordering, plan construction,
+        one-hot build); the only device->host traffic is a two-scalar fetch
+        of (coverage, straggler count) — a bulk fetch of the [N, K] neighbor
+        arrays costs minutes through tunneled runtimes (measured 165 s for
+        6.3 MB).  The context never changes results beyond CG solver float
+        ordering — receipts stay within solve tolerance of the XLA path."""
         self._window_ctx = None
         self._window_coverage: Optional[float] = None
         mode = os.getenv("OSCILLINK_WINDOWED_MATVEC", "auto").strip().lower()
@@ -445,30 +459,38 @@ class OscillinkLattice:
             min_cov = 0.92
         from ..models.coherence import WindowCtx
         from ..ops.pallas.window_spmv import (
+            DEFAULT_R,
             DEFAULT_W,
             build_onehot,
-            build_window_plan,
+            build_window_plan_device,
         )
 
-        idx, wn = jax.device_get([self._graph.idx, self._graph.wn])  # one RPC
-        order = self._locality_order()
-        inv = np.empty(self.N, dtype=np.int32)
-        inv[order] = np.arange(self.N, dtype=np.int32)
-        plan, cov = build_window_plan(inv[idx[order]], wn[order])
+        order, inv = _jit_locality_order(self._Y_dev)
+        strag_cap = max(1024, (self.N * self._kneighbors) // 10)
+        strag_cap = ((strag_cap + 7) // 8) * 8
+        plan, cov_dev, n_strag_dev = build_window_plan_device(
+            self._graph.idx, self._graph.wn, order, DEFAULT_W, DEFAULT_R, strag_cap
+        )
+        cov, n_strag = (
+            float(v) for v in jax.device_get([cov_dev, n_strag_dev])
+        )  # one tiny RPC
         self._window_coverage = cov
-        if not forced and cov < min_cov:
-            self._log("window_ctx_skipped", {"coverage": cov})
+        # the compacted straggler list truncates beyond strag_cap — never
+        # accept a truncated plan, even when forced (correctness first)
+        if n_strag > strag_cap or (not forced and cov < min_cov):
+            self._log(
+                "window_ctx_skipped", {"coverage": cov, "stragglers": n_strag}
+            )
             return
         self._window_ctx = WindowCtx(
             plan=plan,
             oh=build_onehot(plan, DEFAULT_W),
-            order=jnp.asarray(order),
-            inv_order=jnp.asarray(inv),
+            order=order,
+            inv_order=inv,
         )
         self._log(
             "window_ctx",
-            {"coverage": cov, "n_pad": plan.n_pad,
-             "stragglers": int(plan.strag_dst.shape[0])},
+            {"coverage": cov, "n_pad": plan.n_pad, "stragglers": n_strag},
         )
 
     def _build_graph_seeded_host(self) -> None:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["Graph", "build_graph", "lap_matvec", "normalize_rows", "mmr_select"]
+__all__ = ["Graph", "build_graph", "graph_from_topk", "lap_matvec", "normalize_rows", "mmr_select"]
 
 # Row-block size for the blocked similarity top-k. 1024 rows x N cols of f32
 # keeps the per-block buffer modest while the matmul stays MXU-shaped.
@@ -85,13 +85,25 @@ def _topk_dense(Yn: jax.Array, k: int, jitter: Optional[jax.Array]):
     return vals, idx.astype(jnp.int32)
 
 
-def _topk_blocked(Yn: jax.Array, k: int, block_rows: int):
-    """Blocked similarity top-k: O(block * N) memory, full-MXU matmuls."""
-    n, _ = Yn.shape
-    nblocks = -(-n // block_rows)
+def _topk_blocked(
+    Yq: jax.Array,
+    Yn: jax.Array,
+    k: int,
+    block_rows: int,
+    row_offset: int | jax.Array = 0,
+):
+    """Blocked similarity top-k of query rows ``Yq`` against all of ``Yn``.
+
+    ``row_offset`` is the global id of Yq's first row (for self-exclusion) —
+    0 for the single-device build, the shard offset under shard_map.
+    O(block * N) memory, full-MXU matmuls."""
+    n_q = Yq.shape[0]
+    n = Yn.shape[0]
+    nblocks = -(-n_q // block_rows)
     npad = nblocks * block_rows
-    Ypad = jnp.pad(Yn, ((0, npad - n), (0, 0)))
+    Ypad = jnp.pad(Yq, ((0, npad - n_q), (0, 0)))
     col_ids = jnp.arange(n, dtype=jnp.int32)
+    row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
 
     def one_block(b):
         rows = lax.dynamic_slice_in_dim(Ypad, b * block_rows, block_rows)
@@ -99,21 +111,23 @@ def _topk_blocked(Yn: jax.Array, k: int, block_rows: int):
             rows, Yn.T, preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )  # [B, N]
-        gidx = b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        gidx = row_offset + b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
         S = jnp.where(col_ids[None, :] == gidx[:, None], -jnp.inf, S)
         vals, idx = lax.top_k(S, k)
         return vals, idx.astype(jnp.int32)
 
     vals, idx = lax.map(one_block, jnp.arange(nblocks))
-    return vals.reshape(npad, k)[:n], idx.reshape(npad, k)[:n]
+    return vals.reshape(npad, k)[:n_q], idx.reshape(npad, k)[:n_q]
 
 
 def _topk_blocked_fast(
+    Yq: jax.Array,
     Yn: jax.Array,
     k: int,
     block_rows: int,
     overscan: int = 4,
     recall_target: float = 0.99,
+    row_offset: int | jax.Array = 0,
 ):
     """Two-pass blocked top-k: bf16 MXU scan + approx_max_k + exact rescore.
 
@@ -130,19 +144,21 @@ def _topk_blocked_fast(
     are confined to near-tie tail neighbors (further softened by the mutual
     mask downstream).
     """
-    n, d = Yn.shape
+    n_q = Yq.shape[0]
+    n = Yn.shape[0]
     kc = min(overscan * k, n - 1)
-    nblocks = -(-n // block_rows)
+    nblocks = -(-n_q // block_rows)
     npad = nblocks * block_rows
-    Ypad = jnp.pad(Yn, ((0, npad - n), (0, 0)))
+    Ypad = jnp.pad(Yq, ((0, npad - n_q), (0, 0)))
     col_ids = jnp.arange(n, dtype=jnp.int32)
     Yn_bf16 = Yn.astype(jnp.bfloat16)
     Ypad_bf16 = Ypad.astype(jnp.bfloat16)
+    row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
 
     def one_block(b):
         rows = lax.dynamic_slice_in_dim(Ypad_bf16, b * block_rows, block_rows)
         S = jnp.dot(rows, Yn_bf16.T, preferred_element_type=jnp.float32)  # [B, N]
-        gidx = b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        gidx = row_offset + b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
         S = jnp.where(col_ids[None, :] == gidx[:, None], -jnp.inf, S)
         _, cand = lax.approx_max_k(S, kc, recall_target=recall_target)
         cand = cand.astype(jnp.int32)
@@ -158,7 +174,7 @@ def _topk_blocked_fast(
         return vals, idx.astype(jnp.int32)
 
     vals, idx = lax.map(one_block, jnp.arange(nblocks))
-    return vals.reshape(npad, k)[:n], idx.reshape(npad, k)[:n]
+    return vals.reshape(npad, k)[:n_q], idx.reshape(npad, k)[:n_q]
 
 
 def build_graph(
@@ -184,12 +200,21 @@ def build_graph(
     if jitter is not None or n <= dense_limit:
         vals, idx = _topk_dense(Yn, k, jitter)
     elif similarity == "fast":
-        vals, idx = _topk_blocked_fast(Yn, k, block_rows, recall_target=0.99)
+        vals, idx = _topk_blocked_fast(Yn, Yn, k, block_rows, recall_target=0.99)
     elif similarity == "fastest":
-        vals, idx = _topk_blocked_fast(Yn, k, block_rows, recall_target=0.95)
+        vals, idx = _topk_blocked_fast(Yn, Yn, k, block_rows, recall_target=0.95)
     else:
-        vals, idx = _topk_blocked(Yn, k, block_rows)
+        vals, idx = _topk_blocked(Yn, Yn, k, block_rows)
+    return graph_from_topk(vals, idx, row_cap=row_cap)
 
+
+def graph_from_topk(
+    vals: jax.Array, idx: jax.Array, *, row_cap: float = 1.0
+) -> Graph:
+    """Mutual mask + row cap + Laplacian factors from full [N, K] top-k
+    arrays.  O(N K^2) — cheap relative to the similarity scan, and shared by
+    the single-device and shard_map builds."""
+    n = idx.shape[0]
     # --- mutual mask + symmetrized weights (graph.py:64-66) ---
     w_ij = jnp.maximum(vals, 0.0)  # clip(min=0), padding rows of top_k
     self_ids = jnp.arange(n, dtype=jnp.int32)[:, None, None]

@@ -259,3 +259,83 @@ def pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
         return x
     pad = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
     return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def build_window_plan_device(
+    idx: jax.Array,
+    wn: jax.Array,
+    order: jax.Array,
+    W: int,
+    R: int,
+    strag_cap: int,
+):
+    """All-device window plan: no [N, K] arrays ever cross to the host.
+
+    Through tunneled runtimes a device->host fetch of the neighbor arrays
+    costs minutes (measured 165 s for 6.3 MB), so the permutation relabeling,
+    histogram window election, edge partitioning, and straggler compaction
+    all run as one jitted program; callers fetch only the (coverage,
+    straggler-count) scalars to accept or reject the plan.
+
+    ``strag_cap`` bounds the compacted straggler list (static shape).  If the
+    true straggler count exceeds it the list is truncated — callers MUST
+    reject the plan whenever ``n_strag > strag_cap`` (they already reject far
+    earlier on coverage).
+
+    Returns (WindowPlan, coverage [scalar], n_strag [scalar]).
+    """
+    if W % R != 0:
+        raise ValueError(f"W={W} must be a multiple of R={R}")
+    n, k = idx.shape
+    n_pad = _round_up(n, W)
+    b = n_pad // R
+    n_win = n_pad // W
+
+    inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    idx_p = jnp.pad(inv[idx[order]], ((0, n_pad - n), (0, 0)))
+    wn_p = jnp.pad(wn[order], ((0, n_pad - n), (0, 0)))
+
+    live = wn_p != 0.0
+    wblk = idx_p // W  # [Npad, K]
+    rowblk = (jnp.arange(n_pad, dtype=jnp.int32) // R)[:, None]
+
+    hist = jnp.zeros((b, n_win), jnp.int32).at[
+        jnp.broadcast_to(rowblk, wblk.shape), wblk
+    ].add(live.astype(jnp.int32))
+    c1 = jnp.argmax(hist, axis=1).astype(jnp.int32)
+    hist2 = hist.at[jnp.arange(b), c1].set(-1)
+    c2 = jnp.argmax(hist2, axis=1).astype(jnp.int32)
+    c2 = jnp.where(c2 == c1, (c1 + 1) % max(n_win, 1), c2)
+
+    c1_e = c1[rowblk[:, 0]][:, None]
+    c2_e = c2[rowblk[:, 0]][:, None]
+    in1 = live & (wblk == c1_e)
+    in2 = live & (wblk == c2_e)
+    strag = live & ~in1 & ~in2
+
+    idx1l = jnp.where(in1, idx_p - c1_e * W, 0).astype(jnp.int32)
+    wn1 = jnp.where(in1, wn_p, 0.0)
+    idx2l = jnp.where(in2, idx_p - c2_e * W, 0).astype(jnp.int32)
+    wn2 = jnp.where(in2, wn_p, 0.0)
+
+    flat = strag.reshape(-1)
+    n_strag = jnp.sum(flat.astype(jnp.int32))
+    # nonzero(size=...) yields ascending positions -> dst list stays sorted;
+    # padding entries get fill position pointing at the LAST row with w=0
+    (pos,) = jnp.nonzero(flat, size=strag_cap, fill_value=flat.shape[0] - k)
+    s_dst = (pos // k).astype(jnp.int32)
+    s_a = (pos % k).astype(jnp.int32)
+    valid = jnp.arange(strag_cap) < n_strag
+    s_dst = jnp.where(valid, s_dst, n_pad - 1)
+    s_src = jnp.where(valid, idx_p[s_dst, s_a], 0).astype(jnp.int32)
+    s_w = jnp.where(valid, wn_p[s_dst, s_a], 0.0)
+
+    n_live = jnp.maximum(jnp.sum(live.astype(jnp.int32)), 1)
+    coverage = 1.0 - n_strag.astype(jnp.float32) / n_live.astype(jnp.float32)
+
+    plan = WindowPlan(
+        c1=c1, c2=c2, idx1l=idx1l, wn1=wn1, idx2l=idx2l, wn2=wn2,
+        strag_dst=s_dst, strag_src=s_src, strag_w=s_w,
+    )
+    return plan, coverage, n_strag
