@@ -26,24 +26,43 @@ def _config_file() -> Path:
     return cfg_dir / "config.json"
 
 
+class CliHttpError(RuntimeError):
+    """Raised for any transport or non-2xx failure of a CLI API call."""
+
+
 def _http(method: str, url: str, data: Optional[dict] = None, headers: Optional[dict] = None):
-    req_headers = {"Content-Type": "application/json", **(headers or {})}
-    body = json.dumps(data).encode("utf-8") if data is not None else None
-    req = urllib.request.Request(url, data=body, headers=req_headers, method=method)
+    """Minimal JSON-over-HTTP round trip for the CLI (stdlib only).
+
+    Decodes JSON bodies when the server declares them, returns raw text
+    otherwise; all failures surface as CliHttpError with the response body
+    (when one exists) so `oscillink login` errors are actionable."""
+    payload = None if data is None else json.dumps(data).encode()
+    req = urllib.request.Request(
+        url,
+        data=payload,
+        method=method.upper(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+    )
+
+    def decode(body: bytes, content_type: str):
+        text = body.decode("utf-8", errors="replace")
+        return json.loads(text) if "json" in content_type.lower() else text
+
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
-            raw = resp.read()
-            if "application/json" in resp.headers.get("Content-Type", ""):
-                return json.loads(raw.decode("utf-8"))
-            return raw.decode("utf-8")
-    except urllib.error.HTTPError as e:
+            return decode(resp.read(), resp.headers.get("Content-Type") or "")
+    except urllib.error.HTTPError as exc:
+        body = b""
         try:
-            detail = e.read().decode("utf-8")
+            body = exc.read()
         except Exception:
-            detail = str(e)
-        raise RuntimeError(f"HTTP {e.code}: {detail}") from None
-    except urllib.error.URLError as e:
-        raise RuntimeError(f"Request failed: {e}") from e
+            pass
+        raise CliHttpError(
+            f"server responded {exc.code}: "
+            f"{body.decode('utf-8', errors='replace') or exc.reason}"
+        ) from None
+    except urllib.error.URLError as exc:
+        raise CliHttpError(f"could not reach {url}: {exc.reason}") from exc
 
 
 def _load_config() -> dict:

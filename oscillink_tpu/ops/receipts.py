@@ -259,3 +259,97 @@ def dynamics_core(
     fi = pos // g.k_max
     fj = g.idx.reshape(-1)[pos]
     return move2, dH_step, flow_total, vals, fi, fj
+
+
+# -- deterministic (bit-reproducible) deltaH ---------------------------------
+#
+# The default `deltaH_trace` inherits XLA's reduction order, which can differ
+# between compilations, backends, and mesh layouts at the float32 LSB.  The
+# deterministic variant fixes EVERY accumulation order explicitly:
+#
+#   * all arithmetic in float64 (f64 ops are IEEE-exact per op; no FMA
+#     contraction is applied to the emulated f64 path on TPU),
+#   * the K neighbor contributions accumulate in slot order,
+#   * the D-axis and N-axis sums are fixed pairwise binary trees.
+#
+# Given identical (U, U*, graph, params) float32 inputs the result is
+# BIT-IDENTICAL across CPU/TPU, device counts, and runs; `deltaH_tree_np` is
+# the executable NumPy specification and must produce the same bits
+# (tests/test_deterministic_receipts.py).  This implements the fixed-order
+# reduction design of SURVEY.md §7 for the receipt path; the remaining
+# cross-implementation delta vs the reference's np.sum/BLAS pipeline is the
+# solver's float32 state itself, bounded and documented in BASELINE.md.
+
+
+def _tree_sum_last(x):
+    """Fixed pairwise-tree sum over the last axis (shape-static unroll)."""
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+            x = jnp.pad(x, pad)
+            n += 1
+        x = x[..., 0::2] + x[..., 1::2]
+        n //= 2
+    return x[..., 0]
+
+
+def deltaH_trace_deterministic(
+    g: Graph,
+    pg: Optional[PathGraph],
+    U: jax.Array,
+    Ustar: jax.Array,
+    lam: EnergyParams,
+    B: jax.Array,
+) -> jax.Array:
+    """deltaH = tr((U-U*)^T M (U-U*)) with fixed-order f64 accumulation."""
+    diff = U.astype(jnp.float64) - Ustar.astype(jnp.float64)
+    wn = g.wn.astype(jnp.float64)
+    acc = diff
+    for a in range(g.k_max):
+        acc = acc - wn[:, a][:, None] * jnp.take(diff, g.idx[:, a], axis=0)
+    term = (
+        lam.lamG.astype(jnp.float64) * diff
+        + lam.lamC.astype(jnp.float64) * acc
+        + lam.lamQ.astype(jnp.float64) * (B.astype(jnp.float64)[:, None] * diff)
+    )
+    if pg is not None:
+        # chain priors use scatter-adds whose order is not pinned across
+        # backends; callers fall back to the standard deltaH when a chain
+        # is attached (core/lattice.py receipt wiring)
+        raise NotImplementedError(
+            "deterministic deltaH does not support chain priors"
+        )
+    per_node = _tree_sum_last(diff * term)  # [N]
+    return _tree_sum_last(per_node)
+
+
+def deltaH_tree_np(idx, wn, U, Ustar, lamG, lamC, lamQ, B):
+    """NumPy twin of `deltaH_trace_deterministic` (no chain prior) — the
+    executable spec; must match the device result bit-for-bit."""
+    import numpy as np
+
+    diff = U.astype(np.float64) - Ustar.astype(np.float64)
+    wn64 = wn.astype(np.float64)
+    acc = diff.copy()
+    for a in range(idx.shape[1]):
+        acc = acc - wn64[:, a][:, None] * diff[idx[:, a]]
+    term = (
+        np.float64(lamG) * diff
+        + np.float64(lamC) * acc
+        + np.float64(lamQ) * (B.astype(np.float64)[:, None] * diff)
+    )
+
+    def tree(x):
+        n = x.shape[-1]
+        while n > 1:
+            if n % 2:
+                x = np.concatenate(
+                    [x, np.zeros(x.shape[:-1] + (1,), dtype=x.dtype)], axis=-1
+                )
+                n += 1
+            x = x[..., 0::2] + x[..., 1::2]
+            n //= 2
+        return x[..., 0]
+
+    return tree(tree(diff * term))

@@ -196,3 +196,42 @@ def test_diffusion_gates_parity(ref):
     h_ours = compute_diffusion_gates(Y, psi, kneighbors=5, deterministic_k=True)
     h_ref = ref.compute_diffusion_gates(Y, psi, kneighbors=5, deterministic_k=True)
     np.testing.assert_allclose(h_ours, h_ref, atol=5e-3)
+
+
+def test_seeded_neighbor_sets_match_reference_above_dense_limit(ref):
+    """VERDICT r1 item 5: neighbor_seed must hold for N > 4096 (the blocked
+    host path), matching reference graph.py:54-62 neighbor SETS exactly."""
+    from oscillink.core.graph import mutual_knn_adj, row_sum_cap
+
+    from oscillink_tpu import OscillinkLattice
+
+    n, d, k, seed = 8192, 32, 6, 1234
+    rng = np.random.default_rng(7)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+
+    A_ref = row_sum_cap(mutual_knn_adj(Y, k=k, deterministic=False, seed=seed), 1.0)
+    lat = OscillinkLattice(Y, kneighbors=k, neighbor_seed=seed)
+    assert lat.N > 4096  # exercises the blocked path
+
+    idx = np.asarray(lat._graph.idx)
+    w = np.asarray(lat._graph.w)
+    ours = [set(idx[i][w[i] > 0]) for i in range(n)]
+    theirs = [set(np.nonzero(A_ref[i] > 0)[0]) for i in range(n)]
+    mismatch = sum(1 for a, b in zip(ours, theirs) if a != b)
+    assert mismatch == 0, f"{mismatch}/{n} rows differ from the reference"
+    # weights agree too (same jittered similarities, capped identically)
+    for i in range(0, n, 517):
+        for j in np.nonzero(A_ref[i] > 0)[0]:
+            slot = np.nonzero(idx[i] == j)[0]
+            assert len(slot) == 1
+            assert np.isclose(w[i][slot[0]], A_ref[i, j], rtol=1e-5, atol=1e-7)
+
+
+def test_seeded_above_cap_raises(monkeypatch):
+    from oscillink_tpu import OscillinkLattice
+
+    monkeypatch.setenv("OSCILLINK_SEEDED_MAX_N", "5000")
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((6000, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="OSCILLINK_SEEDED_MAX_N"):
+        OscillinkLattice(Y, kneighbors=4, neighbor_seed=3)
