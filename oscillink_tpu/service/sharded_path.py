@@ -1,0 +1,193 @@
+"""Large-N sharded serving path.
+
+When OSCILLINK_SHARDED_MIN_N is set to a positive threshold and a request has
+N >= threshold, the settle is served by the mesh-sharded tier
+(`parallel.serve.sharded_serve`) instead of a single-device lattice: graph
+build, CG solves, and every receipt quantity run row-sharded over all local
+devices, and U/U* never gather into one host buffer.  The response shape
+(receipt, signatures, HMAC) is identical to the single-device path; state
+signatures agree across paths by construction (shared graph-token scheme,
+core/lattice.py).
+
+The reference caps its service at N=5000 on one CPU
+(/root/reference/cloud/app/config.py:10); this tier is what replaces that
+cap — raise OSCILLINK_MAX_NODES together with OSCILLINK_SHARDED_MIN_N.
+
+Routing exclusions (served single-device instead): chain priors (path
+Laplacian stays a small-N feature), and seeded-jitter neighbor selection
+(a host-exact path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from .. import __version__
+from ..core.lattice import OscillinkLattice, compute_graph_token, compute_state_sig
+from ..core.receipts import sign_payload
+from .config import get_settings
+
+__all__ = ["sharded_threshold", "eligible", "sharded_settle"]
+
+
+def sharded_threshold() -> int:
+    try:
+        return int(os.getenv("OSCILLINK_SHARDED_MIN_N", "0"))
+    except ValueError:
+        return 0
+
+
+def _mesh_devices_for(n: int) -> int:
+    """Largest local-device count that divides N (row blocks must be equal)."""
+    import jax
+
+    n_dev = len(jax.devices())
+    while n_dev > 1 and n % n_dev != 0:
+        n_dev -= 1
+    return max(1, n_dev)
+
+
+def eligible(sreq, n: int) -> bool:
+    thr = sharded_threshold()
+    if thr <= 0 or n < thr:
+        return False
+    if sreq.chain:
+        return False  # chain priors are a single-device-path feature
+    if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
+        return False  # seed-jitter tie-break runs host-side (exact parity path)
+    return True
+
+
+def sharded_settle(
+    sreq, eff_params: dict, *, include_receipt: Optional[bool] = None
+) -> dict[str, Any]:
+    """Serve the settle on the sharded tier; returns the response body pieces
+    {state_sig, receipt, bundle, settle_stats, t_ms, k_eff, mesh_devices}."""
+    from ..parallel.mesh import lattice_mesh
+    from ..parallel.serve import sharded_serve
+
+    Y = np.array(sreq.Y, dtype=np.float32)
+    n, d = Y.shape
+    k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
+    psi = np.array(sreq.psi, dtype=np.float32) if sreq.psi is not None else None
+    gates = np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
+    similarity = getattr(sreq.params, "similarity", "exact")
+
+    want_receipt = (
+        sreq.options.include_receipt if include_receipt is None else include_receipt
+    )
+    mesh = lattice_mesh(_mesh_devices_for(n))
+    t0 = time.perf_counter()
+    out = sharded_serve(
+        mesh,
+        Y,
+        psi,
+        gates,
+        k=k_eff,
+        lamG=eff_params["lamG"],
+        lamC=eff_params["lamC"],
+        lamQ=eff_params["lamQ"],
+        dt=sreq.options.dt,
+        settle_tol=sreq.options.tol,
+        settle_iters=sreq.options.max_iters,
+        similarity=similarity,
+        bundle_k=sreq.options.bundle_k,
+    )
+    t_ms = 1000.0 * (time.perf_counter() - t0)
+
+    # same token scheme as the single-device build (core/lattice.py:425-436)
+    y_hash = OscillinkLattice._hash_anchors(Y)
+    token = compute_graph_token(
+        y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
+    )
+    if similarity != "exact":
+        token = hashlib.sha256(f"{token}:{similarity}".encode()).hexdigest()
+    B = gates if gates is not None else np.ones(n, dtype=np.float32)
+    psi_sig = psi if psi is not None else np.zeros(d, dtype=np.float32)
+    state_sig = compute_state_sig(
+        psi_sig,
+        B,
+        [
+            float(eff_params["lamG"]),
+            float(eff_params["lamC"]),
+            float(eff_params["lamQ"]),
+            0.0,
+        ],
+        False,
+        0,
+        k_eff,
+        bool(sreq.params.deterministic_k),
+        token,
+    )
+
+    receipt = None
+    if want_receipt:
+        dH = out["deltaH"]
+        meta: dict[str, Any] = {
+            "ustar_cached": False,
+            "ustar_solves": 1,
+            "ustar_cache_hits": 0,
+            "ustar_converged": out["ustar_converged"],
+            "ustar_res": out["ustar_res"],
+            "ustar_iters": out["ustar_iters"],
+            "ustar_solve_ms": 0.0,
+            "graph_build_ms": 0.0,
+            "last_settle_ms": float(t_ms),
+            "deltaH_mode": "standard",
+            "avg_degree": float(out["n_edges"] / max(n, 1)),
+            "edge_density": float(out["n_edges"] / max(n * (n - 1), 1)),
+            "gates_min": float(B.min()),
+            "gates_max": float(B.max()),
+            "gates_mean": float(B.mean()),
+            "gates_uniform": bool(np.allclose(B, B[0])),
+            "state_sig": state_sig,
+            "receipt_detail": "full",
+            "backend": "sharded",
+            "mesh_devices": out["mesh_devices"],
+            "null_points_summary": {
+                "total_null_points": len(out["null_points"]),
+                "returned_null_points": len(out["null_points"]),
+                "null_cap_applied": False,
+            },
+        }
+        s = get_settings()
+        if s.enable_signature and s.receipt_secret:
+            payload = {
+                "sig_v": 1,
+                "mode": "minimal",
+                "state_sig": state_sig,
+                "deltaH_total": float(dH),
+            }
+            meta["signature"] = {
+                "algorithm": "HMAC-SHA256",
+                "payload": payload,
+                "signature": sign_payload(payload, s.receipt_secret),
+            }
+        receipt = {
+            "version": str(__version__),
+            "deltaH_total": float(dH),
+            "coh_drop_sum": out["coh_drop_sum"],
+            "anchor_pen_sum": out["anchor_pen_sum"],
+            "query_term_sum": out["query_term_sum"],
+            "cg_iters": out["settle_iters"],
+            "residual": out["settle_res"],
+            "t_ms": float(t_ms),
+            "null_points": out["null_points"],
+            "meta": meta,
+        }
+
+    stats = {"iters": out["settle_iters"], "res": out["settle_res"], "t_ms": t_ms}
+    return {
+        "state_sig": state_sig,
+        "receipt": receipt,
+        "bundle": out["bundle"],
+        "settle_stats": stats,
+        "t_ms": t_ms,
+        "k_eff": k_eff,
+        "mesh_devices": out["mesh_devices"],
+    }

@@ -1,0 +1,113 @@
+"""Sharded serving tier (VERDICT r1 item 8): above OSCILLINK_SHARDED_MIN_N
+the service routes to the mesh-sharded path and still emits a full signed
+receipt, and the sharded receipt matches the single-device path."""
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.core.receipts import verify_receipt
+from oscillink_tpu.service import LocalClient
+
+
+def _payload(n, d, seed=0, **opts):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    return {
+        "Y": Y.tolist(),
+        "psi": psi.tolist(),
+        "options": {"max_iters": 8, "tol": 1e-3, **opts},
+    }
+
+
+@pytest.fixture()
+def client(monkeypatch):
+    for var in (
+        "OSCILLINK_API_KEYS",
+        "OSCILLINK_KEY_TIERS",
+        "OSCILLINK_KEY_NODE_UNITS_LIMIT",
+        "OSCILLINK_MONTHLY_CAP",
+        "OSCILLINK_RATE_LIMIT",
+        "OSCILLINK_IP_RATE_LIMIT",
+        "OSCILLINK_NATIVE_SMALL_N",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("OSCILLINK_RECEIPT_SECRET", "shard-secret")
+    monkeypatch.setenv("OSCILLINK_MAX_NODES", "200000")
+    return LocalClient()
+
+
+def test_sharded_path_matches_single_device(client, monkeypatch):
+    """Same request served sharded vs single-device: identical state_sig,
+    matching receipt quantities, identical null sets and bundle order."""
+    p = _payload(512, 16, seed=7, bundle_k=5)
+
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "0")
+    monkeypatch.delenv("OSCILLINK_SHARDED_MIN_N", raising=False)
+    r_dev = client.post("/v1/settle", json_body=p)
+    assert r_dev.status_code == 200
+    assert r_dev.json()["meta"]["backend"] == "device"
+
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "256")
+    r_sh = client.post("/v1/settle", json_body=p)
+    assert r_sh.status_code == 200
+    b_dev, b_sh = r_dev.json(), r_sh.json()
+    assert b_sh["meta"]["backend"] == "sharded"
+    assert b_sh["receipt"]["meta"]["mesh_devices"] == 8
+
+    # state signatures agree across paths by construction
+    assert b_sh["state_sig"] == b_dev["state_sig"]
+    # receipt quantities match to solver/collective float-order tolerance
+    for key in ("deltaH_total", "coh_drop_sum", "anchor_pen_sum", "query_term_sum"):
+        assert b_sh["receipt"][key] == pytest.approx(b_dev["receipt"][key], rel=2e-3)
+    # identical graphs -> identical null-point edge sets
+    nulls_dev = {tuple(e["edge"]) for e in b_dev["receipt"]["null_points"]}
+    nulls_sh = {tuple(e["edge"]) for e in b_sh["receipt"]["null_points"]}
+    assert nulls_sh == nulls_dev
+    # identical bundle pick order
+    assert [e["id"] for e in b_sh["bundle"]] == [e["id"] for e in b_dev["bundle"]]
+    # both receipts carry a verifying HMAC
+    for body in (b_dev, b_sh):
+        assert verify_receipt(body["receipt"], "shard-secret")
+
+
+def test_sharded_path_signed_receipt_65k(client, monkeypatch):
+    """N=65536 through the service on the 8-device CPU mesh: routed to the
+    sharded tier, returns a complete signed receipt (the VERDICT r1 item 8
+    done-criterion)."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "8192")
+    n, d = 65536, 8
+    rng = np.random.default_rng(0)
+    centers = 4.0 * rng.standard_normal((32, d)).astype(np.float32)
+    Y = (
+        centers[rng.integers(0, 32, size=n)] + 0.3 * rng.standard_normal((n, d))
+    ).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    p = {
+        "Y": Y.tolist(),
+        "psi": psi.tolist(),
+        "params": {"kneighbors": 4, "similarity": "fastest"},
+        "options": {"max_iters": 10, "tol": 1e-3, "bundle_k": 8},
+    }
+    r = client.post("/v1/settle", json_body=p)
+    assert r.status_code == 200
+    body = r.json()
+    assert body["meta"]["backend"] == "sharded"
+    rec = body["receipt"]
+    assert rec is not None
+    assert rec["meta"]["mesh_devices"] == 8
+    assert np.isfinite(rec["deltaH_total"])
+    assert rec["deltaH_total"] >= 0.0
+    assert rec["meta"]["state_sig"]
+    assert verify_receipt(rec, "shard-secret")
+    assert len(body["bundle"]) == 8
+    assert rec["meta"]["null_points_summary"]["total_null_points"] >= 0
+
+
+def test_sharded_routing_exclusions(client, monkeypatch):
+    """Chain requests stay on the single-device path even above threshold."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = {**_payload(128, 8, seed=1), "chain": [0, 1, 2, 3]}
+    r = client.post("/v1/settle", json_body=p)
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "device"
