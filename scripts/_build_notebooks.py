@@ -1,0 +1,279 @@
+#!/usr/bin/env python3
+"""Author notebooks 02/03 (energy landscape, constraint query) as JSON.
+
+Kept as a script so the notebook sources stay reviewable in diffs and can be
+regenerated; reference analogs: notebooks/02_energy_landscape.ipynb,
+notebooks/03_constraint_query.ipynb.
+"""
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cell(kind: str, src: str) -> dict:
+    lines = src.strip("\n").splitlines(keepends=True)
+    c = {"cell_type": kind, "metadata": {}, "source": lines}
+    if kind == "code":
+        c.update({"execution_count": None, "outputs": []})
+    return c
+
+
+def _nb(cells) -> dict:
+    return {
+        "metadata": {
+            "kernelspec": {
+                "display_name": "Python 3",
+                "language": "python",
+                "name": "python3",
+            },
+            "language_info": {"name": "python", "version": "3.12"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+        "cells": cells,
+    }
+
+
+ENERGY_CELLS = [
+    _cell(
+        "markdown",
+        """
+# 02 — Energy landscape: ΔH trajectories under uniform vs diffusion gating
+
+The lattice minimizes a strictly convex energy, so every settle moves ΔH
+downhill toward the stationary optimum.  This notebook traces that descent
+by settling in short bursts with a tightening tolerance schedule and reading
+the ΔH receipt after each burst — once with uniform gates, once with
+screened-diffusion gates concentrated around the query's neighborhood.
+
+1. Clustered synthetic embeddings
+2. A pseudo-iteration ΔH recorder
+3. Uniform vs diffusion trajectories
+4. Overlay plot + gate distribution
+""",
+    ),
+    _cell(
+        "code",
+        """
+import numpy as np
+
+from oscillink_tpu import Oscillink, compute_diffusion_gates
+
+rng = np.random.default_rng(7)
+clusters, per, D = 3, 80, 64
+centers = rng.standard_normal((clusters, D)).astype(np.float32)
+centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+Y = np.concatenate(
+    [c + 0.25 * rng.standard_normal((per, D)).astype(np.float32) for c in centers]
+)
+Y /= np.linalg.norm(Y, axis=1, keepdims=True) + 1e-12
+psi = (centers[0] + 0.05 * rng.standard_normal(D).astype(np.float32))
+psi /= np.linalg.norm(psi) + 1e-12
+print("Y", Y.shape, "query aligned with cluster 0")
+""",
+    ),
+    _cell(
+        "code",
+        """
+def energy_trajectory(lat, steps=9, base_tol=1e-2):
+    \"\"\"Short settles with a halving tolerance — each receipt's deltaH is the
+    remaining energy gap to U*, so the sequence traces the descent.\"\"\"
+    traj = []
+    for s in range(steps):
+        lat.settle(max_iters=4, tol=base_tol * (0.5 ** s))
+        traj.append(lat.receipt()["deltaH_total"])
+    return traj
+
+lam = dict(lamG=1.0, lamC=0.6, lamQ=3.5)
+lat_u = Oscillink(Y, kneighbors=8, deterministic_k=True, **lam)
+lat_u.set_query(psi)
+traj_u = energy_trajectory(lat_u)
+print("uniform deltaH trajectory:", [round(v, 2) for v in traj_u])
+""",
+    ),
+    _cell(
+        "code",
+        """
+gates = compute_diffusion_gates(
+    Y, psi, kneighbors=8, beta=1.0, gamma=0.12, deterministic_k=True
+)
+lat_d = Oscillink(Y, kneighbors=8, deterministic_k=True, **lam)
+lat_d.set_query(psi, gates=gates)
+traj_d = energy_trajectory(lat_d)
+print("diffusion deltaH trajectory:", [round(v, 2) for v in traj_d])
+# both descend to ~0 (U -> U*); the landscape difference is the initial gap
+print(f"initial energy gap: uniform {traj_u[0]:.2f} vs gated {traj_d[0]:.2f} "
+      f"({100 * (traj_u[0] - traj_d[0]) / traj_u[0]:.1f}% lower)")
+""",
+    ),
+    _cell(
+        "code",
+        """
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 3.5))
+ax0.plot(traj_u, marker="o", label="uniform gates")
+ax0.plot(traj_d, marker="s", label="diffusion gates")
+ax0.set_xlabel("pseudo-iteration"); ax0.set_ylabel("deltaH (energy gap)")
+ax0.set_title("Energy descent (lower = closer to U*)")
+ax0.grid(alpha=0.3); ax0.legend()
+ax1.hist(gates, bins=30)
+ax1.set_xlabel("gate value"); ax1.set_title("Diffusion gate distribution")
+fig.tight_layout(); fig.savefig("energy_landscape.png", dpi=100)
+print("gate stats:", round(float(gates.min()), 3), "..",
+      round(float(gates.max()), 3), "mean", round(float(gates.mean()), 3))
+""",
+    ),
+    _cell(
+        "markdown",
+        """
+Both trajectories descend to ~0 — the energy is strictly convex, so every
+settle converges to its stationary point U*.  The landscape difference is
+the *initial gap*: diffusion gates zero the query pull on nodes unreachable
+from the query's neighborhood, so the gated lattice starts far closer to its
+optimum (less displacement work to do) and its gate histogram shows the mass
+concentrated on the query's cluster.
+""",
+    ),
+]
+
+CONSTRAINT_CELLS = [
+    _cell(
+        "markdown",
+        """
+# 03 — Constraint queries: steering retrieval with gate vectors
+
+Gates are per-node weights on the query coupling (`B_diag`), which makes them
+a constraint channel: boost the nodes you want supported, suppress the ones
+you want excluded, and the settled bundle re-ranks accordingly — without
+touching the embeddings or the graph.
+
+Scenario: support claim X ("renewables cut emissions") while suppressing a
+lexically similar contradicting cluster.
+
+1. Labeled corpus + embeddings
+2. Baseline (uniform gates) bundle
+3. Constraint gate construction
+4. Gated bundle + leakage metrics
+""",
+    ),
+    _cell(
+        "code",
+        """
+import numpy as np
+
+from oscillink_tpu import Oscillink
+from oscillink_tpu.adapters.text import embed_texts
+
+support = [
+    "Solar adoption displaces fossil generation on the grid.",
+    "Wind power reduces coal burn in every deployment study.",
+    "Renewable buildout measurably lowers emission intensity.",
+    "Storage smooths renewable output and retires peaker plants.",
+]
+contradict = [
+    "Coal capacity is expanding faster than renewables worldwide.",
+    "Emissions keep climbing because new coal plants come online.",
+    "Renewable adoption is outpaced by coal expansion everywhere.",
+]
+neutral = [
+    "Grid operators schedule maintenance during low-demand hours.",
+    "Transmission lines span long distances between regions.",
+    "Electricity markets clear on day-ahead auctions.",
+]
+texts = support + contradict + neutral
+labels = np.array([1] * len(support) + [-1] * len(contradict) + [0] * len(neutral))
+emb = embed_texts(texts).astype(np.float32)
+psi = embed_texts(["Renewable energy deployment reduces emissions."])[0]
+psi /= np.linalg.norm(psi) + 1e-12
+# hash embeddings are label-blind: nudge rows toward class anchors so the
+# corpus has the cluster structure a real encoder would give it
+rng = np.random.default_rng(11)
+anchors = {c: a for c, a in zip((1, -1, 0), rng.standard_normal((3, emb.shape[1])))}
+for i, c in enumerate(labels):
+    a = anchors[int(c)] / np.linalg.norm(anchors[int(c)])
+    emb[i] = 0.5 * emb[i] + 0.5 * (a + (0.35 * psi if c != 0 else 0))
+emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
+print("corpus:", emb.shape, "support/contradict/neutral =",
+      (labels == 1).sum(), (labels == -1).sum(), (labels == 0).sum())
+""",
+    ),
+    _cell(
+        "code",
+        """
+def show(tag, bundle):
+    ids = [b["id"] for b in bundle]
+    print(tag, [(i, int(labels[i]), round(b["align"], 3)) for i, b in zip(ids, bundle)])
+    return ids
+
+lat = Oscillink(emb, kneighbors=4, lamG=0.35, lamC=0.2, lamQ=0.8, deterministic_k=True)
+lat.set_query(psi)
+rec_u = lat.receipt()
+ids_u = show("uniform bundle:", lat.bundle(k=6))
+print("uniform deltaH:", round(rec_u["deltaH_total"], 3))
+""",
+    ),
+    _cell(
+        "code",
+        """
+# constraint gates: support 1.0, neutral 0.65, contradiction 0.15, then
+# blended with query similarity so in-class order still tracks relevance
+raw = np.select([labels == 1, labels == -1], [1.0, 0.15], default=0.65)
+sims = emb @ psi
+s01 = (sims - sims.min()) / (np.ptp(sims) + 1e-12)
+gates = ((1 - 0.4) * raw + 0.4 * raw * (0.5 + 0.5 * s01)).astype(np.float32)
+print("gates by class: support", gates[labels == 1].round(2),
+      "| contra", gates[labels == -1].round(2))
+""",
+    ),
+    _cell(
+        "code",
+        """
+lat_g = Oscillink(emb, kneighbors=4, lamG=0.35, lamC=0.2, lamQ=0.8, deterministic_k=True)
+lat_g.set_query(psi, gates=gates)
+rec_g = lat_g.receipt()
+ids_g = show("gated bundle:  ", lat_g.bundle(k=6))
+print("gated deltaH:", round(rec_g["deltaH_total"], 3))
+
+def stats(ids):
+    return int((labels[ids] == 1).sum()), int((labels[ids] == -1).sum())
+
+su, cu = stats(ids_u); sg, cg = stats(ids_g)
+print(f"support coverage: {su} -> {sg} / {len(support)}")
+print(f"contradiction leakage: {cu} -> {cg}")
+assert cg <= cu, "gating must not increase contradiction leakage"
+""",
+    ),
+    _cell(
+        "markdown",
+        """
+The gate vector reshapes the query term of the energy only — graph structure
+and anchors are untouched, so the receipt stays fully auditable (the gate
+stats land in `meta.gates_*`).  Contradicting nodes keep their positions in
+the lattice but lose their query pull, so the settled alignment — and with
+it the bundle rank — drops.  The same mechanism drives the hallucination
+gating study in notebook 04.
+""",
+    ),
+]
+
+
+def main() -> None:
+    out = {
+        "02_energy_landscape.ipynb": ENERGY_CELLS,
+        "03_constraint_query.ipynb": CONSTRAINT_CELLS,
+    }
+    for name, cells in out.items():
+        path = os.path.join(ROOT, "notebooks", name)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(_nb(cells), f, indent=1)
+            f.write("\n")
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
