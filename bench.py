@@ -103,7 +103,7 @@ def matvec_kernel_compare():
     )
     wn = (rng.random((n, k)) * 0.1).astype(np.float32)
     plan, cov = ws.build_window_plan(idx, wn)
-    oh = ws.build_onehot(plan, ws.DEFAULT_W)
+    oh = ws.build_onehot(plan, ws.DEFAULT_W, ws.plan_s_max(plan))
     X = jnp.asarray(rng.standard_normal((plan.n_pad, d)).astype(np.float32))
     g = Graph(
         idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),

@@ -473,6 +473,7 @@ class OscillinkLattice:
         from ..models.coherence import WindowCtx
         from ..ops.pallas.window_spmv import (
             DEFAULT_R,
+            DEFAULT_SMAX,
             DEFAULT_W,
             build_onehot,
             build_window_plan_device,
@@ -481,23 +482,27 @@ class OscillinkLattice:
         order, inv = _jit_locality_order(self._Y_dev)
         strag_cap = max(1024, (self.N * self._kneighbors) // 10)
         strag_cap = ((strag_cap + 7) // 8) * 8
-        plan, cov_dev, n_strag_dev = build_window_plan_device(
-            self._graph.idx, self._graph.wn, order, DEFAULT_W, DEFAULT_R, strag_cap
+        plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
+            self._graph.idx, self._graph.wn, order, DEFAULT_W, DEFAULT_R,
+            strag_cap, DEFAULT_SMAX,
         )
-        cov, n_strag = (
-            float(v) for v in jax.device_get([cov_dev, n_strag_dev])
+        cov, n_strag, fits = (
+            float(v) for v in jax.device_get([cov_dev, n_strag_dev, fits_dev])
         )  # one tiny RPC
         self._window_coverage = cov
-        # the compacted straggler list truncates beyond strag_cap — never
-        # accept a truncated plan, even when forced (correctness first)
-        if n_strag > strag_cap or (not forced and cov < min_cov):
+        # the compacted straggler list truncates beyond strag_cap, and the
+        # kernel's per-block DMA window is DEFAULT_SMAX rows — never accept
+        # a truncated or non-fitting plan, even when forced (correctness
+        # first)
+        if n_strag > strag_cap or not fits or (not forced and cov < min_cov):
             self._log(
-                "window_ctx_skipped", {"coverage": cov, "stragglers": n_strag}
+                "window_ctx_skipped",
+                {"coverage": cov, "stragglers": n_strag, "fits": bool(fits)},
             )
             return
         self._window_ctx = WindowCtx(
             plan=plan,
-            oh=build_onehot(plan, DEFAULT_W),
+            oh=build_onehot(plan, DEFAULT_W, DEFAULT_SMAX),
             order=order,
             inv_order=inv,
         )

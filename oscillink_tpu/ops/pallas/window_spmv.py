@@ -42,20 +42,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "WindowPlan",
+    "OneHots",
     "build_window_plan",
     "build_onehot",
+    "plan_s_max",
     "lap_matvec_windowed",
     "pad_rows",
 ]
 
 DEFAULT_W = 512  # window rows (must be a multiple of R)
 DEFAULT_R = 256  # output row-block rows
+DEFAULT_SMAX = 512  # per-block straggler segment rows DMA'd by the kernel
 _LANE = 8
 
 
 class WindowPlan(NamedTuple):
     """Device-resident window plan (a pytree of arrays only; the static
-    W/R geometry is passed separately so jit treats it as compile-time)."""
+    W/R geometry is passed separately so jit treats it as compile-time).
+
+    Straggler layout: entries are grouped by DESTINATION ROW BLOCK — block
+    i's stragglers occupy `[strag_off[i], strag_off[i] + p_i)` where p_i is
+    the block's count rounded up to 8 (padding entries carry w=0 and point
+    their dst at the block's last row, keeping the global dst order
+    non-decreasing).  The kernel DMAs a fixed `[s_max]`-row slice starting at
+    `strag_off[i]`; reads past a block's own segment are masked out by the
+    straggler one-hot."""
 
     c1: jax.Array  # [B] int32 — first window id (units of W rows)
     c2: jax.Array  # [B] int32 — second window id
@@ -66,6 +77,7 @@ class WindowPlan(NamedTuple):
     strag_dst: jax.Array  # [S] int32 — straggler destination rows (sorted)
     strag_src: jax.Array  # [S] int32 — straggler source rows
     strag_w: jax.Array  # [S] f32 — straggler weights (0 on padding)
+    strag_off: jax.Array  # [B] int32 — block i's segment start (multiple of 8)
 
     @property
     def n_pad(self) -> int:
@@ -74,6 +86,18 @@ class WindowPlan(NamedTuple):
     @property
     def n_blocks(self) -> int:
         return self.c1.shape[0]
+
+
+class OneHots(NamedTuple):
+    """Per-solve one-hot operands for the windowed kernel.
+
+    main:  [Npad, 2W] f32 — window selection weights (wn folded in).
+    strag: [Npad, s_max] bf16 — 0/1 straggler selection (exact in bf16);
+           column s of row r selects straggler entry strag_off[blk(r)] + s.
+    """
+
+    main: jax.Array
+    strag: jax.Array
 
 
 def _round_up(x: int, m: int) -> int:
@@ -134,19 +158,33 @@ def build_window_plan(
     idx2l = np.where(in2, idx_p - c2_e * W, 0).astype(np.int32)
     wn2 = np.where(in2, wn_p, 0.0).astype(np.float32)
 
-    s_dst, s_k = np.nonzero(strag)
+    s_dst, s_k = np.nonzero(strag)  # row-major -> sorted by dst -> by block
     s_src = idx_p[s_dst, s_k]
     s_w = wn_p[s_dst, s_k]
-    s_len = _round_up(max(len(s_dst), 1), _LANE)
-    # padding entries carry w=0 and point at the LAST row so the dst list
-    # stays non-decreasing (np.nonzero order) — the scatter-add is issued
-    # with indices_are_sorted=True
-    strag_dst = np.full(s_len, n_pad - 1, dtype=np.int32)
+
+    # block-grouped padded layout (see WindowPlan docstring): block i's
+    # segment is 8-aligned; padding entries point at the block's last row
+    # with w=0 so the global dst order stays non-decreasing
+    blk_e = s_dst // R
+    counts = np.bincount(blk_e, minlength=b)
+    padded = ((counts + _LANE - 1) // _LANE) * _LANE
+    off = np.zeros(b + 1, dtype=np.int64)
+    off[1:] = np.cumsum(padded)
+    p_max = int(padded.max()) if len(s_dst) else 0
+    # tail slack so a [strag_off[i], strag_off[i] + s_max) DMA stays in
+    # bounds for any s_max <= plan_s_max(plan)
+    s_len = int(off[b - 1]) + max(128, _round_up(p_max, 128)) if b else 128
+
+    blk_of_pos = np.clip(np.searchsorted(off, np.arange(s_len), side="right") - 1, 0, b - 1)
+    strag_dst = (blk_of_pos * R + (R - 1)).astype(np.int32)
     strag_src = np.zeros(s_len, dtype=np.int32)
     strag_w = np.zeros(s_len, dtype=np.float32)
-    strag_dst[: len(s_dst)] = s_dst
-    strag_src[: len(s_dst)] = s_src
-    strag_w[: len(s_dst)] = s_w
+    start = np.zeros(b, dtype=np.int64)
+    start[1:] = np.cumsum(counts)[:-1]
+    tgt = off[blk_e] + (np.arange(len(s_dst)) - start[blk_e])
+    strag_dst[tgt] = s_dst
+    strag_src[tgt] = s_src
+    strag_w[tgt] = s_w
 
     n_live = int(live.sum())
     coverage = 1.0 - (len(s_dst) / max(n_live, 1))
@@ -161,14 +199,35 @@ def build_window_plan(
         strag_dst=jnp.asarray(strag_dst),
         strag_src=jnp.asarray(strag_src),
         strag_w=jnp.asarray(strag_w),
+        strag_off=jnp.asarray(off[:b].astype(np.int32)),
     )
     return plan, float(coverage)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def build_onehot(plan: WindowPlan, W: int) -> jax.Array:
-    """[Npad, 2W] one-hot weight matrix; columns [0, W) select from window 1,
-    [W, 2W) from window 2.  Built once per solve (constant across CG iters)."""
+def plan_s_max(plan: WindowPlan) -> int:
+    """Host-side s_max for `build_onehot`: the largest per-block padded
+    straggler segment, rounded up to 128 (min 128).  Guaranteed to satisfy
+    the kernel's DMA bound by `build_window_plan`'s tail slack."""
+    w = np.asarray(plan.strag_w)
+    dst = np.asarray(plan.strag_dst)
+    b = plan.n_blocks
+    r = plan.n_pad // b
+    live = w != 0.0
+    if not live.any():
+        return 128
+    counts = np.bincount(dst[live] // r, minlength=b)
+    p_max = int(np.ceil(counts.max() / _LANE) * _LANE)
+    return max(128, _round_up(p_max, 128))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def build_onehot(plan: WindowPlan, W: int, s_max: int = DEFAULT_SMAX) -> OneHots:
+    """One-hot operands, built once per graph (constant across CG iters).
+
+    main [Npad, 2W]: columns [0, W) select from window 1, [W, 2W) from
+    window 2, with edge weights folded in.  strag [Npad, s_max] bf16:
+    0/1 selection of the block's straggler segment (weights live in the
+    per-apply contribution buffer instead, so bf16 is exact)."""
     n_pad, k = plan.idx1l.shape
     cols = lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
     oh1 = jnp.zeros((n_pad, W), jnp.float32)
@@ -180,20 +239,47 @@ def build_onehot(plan: WindowPlan, W: int) -> jax.Array:
         oh2 = oh2 + jnp.where(
             cols == plan.idx2l[:, a][:, None], plan.wn2[:, a][:, None], 0.0
         )
-    return jnp.concatenate([oh1, oh2], axis=1)
+    main = jnp.concatenate([oh1, oh2], axis=1)
+
+    b = plan.n_blocks
+    r = n_pad // b
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    e = plan.strag_off[rows // r][:, None] + jnp.arange(s_max, dtype=jnp.int32)
+    hit = (plan.strag_dst[e] == rows[:, None]) & (plan.strag_w[e] != 0.0)
+    return OneHots(main=main, strag=hit.astype(jnp.bfloat16))
+
+
+def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32-accurate matmul in three bf16 MXU passes (double-bf16 split):
+    a@b = a_hi@b_hi + a_hi@b_lo + a_lo@b_hi + O(2^-22 rel).  Mosaic lowers
+    HIGHEST f32 dots to six bf16 passes; the explicit split halves the MXU
+    time at ~1e-6 relative error — far inside the CG solve tolerance and the
+    kernel-parity bound (tests/test_window_spmv.py: rel < 1e-5)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
 def _matmul_kernel(W: int, precision):
+    use_dot3 = precision == "bf16x3"
+
     def kern(c1_ref, c2_ref, xblk, win1, win2, oh, out):
         acc = xblk[:]
-        acc = acc - jnp.dot(
-            oh[:, :W], win1[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        acc = acc - jnp.dot(
-            oh[:, W:], win2[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if use_dot3:
+            acc = acc - _dot3(oh[:, :W], win1[:])
+            acc = acc - _dot3(oh[:, W:], win2[:])
+        else:
+            acc = acc - jnp.dot(
+                oh[:, :W], win1[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = acc - jnp.dot(
+                oh[:, W:], win2[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         out[:] = acc
 
     return kern
@@ -229,23 +315,117 @@ def _window_spmv(
     )(plan.c1, plan.c2, Xpad, Xpad, Xpad, oh)
 
 
-def lap_matvec_windowed(
+def _matmul_kernel3(W: int, S_max: int, precision):
+    """Window matmuls + in-kernel straggler correction.
+
+    The per-block straggler contributions are DMA'd manually from the
+    compact HBM buffer at the block's (8-aligned, scalar-prefetched) offset
+    — overlapping the window matmuls — and applied as an exact-bf16 0/1
+    one-hot matmul on the MXU while the output block is still in VMEM.
+    This replaces the XLA scatter-add epilogue, whose read-modify-write of
+    the full [Npad, D] output cost ~2 ms/apply at N=100k regardless of
+    straggler count."""
+    use_dot3 = precision == "bf16x3"
+
+    def kern(c1_ref, c2_ref, off_ref, xblk, win1, win2, oh, oh3, c_hbm, out,
+             c_vmem, sem):
+        i = pl.program_id(0)
+        # offsets are 8-aligned by plan construction; Mosaic needs the hint
+        # to tile the HBM slice
+        off = pl.multiple_of(off_ref[i], _LANE)
+        dma = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
+        )
+        dma.start()
+        acc = xblk[:]
+        if use_dot3:
+            acc = acc - _dot3(oh[:, :W], win1[:])
+            acc = acc - _dot3(oh[:, W:], win2[:])
+        else:
+            acc = acc - jnp.dot(
+                oh[:, :W], win1[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = acc - jnp.dot(
+                oh[:, W:], win2[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        dma.wait()
+        c = c_vmem[:]
+        # oh3 is exact in bf16 (0/1); split c so the product is f32-accurate
+        c_hi = c.astype(jnp.bfloat16)
+        c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
+        corr = corr + jnp.dot(oh3[:], c_lo, preferred_element_type=jnp.float32)
+        out[:] = acc - corr
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _window_spmv3(
     plan: WindowPlan,
     oh: jax.Array,
+    oh3: jax.Array,
+    Xpad: jax.Array,
+    W: int,
+    R: int,
+    S_max: int,
+    precision,
+):
+    n_pad, d = Xpad.shape
+    b = n_pad // R
+    contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # c1, c2, strag_off
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((R, d), lambda i, c1, c2, off: (i, 0)),  # xblk
+            pl.BlockSpec((W, d), lambda i, c1, c2, off: (c1[i], 0)),  # win1
+            pl.BlockSpec((W, d), lambda i, c1, c2, off: (c2[i], 0)),  # win2
+            pl.BlockSpec((R, 2 * W), lambda i, c1, c2, off: (i, 0)),  # one-hot
+            pl.BlockSpec((R, S_max), lambda i, c1, c2, off: (i, 0)),  # strag oh
+            pl.BlockSpec(memory_space=pltpu.ANY),  # contribs stay in HBM
+        ],
+        out_specs=pl.BlockSpec((R, d), lambda i, c1, c2, off: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((S_max, d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _matmul_kernel3(W, S_max, precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(plan.c1, plan.c2, plan.strag_off, Xpad, Xpad, Xpad, oh, oh3, contrib)
+
+
+def lap_matvec_windowed(
+    plan: WindowPlan,
+    oh: OneHots,
     Xpad: jax.Array,
     *,
     W: int = DEFAULT_W,
     R: int = DEFAULT_R,
-    precision=lax.Precision.HIGHEST,
+    precision="bf16x3",
 ) -> jax.Array:
     """Normalized-Laplacian matvec on padded rows: X - Wn (*) X.
 
-    ``Xpad`` must have ``plan.n_pad`` rows (see `pad_rows`); ``oh`` is the
-    `build_onehot(plan, W)` matrix.  Output is padded too; padded rows pass
-    through as identity (their wn slots are 0).
+    ``Xpad`` must have ``plan.n_pad`` rows (see `pad_rows`); ``oh`` comes
+    from `build_onehot(plan, W, s_max)`.  Output is padded too; padded rows
+    pass through as identity (their wn slots are 0).  On TPU the straggler
+    correction runs inside the kernel (`_matmul_kernel3`); the interpreted
+    CPU path (test mesh) keeps the windows kernel + XLA scatter epilogue.
     """
-    out = _window_spmv(plan, oh, Xpad, W, R, precision)
-    # straggler correction: one XLA gather + scatter-add over compact COO
+    if jax.default_backend() == "tpu":
+        return _window_spmv3(
+            plan, oh.main, oh.strag, Xpad, W, R, oh.strag.shape[1], precision
+        )
+    out = _window_spmv(plan, oh.main, Xpad, W, R, precision)
     contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
     return out.at[plan.strag_dst].add(
         -contrib, indices_are_sorted=True, unique_indices=False
@@ -261,7 +441,7 @@ def pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def build_window_plan_device(
     idx: jax.Array,
     wn: jax.Array,
@@ -269,6 +449,7 @@ def build_window_plan_device(
     W: int,
     R: int,
     strag_cap: int,
+    s_max: int = DEFAULT_SMAX,
 ):
     """All-device window plan: no [N, K] arrays ever cross to the host.
 
@@ -281,9 +462,12 @@ def build_window_plan_device(
     ``strag_cap`` bounds the compacted straggler list (static shape).  If the
     true straggler count exceeds it the list is truncated — callers MUST
     reject the plan whenever ``n_strag > strag_cap`` (they already reject far
-    earlier on coverage).
+    earlier on coverage).  ``s_max`` is the kernel's per-block DMA window;
+    callers must also reject when ``fits`` is false (a block's padded
+    straggler segment exceeds ``s_max``, or the last block's DMA window
+    would run past ``strag_cap``).
 
-    Returns (WindowPlan, coverage [scalar], n_strag [scalar]).
+    Returns (WindowPlan, coverage [scalar], n_strag [scalar], fits [scalar]).
     """
     if W % R != 0:
         raise ValueError(f"W={W} must be a multiple of R={R}")
@@ -321,21 +505,45 @@ def build_window_plan_device(
 
     flat = strag.reshape(-1)
     n_strag = jnp.sum(flat.astype(jnp.int32))
-    # nonzero(size=...) yields ascending positions -> dst list stays sorted;
-    # padding entries get fill position pointing at the LAST row with w=0
+    # nonzero(size=...) yields ascending positions -> entries arrive sorted
+    # by dst and therefore grouped by destination row block
     (pos,) = jnp.nonzero(flat, size=strag_cap, fill_value=flat.shape[0] - k)
-    s_dst = (pos // k).astype(jnp.int32)
-    s_a = (pos % k).astype(jnp.int32)
+    e_dst = (pos // k).astype(jnp.int32)
+    e_a = (pos % k).astype(jnp.int32)
     valid = jnp.arange(strag_cap) < n_strag
-    s_dst = jnp.where(valid, s_dst, n_pad - 1)
-    s_src = jnp.where(valid, idx_p[s_dst, s_a], 0).astype(jnp.int32)
-    s_w = jnp.where(valid, wn_p[s_dst, s_a], 0.0)
+    e_src = jnp.where(valid, idx_p[e_dst, e_a], 0).astype(jnp.int32)
+    e_w = jnp.where(valid, wn_p[e_dst, e_a], 0.0)
+
+    # block-grouped padded layout (see WindowPlan docstring)
+    blk_e = e_dst // R
+    counts = jnp.zeros(b, jnp.int32).at[blk_e].add(valid.astype(jnp.int32))
+    padded = ((counts + _LANE - 1) // _LANE) * _LANE
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    p_max = jnp.max(padded)
+    fits = (p_max <= s_max) & (off[b - 1] + s_max <= strag_cap)
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(strag_cap, dtype=jnp.int32) - start[blk_e]
+    tgt = jnp.where(valid, off[blk_e] + rank, strag_cap)  # OOB -> dropped
+
+    blk_of_pos = jnp.clip(
+        jnp.searchsorted(off, jnp.arange(strag_cap, dtype=jnp.int32), side="right")
+        - 1,
+        0,
+        b - 1,
+    ).astype(jnp.int32)
+    s_dst = (blk_of_pos * R + (R - 1)).at[tgt].set(e_dst, mode="drop")
+    s_src = jnp.zeros(strag_cap, jnp.int32).at[tgt].set(e_src, mode="drop")
+    s_w = jnp.zeros(strag_cap, jnp.float32).at[tgt].set(e_w, mode="drop")
 
     n_live = jnp.maximum(jnp.sum(live.astype(jnp.int32)), 1)
     coverage = 1.0 - n_strag.astype(jnp.float32) / n_live.astype(jnp.float32)
 
     plan = WindowPlan(
         c1=c1, c2=c2, idx1l=idx1l, wn1=wn1, idx2l=idx2l, wn2=wn2,
-        strag_dst=s_dst, strag_src=s_src, strag_w=s_w,
+        strag_dst=s_dst, strag_src=s_src, strag_w=s_w, strag_off=off,
     )
-    return plan, coverage, n_strag
+    return plan, coverage, n_strag, fits

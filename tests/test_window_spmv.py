@@ -55,7 +55,7 @@ def test_windowed_matvec_matches_xla(seed, gen):
     plan, cov = ws.build_window_plan(
         np.asarray(g.idx), np.asarray(g.wn), W=512, R=256
     )
-    oh = ws.build_onehot(plan, 512)
+    oh = ws.build_onehot(plan, 512, ws.plan_s_max(plan))
     X = rng.standard_normal((n, d)).astype(np.float32)
     Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
     out = np.asarray(ws.lap_matvec_windowed(plan, oh, Xp, W=512, R=256))[:n]
