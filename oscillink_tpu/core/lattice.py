@@ -808,6 +808,26 @@ class OscillinkLattice:
                 x0,
                 precond == "jacobi",
             )
+        elif self._auto_col_chunks() > 1:
+            # large-N settle: full-width CG state + gather temps exceed HBM
+            # (observed OOM at N=500k, D=768); chunk the embedding columns
+            from ..models.coherence import settle_step_chunked
+
+            U_plus, iters, res = settle_step_chunked(
+                self._graph,
+                self._path,
+                self._U_dev,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                dt=self._opts(dt)[0],
+                tol=self._opts(tol)[0],
+                max_iters=jnp.int32(max_iters),
+                x0=x0,
+                use_jacobi=precond == "jacobi",
+                col_chunks=self._auto_col_chunks(),
+            )
         else:
             U_plus, iters, res = _jit_settle(
                 self._graph,
@@ -863,7 +883,23 @@ class OscillinkLattice:
 
         t0 = time.perf_counter()
         col_chunks = self._auto_col_chunks()
-        if col_chunks > 1:
+        if col_chunks > 1 and self._window_ctx is not None and self._path is None:
+            # large-N windowed solve: no [N, K, D_c] gather temp, so the
+            # column chunking only has to cover the CG state blocks
+            from ..models.coherence import solve_stationary_windowed_chunked
+
+            Ustar, iters, res = solve_stationary_windowed_chunked(
+                self._window_ctx,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                tol=self._opts(tol)[0],
+                max_iters=jnp.int32(max_iters),
+                col_chunks=col_chunks,
+            )
+            converged = res <= tol
+        elif col_chunks > 1:
             from ..models.coherence import solve_stationary_chunked
 
             Ustar, iters, res = solve_stationary_chunked(

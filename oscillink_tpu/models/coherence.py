@@ -187,6 +187,51 @@ def settle_step(
     return cg_solve(A_mul, rhs, x0=U if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
 
 
+_settle_step_chunk = jax.jit(settle_step, static_argnames=("use_jacobi",))
+"""Per-column-chunk settle step; module-level so the compile cache is shared."""
+
+
+def settle_step_chunked(
+    g: Graph,
+    pg: Optional[PathGraph],
+    U: jax.Array,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    dt=1.0,
+    tol=1e-3,
+    max_iters=12,
+    x0: Optional[jax.Array] = None,
+    use_jacobi: bool = True,
+    col_chunks: int = 2,
+):
+    """Implicit Euler step with the embedding columns split into chunks —
+    the settle analog of `solve_stationary_chunked` for the N=500k-1M
+    single-chip regime (the full-width settle's CG state + gather temps
+    exceed HBM there).  Host loop with per-chunk sync; do not jit."""
+    d = Y.shape[1]
+    if d % col_chunks != 0:
+        raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
+    w = d // col_chunks
+    outs, iters_all, res_all = [], [], []
+    for c in range(col_chunks):
+        sl = slice(c * w, (c + 1) * w)
+        U_c, it_c, res_c = _settle_step_chunk(
+            g, pg, U[:, sl], Y[:, sl], psi[sl], B, lam, dt, tol, max_iters,
+            None if x0 is None else x0[:, sl], use_jacobi,
+        )
+        jax.block_until_ready(U_c)
+        outs.append(U_c)
+        iters_all.append(it_c)
+        res_all.append(res_c)
+    return (
+        jnp.concatenate(outs, axis=1),
+        jnp.max(jnp.stack(iters_all)),
+        jnp.max(jnp.stack(res_all)),
+    )
+
+
 # -- windowed-matvec solves (contiguous-DMA Pallas kernel) ------------------
 #
 # For large lattices on locality-ordered data the Laplacian matvec runs
@@ -246,6 +291,48 @@ def solve_stationary_windowed(
         M_mul, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
     )
     return jnp.take(Up, ctx.inv_order, axis=0), iters, res
+
+
+_solve_windowed_chunk = jax.jit(solve_stationary_windowed)
+"""Per-column-chunk windowed solve; module-level so the shape-keyed compile
+cache is shared across chunks and calls."""
+
+
+def solve_stationary_windowed_chunked(
+    ctx: WindowCtx,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    tol=1e-4,
+    max_iters=64,
+    col_chunks: int = 2,
+):
+    """Column-chunked windowed stationary solve for the N=500k-1M single-chip
+    regime.  Unlike the XLA-gather chunked solve, the windowed matvec never
+    materializes a [N, K, D_c] gather temp, so each chunk's working set is
+    just the CG state blocks + the (D-independent) one-hot operands.  Host
+    loop with per-chunk sync — same serialization rationale as
+    `solve_stationary_chunked`; do not wrap in jax.jit."""
+    d = Y.shape[1]
+    if d % col_chunks != 0:
+        raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
+    w = d // col_chunks
+    outs, iters_all, res_all = [], [], []
+    for c in range(col_chunks):
+        sl = slice(c * w, (c + 1) * w)
+        U_c, it_c, res_c = _solve_windowed_chunk(
+            ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters
+        )
+        jax.block_until_ready(U_c)
+        outs.append(U_c)
+        iters_all.append(it_c)
+        res_all.append(res_c)
+    return (
+        jnp.concatenate(outs, axis=1),
+        jnp.max(jnp.stack(iters_all)),
+        jnp.max(jnp.stack(res_all)),
+    )
 
 
 def settle_step_windowed(

@@ -249,14 +249,40 @@ def lap_matvec(g: Graph, X: jax.Array) -> jax.Array:
     Gather-SpMV over the padded neighbor rows — the TPU replacement for the
     reference's dense ``L_sym @ X`` (oscillink/core/lattice.py:177).
     """
-    # K-step accumulation: one [N, D] gather per neighbor slot keeps the
-    # temporary footprint at O(N*D) — materializing the full [N, K, D]
-    # gather would cost K*N*D*4 bytes of HBM temp (12 GB at N=500k, D=768)
-    acc = X
-    for a in range(g.k_max):
-        nbr = jnp.take(X, g.idx[:, a], axis=0)
-        acc = acc - g.wn[:, a][:, None] * nbr
-    return acc
+    # K-step accumulation.  Two regimes, decided statically from shapes:
+    #
+    #   * unrolled (small/medium N): XLA overlaps the K independent gathers
+    #     — measured 12.7 ms/apply at N=100k, D=768, k=8 vs 20.9 ms fully
+    #     sequenced — at the cost of K live [N, D] temps;
+    #   * pair-sequenced (large N): the unrolled form's K temps OOM HBM
+    #     (observed: 8 live [500k, 768] temps = 11.4 GB killed the
+    #     full-width settle at N=500k), so a fori_loop over PAIRS keeps two
+    #     gathers in flight (17.3 ms/apply at 100k — most of the overlap)
+    #     with the temp footprint capped at ~2 [N, D] blocks.
+    #
+    # Accumulation order matches the reference a=0..K-1 subtracts in both.
+    k_max = g.k_max
+    temp_bytes = k_max * X.shape[0] * X.shape[1] * 4
+    if temp_bytes <= 8_000_000_000 or k_max % 2 != 0:
+        acc = X
+        for a in range(k_max):
+            nbr = jnp.take(X, g.idx[:, a], axis=0)
+            acc = acc - g.wn[:, a][:, None] * nbr
+        return acc
+
+    def body(j, acc):
+        a = 2 * j
+        i0 = lax.dynamic_index_in_dim(g.idx, a, 1, keepdims=False)
+        i1 = lax.dynamic_index_in_dim(g.idx, a + 1, 1, keepdims=False)
+        w0 = lax.dynamic_index_in_dim(g.wn, a, 1, keepdims=False)
+        w1 = lax.dynamic_index_in_dim(g.wn, a + 1, 1, keepdims=False)
+        return (
+            acc
+            - w0[:, None] * jnp.take(X, i0, axis=0)
+            - w1[:, None] * jnp.take(X, i1, axis=0)
+        )
+
+    return lax.fori_loop(0, k_max // 2, body, X)
 
 
 def mmr_select(

@@ -114,3 +114,51 @@ def test_auto_mode_skips_small_n(monkeypatch):
     monkeypatch.delenv("OSCILLINK_WINDOWED_MATVEC", raising=False)
     lat = OscillinkLattice(_clustered(300, 16, seed=5), kneighbors=4)
     assert lat._window_ctx is None
+
+
+def test_lattice_windowed_chunked_solve(monkeypatch):
+    """Forced col-chunking + windowed ctx routes through the windowed
+    chunked solve and matches the full-width XLA solution."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1024, 32, seed=7)
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal(32).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    U_ref = base.solve_Ustar(tol=1e-5, max_iters=96)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "2")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None
+    assert lat._auto_col_chunks() == 2
+    lat.set_query(psi)
+    U_win = lat.solve_Ustar(tol=1e-5, max_iters=96)
+    assert np.abs(U_win - U_ref).max() / np.abs(U_ref).max() < 5e-4
+
+
+def test_lattice_chunked_settle_matches_full(monkeypatch):
+    """Forced col-chunking routes settle through the chunked path and
+    matches the full-width settle."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(512, 32, seed=9)
+    rng = np.random.default_rng(9)
+    psi = rng.standard_normal(32).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    base.settle(max_iters=16, tol=1e-5)
+
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "4")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_query(psi)
+    out = lat.settle(max_iters=16, tol=1e-5)
+    assert out["res"] <= 1e-4
+    assert np.abs(np.asarray(lat._U_dev) - np.asarray(base._U_dev)).max() < 1e-4
