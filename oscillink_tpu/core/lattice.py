@@ -793,7 +793,9 @@ class OscillinkLattice:
         device lazily (batched with the next receipt fetch) unless a logger
         or callback forces them eagerly.
         """
-        U_prev = self._U_dev
+        # only pin the pre-settle U when dynamics will need it — holding a
+        # second [N, D] buffer matters at the 1M single-chip margin
+        U_prev = self._U_dev if _env_flag("OSCILLINK_RECEIPT_DYNAMICS") else None
         x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
         t0 = time.perf_counter()
         if self._window_ctx is not None and self._path is None:
@@ -827,6 +829,12 @@ class OscillinkLattice:
                 x0=x0,
                 use_jacobi=precond == "jacobi",
                 col_chunks=self._auto_col_chunks(),
+                # U is replaced by the result below; reusing its buffer as
+                # the accumulator saves one full-width block at the 1M HBM
+                # margin.  Unsafe when dynamics retains the pre-settle U or
+                # when U still aliases Y (the fresh-lattice state,
+                # lattice.py:332) — donating would delete the anchors.
+                donate_u=U_prev is None and self._U_dev is not self._Y_dev,
             )
         else:
             U_plus, iters, res = _jit_settle(
@@ -1601,14 +1609,17 @@ class OscillinkLattice:
                 return 1
             except ValueError:
                 return 1
-        # auto: ~6 f32 row-blocks + gather temp; chunk past ~8 GB working set
-        working_gb = self.N * self.D * 4 * 7 / 1e9
-        if working_gb <= 8.0:
-            return 1
-        for c in (2, 4, 8):
-            if self.D % c == 0 and working_gb / c <= 8.0:
+        # auto: the chunk working set (x, r, p, z, Ap, rhs + slices/temps,
+        # ~8 f32 row-blocks at D/c) must fit the HBM budget left after the
+        # RESIDENT full-width buffers (Y, U, result accumulator — 3 blocks;
+        # ignoring them OOM'd the 1M chunked settle: 9.2 GB resident leaves
+        # under 5 GB for chunk state on a 16 GB chip)
+        block_gb = self.N * self.D * 4 / 1e9
+        budget = max(2.0, 14.0 - 3 * block_gb)
+        for c in (1, 2, 4, 8, 16):
+            if self.D % c == 0 and block_gb * 8 / c <= budget:
                 return c
-        return 8 if self.D % 8 == 0 else 1
+        return 16 if self.D % 16 == 0 else (8 if self.D % 8 == 0 else 1)
 
     def _invalidate_cache(self) -> None:
         self._Ustar_cache_dev = None

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.graph import Graph, lap_matvec
 from ..ops.path import PathGraph, path_lap_matvec
@@ -94,6 +97,31 @@ _solve_stationary_chunk = jax.jit(solve_stationary)
 across solve_stationary_chunked calls (one trace per chunk shape)."""
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("off",))
+def _write_cols(buf: jax.Array, chunk: jax.Array, off: int) -> jax.Array:
+    """In-place (donated) column write.  The chunked solvers accumulate into
+    one preallocated [N, D] buffer instead of list+concatenate — the latter
+    keeps every chunk AND the full result alive simultaneously (an extra
+    ~6 GB transient at N=1M, D=768 that OOM'd the chunked settle)."""
+    return lax.dynamic_update_slice(buf, chunk, (0, off))
+
+
+def _accumulate_chunks(n: int, d: int, chunks_iter):
+    """Run per-chunk solves, writing each into a donated full-width buffer.
+
+    ``chunks_iter`` yields (col_offset, (U_c, iters_c, res_c)); per-chunk
+    sync serializes device work (concurrent chunk solves multiply peak
+    memory — see solve_stationary_chunked)."""
+    buf = jnp.zeros((n, d), dtype=jnp.float32)
+    iters_all, res_all = [], []
+    for off, (U_c, it_c, res_c) in chunks_iter:
+        jax.block_until_ready(U_c)
+        buf = _write_cols(buf, U_c, off)
+        iters_all.append(it_c)
+        res_all.append(res_c)
+    return buf, jnp.max(jnp.stack(iters_all)), jnp.max(jnp.stack(res_all))
+
+
 def solve_stationary_chunked(
     g,
     pg,
@@ -121,28 +149,22 @@ def solve_stationary_chunked(
 
     Returns (Ustar [N, D], max iters across chunks, max residual).
     """
-    d = Y.shape[1]
+    n, d = Y.shape
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
-    outs, iters_all, res_all = [], [], []
-    for c in range(col_chunks):
-        sl = slice(c * w, (c + 1) * w)
-        # module-level jit: graph/params are traced arguments (not baked-in
-        # constants), so the shape-keyed compile cache is shared across calls
-        U_c, it_c, res_c = _solve_stationary_chunk(
-            g, pg, Y[:, sl], psi[sl], B, lam, tol, max_iters
-        )
-        # serialize: the next chunk's dispatch waits for this chunk's result
-        jax.block_until_ready(U_c)
-        outs.append(U_c)
-        iters_all.append(it_c)
-        res_all.append(res_c)
-    return (
-        jnp.concatenate(outs, axis=1),
-        jnp.max(jnp.stack(iters_all)),
-        jnp.max(jnp.stack(res_all)),
-    )
+
+    def chunks():
+        for c in range(col_chunks):
+            sl = slice(c * w, (c + 1) * w)
+            # module-level jit: graph/params are traced arguments (not
+            # baked-in constants), so the shape-keyed compile cache is
+            # shared across calls
+            yield c * w, _solve_stationary_chunk(
+                g, pg, Y[:, sl], psi[sl], B, lam, tol, max_iters
+            )
+
+    return _accumulate_chunks(n, d, chunks())
 
 
 solve_stationary_donated = jax.jit(
@@ -205,31 +227,43 @@ def settle_step_chunked(
     x0: Optional[jax.Array] = None,
     use_jacobi: bool = True,
     col_chunks: int = 2,
+    donate_u: bool = False,
 ):
     """Implicit Euler step with the embedding columns split into chunks —
     the settle analog of `solve_stationary_chunked` for the N=500k-1M
     single-chip regime (the full-width settle's CG state + gather temps
-    exceed HBM there).  Host loop with per-chunk sync; do not jit."""
-    d = Y.shape[1]
+    exceed HBM there).  Host loop with per-chunk sync; do not jit.
+
+    ``donate_u=True`` reuses U's buffer as the result accumulator — safe
+    because chunk c reads only its own columns of U before they are
+    overwritten, and column segments are disjoint.  The CALLER's U array is
+    invalidated; only pass it when U is being replaced by the result (and
+    no other live reference to it exists)."""
+    n, d = Y.shape
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
-    outs, iters_all, res_all = [], [], []
+
+    if donate_u and x0 is U:
+        # x0 aliases the donated buffer; settle_step's default (x0 = its U
+        # input) is the same start vector and stays valid across writes
+        x0 = None
+    buf = U if donate_u else jnp.zeros((n, d), dtype=jnp.float32)
+    iters_all, res_all = [], []
     for c in range(col_chunks):
         sl = slice(c * w, (c + 1) * w)
+        # with donation, chunk c's columns in buf still hold the original U
+        # values (writes so far touched earlier columns only)
+        src = buf if donate_u else U
         U_c, it_c, res_c = _settle_step_chunk(
-            g, pg, U[:, sl], Y[:, sl], psi[sl], B, lam, dt, tol, max_iters,
-            None if x0 is None else x0[:, sl], use_jacobi,
+            g, pg, src[:, sl], Y[:, sl], psi[sl], B, lam, dt, tol,
+            max_iters, None if x0 is None else x0[:, sl], use_jacobi,
         )
         jax.block_until_ready(U_c)
-        outs.append(U_c)
+        buf = _write_cols(buf, U_c, c * w)
         iters_all.append(it_c)
         res_all.append(res_c)
-    return (
-        jnp.concatenate(outs, axis=1),
-        jnp.max(jnp.stack(iters_all)),
-        jnp.max(jnp.stack(res_all)),
-    )
+    return buf, jnp.max(jnp.stack(iters_all)), jnp.max(jnp.stack(res_all))
 
 
 # -- windowed-matvec solves (contiguous-DMA Pallas kernel) ------------------
@@ -314,25 +348,19 @@ def solve_stationary_windowed_chunked(
     just the CG state blocks + the (D-independent) one-hot operands.  Host
     loop with per-chunk sync — same serialization rationale as
     `solve_stationary_chunked`; do not wrap in jax.jit."""
-    d = Y.shape[1]
+    n, d = Y.shape
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
-    outs, iters_all, res_all = [], [], []
-    for c in range(col_chunks):
-        sl = slice(c * w, (c + 1) * w)
-        U_c, it_c, res_c = _solve_windowed_chunk(
-            ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters
-        )
-        jax.block_until_ready(U_c)
-        outs.append(U_c)
-        iters_all.append(it_c)
-        res_all.append(res_c)
-    return (
-        jnp.concatenate(outs, axis=1),
-        jnp.max(jnp.stack(iters_all)),
-        jnp.max(jnp.stack(res_all)),
-    )
+
+    def chunks():
+        for c in range(col_chunks):
+            sl = slice(c * w, (c + 1) * w)
+            yield c * w, _solve_windowed_chunk(
+                ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters
+            )
+
+    return _accumulate_chunks(n, d, chunks())
 
 
 def settle_step_windowed(
