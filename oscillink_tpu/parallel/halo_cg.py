@@ -22,6 +22,7 @@ when the halo is large (R_max close to rows_per).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -34,7 +35,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.coherence import EnergyParams
 from ..ops.graph import Graph
 
-__all__ = ["HaloPlan", "build_halo_plan", "halo_solve", "solve_auto"]
+__all__ = [
+    "HaloPlan",
+    "build_halo_plan",
+    "build_shard_window_plans",
+    "halo_solve",
+    "halo_solve_windowed",
+    "solve_auto",
+]
 
 
 class HaloPlan(NamedTuple):
@@ -255,6 +263,193 @@ def halo_solve(
     )
 
 
+def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
+    """Per-shard window plans over each shard's LOCAL frame.
+
+    Local edges (w_local_mask) route through the windowed Pallas matvec
+    inside the shard_map; halo edges stay on the gather path (the halo
+    frame is small by construction).  Shapes are made uniform across shards
+    (shared straggler-array length and s_max) so the stacked plan arrays
+    shard over the mesh's leading axis.  Returns
+    (stacked_plan_fields, stacked_onehot_fields, min_coverage, s_max).
+    """
+    from ..ops.graph import Graph as _G  # noqa: F401  (doc cross-ref)
+    from ..ops.pallas.window_spmv import (
+        DEFAULT_R,
+        DEFAULT_W,
+        build_onehot,
+        build_window_plan,
+        plan_s_max,
+    )
+
+    rows_per = plan.rows_per
+    wn = np.asarray(wn, dtype=np.float32)
+    plans, covs = [], []
+    for s in range(n_dev):
+        sl = slice(s * rows_per, (s + 1) * rows_per)
+        wn_local = wn[sl] * plan.w_local_mask[sl]
+        p_s, cov_s = build_window_plan(
+            plan.idx_local[sl], wn_local, W=DEFAULT_W, R=DEFAULT_R
+        )
+        plans.append(p_s)
+        covs.append(cov_s)
+    s_max = max(plan_s_max(p) for p in plans)
+    s_len = max(p.strag_w.shape[0] for p in plans)
+
+    def pad_strag(p):
+        cur = p.strag_w.shape[0]
+        if cur == s_len:
+            return p
+        n_pad_rows = p.idx1l.shape[0]
+        ext = s_len - cur
+        return p._replace(
+            strag_dst=jnp.concatenate(
+                [p.strag_dst, jnp.full(ext, n_pad_rows - 1, jnp.int32)]
+            ),
+            strag_src=jnp.concatenate([p.strag_src, jnp.zeros(ext, jnp.int32)]),
+            strag_w=jnp.concatenate([p.strag_w, jnp.zeros(ext, jnp.float32)]),
+        )
+
+    plans = [pad_strag(p) for p in plans]
+    ohs = [build_onehot(p, DEFAULT_W, s_max) for p in plans]
+    stacked_plan = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+    stacked_oh = jax.tree.map(lambda *xs: jnp.stack(xs), *ohs)
+    return stacked_plan, stacked_oh, float(min(covs)), s_max
+
+
+def halo_solve_windowed(
+    mesh: Mesh,
+    g: Graph,
+    plan: HaloPlan,
+    wplan,
+    woh,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    tol: float = 1e-4,
+    max_iters: int = 64,
+    axis_name: str = "rows",
+):
+    """Halo-exchange CG with the per-shard LOCAL matvec on the windowed
+    Pallas kernel (`ops.pallas.window_spmv`) — the per-chip compute path of
+    the 1M-on-v5e-8 target.  Halo edges keep the gather path; the
+    all_to_all still overlaps the local accumulation.  Same numerical
+    contract as `halo_solve` up to the kernel's ~1e-6 matmul rounding."""
+    from ..ops.pallas.window_spmv import lap_matvec_windowed, pad_rows
+
+    n = Y.shape[0]
+    n_dev = mesh.devices.size
+    if n_dev * plan.rows_per != n:
+        raise ValueError("plan does not match mesh/N")
+    rows_per = plan.rows_per
+
+    row = NamedSharding(mesh, P(axis_name, None))
+    vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    lead = lambda nd: NamedSharding(mesh, P(axis_name, *([None] * nd)))  # noqa: E731
+
+    Y = jax.device_put(Y, row)
+    B = jax.device_put(B, vec)
+    psi = jax.device_put(psi, repl)
+    wn = jax.device_put(g.wn, row)
+    idx_halo = jax.device_put(jnp.asarray(plan.idx_halo), row)
+    w_halo_mask = jax.device_put(jnp.asarray(plan.w_halo_mask), row)
+    send_map = jax.device_put(jnp.asarray(plan.send_map), lead(2))
+    send_valid = jax.device_put(jnp.asarray(plan.send_valid), lead(2))
+    wplan = jax.tree.map(lambda x: jax.device_put(x, lead(x.ndim - 1)), wplan)
+    woh = jax.tree.map(lambda x: jax.device_put(x, lead(x.ndim - 1)), woh)
+
+    tol_a = jnp.float32(tol)
+    max_iters_a = jnp.int32(max_iters)
+    spec_of = lambda x: P(axis_name, *([None] * (x.ndim - 1)))  # noqa: E731
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),  # Y
+            P(axis_name),  # B
+            P(),  # psi
+            P(axis_name, None),  # wn
+            P(axis_name, None),  # idx_halo
+            P(axis_name, None),  # w_halo_mask
+            P(axis_name, None, None),  # send_map
+            P(axis_name, None, None),  # send_valid
+            jax.tree.map(spec_of, wplan),
+            jax.tree.map(spec_of, woh),
+        ),
+        out_specs=(P(axis_name, None), P(), P()),
+        # the pallas_call inside the body does not annotate varying-mesh-axes
+        # metadata on its out_shape; skip the vma check
+        check_vma=False,
+    )
+    def solve(Y_l, B_l, psi_r, wn_l, ih_l, wh_l, smap_l, svalid_l, wp_l, oh_l):
+        smap = smap_l[0]
+        svalid = svalid_l[0]
+        k = wn_l.shape[1]
+        wp = jax.tree.map(lambda x: x[0], wp_l)
+        oh = jax.tree.map(lambda x: x[0], oh_l)
+        n_pad_rows = wp.idx1l.shape[0]
+
+        def halo_of(X_l):
+            send = jnp.take(X_l, smap.reshape(-1), axis=0).reshape(
+                smap.shape[0], smap.shape[1], X_l.shape[1]
+            )
+            send = jnp.where(svalid[:, :, None], send, 0.0)
+            recv = lax.all_to_all(
+                send, axis_name, split_axis=0, concat_axis=0, tiled=False
+            )
+            return recv.reshape(-1, X_l.shape[1])
+
+        def M_mul(p_l):
+            halo = halo_of(p_l)
+            # local edges: windowed Pallas matvec returns p - Wn_local p
+            acc = lap_matvec_windowed(wp, oh, pad_rows(p_l, n_pad_rows))[
+                :rows_per
+            ]
+            # halo edges: gather against the received frame (small)
+            for a in range(k):
+                wa = (wn_l[:, a] * wh_l[:, a])[:, None]
+                acc = acc - wa * jnp.take(halo, ih_l[:, a], axis=0)
+            return lam.lamG * p_l + lam.lamC * acc + lam.lamQ * (B_l[:, None] * p_l)
+
+        rhs = lam.lamG * Y_l + lam.lamQ * (B_l[:, None] * psi_r[None, :])
+        inv_M = 1.0 / ((lam.lamG + lam.lamQ * B_l)[:, None] + 1e-12)
+
+        x = Y_l
+        r = rhs - M_mul(x)
+        z = r * inv_M
+        p = z
+        rz = lax.psum(jnp.sum(r * z, axis=0), axis_name)
+
+        def cond(c):
+            _, _, _, _, it, res = c
+            return (it == 0) | ((it < max_iters_a) & (res > tol_a))
+
+        def body(c):
+            x, r, p, rz, it, _ = c
+            Ap = M_mul(p)
+            denom = lax.psum(jnp.sum(p * Ap, axis=0), axis_name) + 1e-18
+            alpha = rz / denom
+            x = x + p * alpha
+            r = r - Ap * alpha
+            res = jnp.sqrt(jnp.max(lax.psum(jnp.sum(r * r, axis=0), axis_name)))
+            z = r * inv_M
+            rz_new = lax.psum(jnp.sum(r * z, axis=0), axis_name)
+            p = z + p * (rz_new / (rz + 1e-18))
+            return (x, r, p, rz_new, it + 1, res)
+
+        x, _, _, _, it, res = lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.int32(0), jnp.float32(jnp.inf))
+        )
+        return x, it, res
+
+    return jax.jit(solve)(
+        Y, B, psi, wn, idx_halo, w_halo_mask, send_map, send_valid, wplan, woh
+    )
+
+
 def solve_auto(
     mesh: Mesh,
     Y: np.ndarray,
@@ -306,12 +501,40 @@ def solve_auto(
     use_halo = (
         stats["halo_mean"] < halo_fraction_cutoff * stats["allgather_rows"]
     )
+    win_cov = None
     if use_halo:
         plan = build_halo_plan(idx_h, w_h, n_dev)
-        U, it, res = halo_solve(
-            mesh, g, plan, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
+        # windowed local matvec inside the halo tier: the per-chip compute
+        # path of the 1M target.  Selected when every shard's local-frame
+        # plan sustains the coverage bar (same env knob as the single-chip
+        # path); falls back to the gather local matvec otherwise.
+        try:
+            min_cov_env = float(
+                os.getenv("OSCILLINK_WINDOWED_MIN_COVERAGE", "0.92")
+            )
+        except ValueError:
+            min_cov_env = 0.92
+        windowed_mode = (
+            os.getenv("OSCILLINK_WINDOWED_MATVEC", "auto").strip().lower()
         )
-        tier = "halo-exchange"
+        wargs = None
+        if windowed_mode not in {"0", "off", "false", "no"} and plan.rows_per >= 1024:
+            wn_h = np.asarray(jax.device_get(g.wn))
+            wplan, woh, win_cov, _ = build_shard_window_plans(plan, wn_h, n_dev)
+            forced = windowed_mode in {"1", "force", "on", "true"}
+            if forced or win_cov >= min_cov_env:
+                wargs = (wplan, woh)
+        if wargs is not None:
+            U, it, res = halo_solve_windowed(
+                mesh, g, plan, wargs[0], wargs[1], Yd, psi_d, B_d, lam,
+                tol=tol, max_iters=max_iters,
+            )
+            tier = "halo-exchange-windowed"
+        else:
+            U, it, res = halo_solve(
+                mesh, g, plan, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
+            )
+            tier = "halo-exchange"
     else:
         U, it, res = shardmap_solve(
             mesh, g, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
@@ -321,6 +544,7 @@ def solve_auto(
     return U_orig, {
         "tier": tier,
         "halo_stats": stats,
+        "window_coverage": win_cov,
         "iters": int(jax.device_get(it)),
         "res": float(jax.device_get(res)),
     }

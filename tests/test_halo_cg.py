@@ -108,3 +108,41 @@ def test_solve_auto_picks_tiers():
     )
     assert info_r["tier"] == expected
     assert s["halo_fraction_mean"] > 0.5  # random high-D: halo stays large
+
+
+def test_halo_solve_windowed_matches_halo_solve():
+    """The windowed local matvec inside the halo tier reproduces the gather
+    halo solve (per-shard window plans + in-shard Pallas kernel)."""
+    from oscillink_tpu.parallel.halo_cg import (
+        build_shard_window_plans,
+        halo_solve_windowed,
+    )
+
+    n, d, n_dev = 8192, 24, 8
+    Y_host = _clustered(n, d, seed=3)
+    order = pca_bisection_order(Y_host, levels=4)
+    (Y_host,) = apply_order(order, Y_host)[:1]
+    rng = np.random.default_rng(4)
+    psi = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    Y = jnp.asarray(Y_host)
+    B = jnp.ones(n, dtype=jnp.float32)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+
+    g = jax.jit(lambda Y: build_graph(Y, 6))(Y)
+    plan = build_halo_plan(np.asarray(g.idx), np.asarray(g.w), n_dev)
+    wplan, woh, cov, s_max = build_shard_window_plans(
+        plan, np.asarray(g.wn), n_dev
+    )
+    assert 0.0 <= cov <= 1.0 and s_max >= 128
+
+    mesh = lattice_mesh(n_dev)
+    U_ref, it_ref, res_ref = halo_solve(
+        mesh, g, plan, Y, psi, B, lam, tol=1e-6, max_iters=200
+    )
+    U_win, it_win, res_win = halo_solve_windowed(
+        mesh, g, plan, wplan, woh, Y, psi, B, lam, tol=1e-6, max_iters=200
+    )
+    scale = np.abs(np.asarray(U_ref)).max()
+    assert np.abs(np.asarray(U_win) - np.asarray(U_ref)).max() / scale < 5e-4
+    assert float(res_win) <= 1e-5
+    assert abs(int(it_win) - int(it_ref)) <= 1

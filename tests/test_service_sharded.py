@@ -34,7 +34,13 @@ def client(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     monkeypatch.setenv("OSCILLINK_RECEIPT_SECRET", "shard-secret")
     monkeypatch.setenv("OSCILLINK_MAX_NODES", "200000")
-    return LocalClient()
+    # settings are lru-cached module-wide; a previous test's client may have
+    # frozen them without the secret
+    from oscillink_tpu.service import config
+
+    config.get_settings.cache_clear()
+    yield LocalClient()
+    config.get_settings.cache_clear()
 
 
 def test_sharded_path_matches_single_device(client, monkeypatch):
