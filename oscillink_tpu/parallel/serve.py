@@ -50,6 +50,7 @@ __all__ = ["sharded_serve"]
 @partial(jax.jit, static_argnames=("bundle_k",))
 def _serve_receipt(
     g: Graph,
+    pg,
     Y: jax.Array,
     psi: jax.Array,
     B: jax.Array,
@@ -65,14 +66,16 @@ def _serve_receipt(
     """Settle + receipt pipeline; all inputs carry their mesh shardings in,
     GSPMD partitions the compute.  Mirrors the single-device serving order:
     settle (implicit Euler), stationary U*, then receipt quantities off the
-    (U_settled, U*) pair (core/lattice.py receipt())."""
+    (U_settled, U*) pair (core/lattice.py receipt()).  ``pg`` is an optional
+    chain-prior PathGraph (tiny replicated edge list; its scatter-adds cost
+    nothing next to the k-sparse matvec)."""
     U, it_s, res_s = settle_step(
-        g, None, Y, Y, psi, B, lam, dt=dt, tol=settle_tol, max_iters=settle_iters
+        g, pg, Y, Y, psi, B, lam, dt=dt, tol=settle_tol, max_iters=settle_iters
     )
     Ustar, it_u, res_u = solve_stationary(
-        g, None, Y, psi, B, lam, tol=ustar_tol, max_iters=ustar_iters
+        g, pg, Y, psi, B, lam, tol=ustar_tol, max_iters=ustar_iters
     )
-    dH = deltaH_trace(g, None, U, Ustar, lam, B)
+    dH = deltaH_trace(g, pg, U, Ustar, lam, B)
     coh, anchor, query = per_node_components(g, Y, Ustar, lam, B, psi)
     nflag, nj, nz, nr = null_points_sparse(g, Ustar, lam.lamC, z_th=3.0)
     score, align = bundle_scores(g, Y, Ustar, psi, lam.lamC, alpha)
@@ -115,6 +118,9 @@ def sharded_serve(
     similarity: str = "exact",
     bundle_k: Optional[int] = None,
     alpha: float = 0.5,
+    chain: Optional[list] = None,
+    chain_weights: Optional[list] = None,
+    lamP: float = 0.0,
     axis_name: str = "rows",
 ) -> dict[str, Any]:
     """Full sharded settle + receipt over ``mesh``.  N must divide the mesh
@@ -151,11 +157,25 @@ def sharded_serve(
         else np.asarray(gates, dtype=np.float32)
     )
     B_d = jax.device_put(jnp.asarray(B_h), vec)
-    lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
+    lam = EnergyParams.make(lamG, lamC, lamQ, lamP if chain else 0.0)
+
+    pg = None
+    if chain:
+        from ..ops.path import PathGraph, build_path_graph
+
+        pg_h = build_path_graph(n, chain, chain_weights)
+        pg = PathGraph(
+            src=jax.device_put(pg_h.src, repl),
+            dst=jax.device_put(pg_h.dst, repl),
+            w=jax.device_put(pg_h.w, repl),
+            wn=jax.device_put(pg_h.wn, repl),
+            sqrt_deg=jax.device_put(pg_h.sqrt_deg, vec),
+        )
 
     k_bundle = 0 if not bundle_k else min(int(bundle_k), n)
     U, Ustar, scalars, nflag, nj, nz, nr, score, align, picks = _serve_receipt(
         g,
+        pg,
         Yd,
         psi_d,
         B_d,

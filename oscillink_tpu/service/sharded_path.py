@@ -13,9 +13,10 @@ The reference caps its service at N=5000 on one CPU
 (/root/reference/cloud/app/config.py:10); this tier is what replaces that
 cap — raise OSCILLINK_MAX_NODES together with OSCILLINK_SHARDED_MIN_N.
 
-Routing exclusions (served single-device instead): chain priors (path
-Laplacian stays a small-N feature), and seeded-jitter neighbor selection
-(a host-exact path).
+Chain priors ride along (the tiny replicated path-Laplacian edge list is
+free next to the k-sparse matvec).  Routing exclusion (served
+single-device instead): seeded-jitter neighbor selection (a host-exact
+path).
 """
 
 from __future__ import annotations
@@ -56,8 +57,6 @@ def eligible(sreq, n: int) -> bool:
     thr = sharded_threshold()
     if thr <= 0 or n < thr:
         return False
-    if sreq.chain:
-        return False  # chain priors are a single-device-path feature
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break runs host-side (exact parity path)
     return True
@@ -97,6 +96,8 @@ def sharded_settle(
         settle_iters=sreq.options.max_iters,
         similarity=similarity,
         bundle_k=sreq.options.bundle_k,
+        chain=sreq.chain,
+        lamP=sreq.params.lamP,
     )
     t_ms = 1000.0 * (time.perf_counter() - t0)
 
@@ -116,10 +117,10 @@ def sharded_settle(
             float(eff_params["lamG"]),
             float(eff_params["lamC"]),
             float(eff_params["lamQ"]),
-            0.0,
+            float(sreq.params.lamP) if sreq.chain else 0.0,
         ],
-        False,
-        0,
+        bool(sreq.chain),
+        len(sreq.chain) if sreq.chain else 0,
         k_eff,
         bool(sreq.params.deterministic_k),
         token,

@@ -110,10 +110,33 @@ def test_sharded_path_signed_receipt_65k(client, monkeypatch):
     assert rec["meta"]["null_points_summary"]["total_null_points"] >= 0
 
 
-def test_sharded_routing_exclusions(client, monkeypatch):
-    """Chain requests stay on the single-device path even above threshold."""
+def test_sharded_chain_prior_matches_device(client, monkeypatch):
+    """Chain-prior requests ride the sharded tier and match the
+    single-device path (state_sig, deltaH)."""
+    p = {**_payload(128, 8, seed=1), "chain": [0, 1, 2, 3], "params": {"lamP": 0.3}}
+
+    monkeypatch.delenv("OSCILLINK_SHARDED_MIN_N", raising=False)
+    r_dev = client.post("/v1/settle", json_body=p)
+    assert r_dev.status_code == 200
+    assert r_dev.json()["meta"]["backend"] == "device"
+
     monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
-    p = {**_payload(128, 8, seed=1), "chain": [0, 1, 2, 3]}
+    r_sh = client.post("/v1/settle", json_body=p)
+    assert r_sh.status_code == 200
+    b_dev, b_sh = r_dev.json(), r_sh.json()
+    assert b_sh["meta"]["backend"] == "sharded"
+    assert b_sh["state_sig"] == b_dev["state_sig"]
+    assert b_sh["receipt"]["deltaH_total"] == pytest.approx(
+        b_dev["receipt"]["deltaH_total"], rel=2e-3
+    )
+
+
+def test_sharded_routing_exclusions(client, monkeypatch):
+    """Seed-jitter requests stay on the single-device path even above
+    threshold (host-exact neighbor selection)."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = _payload(128, 8, seed=2)
+    p["params"] = {"deterministic_k": False, "neighbor_seed": 7}
     r = client.post("/v1/settle", json_body=p)
     assert r.status_code == 200
     assert r.json()["meta"]["backend"] == "device"
