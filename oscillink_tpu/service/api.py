@@ -40,6 +40,7 @@ from .models import (
     BundleRequest,
     ChainReceiptRequest,
     CompetitorBenchRequest,
+    RaggedBundleRequest,
     SettleRequest,
 )
 from .usage import append_usage
@@ -607,6 +608,69 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     return resp
 
 
+def h_bundle_ragged(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Many different-size corpora settled + bundled in ONE padded vmapped
+    device program (models/ragged.py).  Bundles are identical to serving
+    each corpus alone.  Units charged: sum(N_i * D)."""
+    from ..models.ragged import bundle_ragged
+
+    ctx = _feature_context(state, req)
+    rreq = _parse(RaggedBundleRequest, req.json())
+    if not rreq.corpora:
+        raise ApiError(400, "corpora must be non-empty")
+    if len(rreq.corpora) > 64:
+        raise ApiError(400, "at most 64 corpora per request")
+    if len(rreq.psis) != len(rreq.corpora):
+        raise ApiError(400, "psis must match corpora")
+    s = get_settings()
+    ns, d0 = [], None
+    for c in rreq.corpora:
+        if not c or not c[0]:
+            raise ApiError(400, "empty corpus")
+        n_i, d_i = len(c), len(c[0])
+        if d0 is None:
+            d0 = d_i
+        elif d_i != d0:
+            raise ApiError(400, "all corpora must share D")
+        if n_i > s.max_nodes:
+            raise ApiError(413, f"N>{s.max_nodes} exceeds limit")
+        if d_i > s.max_dim:
+            raise ApiError(413, f"D>{s.max_dim} exceeds limit")
+        ns.append(n_i)
+    units = sum(ns) * int(d0 or 0)
+    monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+
+    t0 = time.perf_counter()
+    results = bundle_ragged(
+        [np.array(c, dtype=np.float32) for c in rreq.corpora],
+        [np.array(p, dtype=np.float32) for p in rreq.psis],
+        None
+        if rreq.gates is None
+        else [None if g is None else np.array(g, dtype=np.float32) for g in rreq.gates],
+        kneighbors=rreq.params.kneighbors,
+        lamG=rreq.params.lamG,
+        lamC=rreq.params.lamC,
+        lamQ=rreq.params.lamQ,
+        bundle_k=rreq.bundle_k,
+        alpha=rreq.alpha,
+        dt=rreq.options.dt,
+        tol=rreq.options.tol,
+        max_iters=rreq.options.max_iters,
+    )
+    t_ms = 1000.0 * (time.perf_counter() - t0)
+    state.metrics.usage_units.inc(units)
+    resp = ApiResponse(
+        body={
+            "corpora": len(ns),
+            "results": results,
+            "timings_ms": {"total_ms": t_ms, "per_corpus_ms": t_ms / len(ns)},
+            "meta": {"Ns": ns, "D": d0, "padded_N": max(ns)},
+        }
+    )
+    _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, "baseline")
+    return resp
+
+
 def h_autocorrect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     _feature_context(state, req)
     areq = _parse(AutoCorrectRequest, req.json())
@@ -935,6 +999,7 @@ _route("POST", "/v1/receipt", h_receipt)
 _route("POST", "/v1/bundle", h_bundle)
 _route("POST", "/v1/chain/receipt", h_chain_receipt)
 _route("POST", "/v1/settle/batch", h_settle_batch)
+_route("POST", "/v1/bundle/ragged", h_bundle_ragged)
 _route("POST", "/v1/autocorrect", h_autocorrect)
 _route("POST", "/v1/bench/competitor", h_bench_competitor)
 _route("POST", "/v1/jobs/settle", h_jobs_submit)

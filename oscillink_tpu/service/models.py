@@ -56,6 +56,20 @@ class BatchSettleRequest(BaseModel):
     alpha: float = 0.5
 
 
+class RaggedBundleRequest(BaseModel):
+    """Many corpora of different sizes — one padded vmapped batch."""
+
+    corpora: list[list[list[float]]] = Field(
+        ..., description="B corpora, each N_i x D (shared D)"
+    )
+    psis: list[list[float]] = Field(..., description="B query vectors [B x D]")
+    gates: Optional[list[Optional[list[float]]]] = None  # per corpus, len N_i
+    params: Params = Params()
+    bundle_k: int = 8
+    alpha: float = 0.5
+    options: SettleOptions = SettleOptions()
+
+
 class AutoCorrectRequest(BaseModel):
     text: str
     preserve: Optional[list[str]] = None
