@@ -102,8 +102,8 @@ def matvec_kernel_compare():
         np.int32
     )
     wn = (rng.random((n, k)) * 0.1).astype(np.float32)
-    plan, cov = ws.build_window_plan(idx, wn)
-    oh = ws.build_onehot(plan, ws.DEFAULT_W, ws.plan_s_max(plan))
+    plan, cov = ws.build_window_plan(idx, wn, W=384, n_windows=3)
+    oh = ws.build_onehot(plan, 384, ws.plan_s_max(plan))
     X = jnp.asarray(rng.standard_normal((plan.n_pad, d)).astype(np.float32))
     g = Graph(
         idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),

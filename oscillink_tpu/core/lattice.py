@@ -482,9 +482,23 @@ class OscillinkLattice:
         order, inv = _jit_locality_order(self._Y_dev)
         strag_cap = max(1024, (self.N * self._kneighbors) // 10)
         strag_cap = ((strag_cap + 7) // 8) * 8
+        # geometry: three 384-row windows beat two 512-row windows on
+        # every measured axis at 100k x 768 (4.55 vs 6.47 ms/apply —
+        # wider span = +3.5% coverage, narrower windows = less re-fetch,
+        # same MXU flops) at 1.5x-narrower... total one-hot 1152 vs 1024
+        # columns; past ~256k rows the one-hot's n_win*W*4 B/row HBM cost
+        # favors the 2-window shape
+        try:
+            w3_max = int(os.getenv("OSCILLINK_WINDOWED_3W_MAX_N", "262144"))
+        except ValueError:
+            w3_max = 262144
+        if self.N <= w3_max:
+            win_w, n_windows = 384, 3
+        else:
+            win_w, n_windows = DEFAULT_W, 2
         plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
-            self._graph.idx, self._graph.wn, order, DEFAULT_W, DEFAULT_R,
-            strag_cap, DEFAULT_SMAX,
+            self._graph.idx, self._graph.wn, order, win_w, DEFAULT_R,
+            strag_cap, DEFAULT_SMAX, n_windows,
         )
         cov, n_strag, fits = (
             float(v) for v in jax.device_get([cov_dev, n_strag_dev, fits_dev])
@@ -502,7 +516,7 @@ class OscillinkLattice:
             return
         self._window_ctx = WindowCtx(
             plan=plan,
-            oh=build_onehot(plan, DEFAULT_W, DEFAULT_SMAX),
+            oh=build_onehot(plan, win_w, DEFAULT_SMAX),
             order=order,
             inv_order=inv,
         )

@@ -7,25 +7,29 @@ gather engine, which we measured at ~200 GB/s *independent of index pattern*
 (sequential == random == local; benchmarks/probe_gather.py) — ~4x under the
 HBM streaming rate.  This kernel sidesteps the gather engine entirely:
 
-  * rows are processed in blocks of R; for each row block the plan picks the
-    two W-aligned row *windows* of X that contain most of its neighbor ids
-    (after locality ordering, mutual-kNN neighbors concentrate near the
-    diagonal — parallel/reorder.py gives the ordering);
-  * the within-window selection is a [R, 2W] one-hot *weight* matrix.  It is
-    constant across CG iterations, so it is built ONCE per solve by
-    `build_onehot` (vectorized XLA compare, no scatter) and streamed per
-    iteration — measured ~2.5 ms/apply cheaper than rebuilding on the VPU
-    inside the kernel;
-  * per grid step the kernel pulls both windows and the one-hot block into
-    VMEM with contiguous block-spec DMAs (pipelined by Pallas) and runs two
-    MXU matmuls: out = X_blk - OH[:, :W] @ win1 - OH[:, W:] @ win2;
-  * edges outside both windows ("stragglers") are corrected afterwards with
-    one XLA gather + scatter-add over a compacted COO list.
+  * rows are processed in blocks of R; for each row block the plan elects
+    the n_windows (2 or 3) most-popular W-aligned row *windows* of X (after
+    locality ordering, mutual-kNN neighbors concentrate near the diagonal —
+    parallel/reorder.py gives the ordering);
+  * the within-window selection is a [R, n_windows*W] one-hot *weight*
+    matrix, constant across CG iterations, built ONCE per graph by
+    `build_onehot` and streamed per iteration; per grid step the kernel
+    pulls the windows and one-hot block into VMEM with contiguous
+    block-spec DMAs (pipelined by Pallas) and runs one MXU matmul per
+    window in three bf16 passes (double-bf16 split — f32-level accuracy at
+    half the cost of Mosaic's six-pass HIGHEST lowering);
+  * edges outside every window ("stragglers") are grouped by destination
+    row block; the kernel DMAs each block's segment of per-iteration
+    contribution rows from HBM (overlapping the window matmuls) and applies
+    them with an exact-bf16 0/1 one-hot matmul while the output block is
+    still in VMEM — replacing an XLA scatter epilogue that cost
+    ~2 ms/apply at N=100k regardless of straggler count.
 
-For clustered/ordered data the straggler fraction is a few percent and the
-matvec runs at streaming rate + MXU (measured ~3x the XLA gather path at
-N=100k, D=768, k=8); for adversarially random graphs the plan reports low
-coverage and callers keep the XLA path.
+Three windows cover a wider neighbor span (the 2-window geometry caps
+coverage at ~0.95 when a block's neighbor spread exceeds 2W) at the price
+of a 1.5x-wider one-hot; callers pick per regime (the one-hot costs
+n_windows*W*4 bytes/row of HBM).  For adversarially random graphs the plan
+reports low coverage and callers keep the XLA path.
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ __all__ = [
     "WindowPlan",
     "OneHots",
     "build_window_plan",
+    "build_window_plan_device",
     "build_onehot",
     "plan_s_max",
     "lap_matvec_windowed",
@@ -58,22 +63,20 @@ _LANE = 8
 
 class WindowPlan(NamedTuple):
     """Device-resident window plan (a pytree of arrays only; the static
-    W/R geometry is passed separately so jit treats it as compile-time).
+    W/R geometry is passed separately so jit treats it as compile-time;
+    the window count is carried by the leading axis of ``cs``).
 
     Straggler layout: entries are grouped by DESTINATION ROW BLOCK — block
     i's stragglers occupy `[strag_off[i], strag_off[i] + p_i)` where p_i is
     the block's count rounded up to 8 (padding entries carry w=0 and point
     their dst at the block's last row, keeping the global dst order
-    non-decreasing).  The kernel DMAs a fixed `[s_max]`-row slice starting at
-    `strag_off[i]`; reads past a block's own segment are masked out by the
-    straggler one-hot."""
+    non-decreasing).  The kernel DMAs a fixed `[s_max]`-row slice starting
+    at `strag_off[i]`; reads past a block's own segment are masked out by
+    the straggler one-hot."""
 
-    c1: jax.Array  # [B] int32 — first window id (units of W rows)
-    c2: jax.Array  # [B] int32 — second window id
-    idx1l: jax.Array  # [Npad, K] int32 — window-1 local col ids (0 where unused)
-    wn1: jax.Array  # [Npad, K] f32 — window-1 edge weights (0 where unused)
-    idx2l: jax.Array  # [Npad, K] int32
-    wn2: jax.Array  # [Npad, K] f32
+    cs: jax.Array  # [n_win, B] int32 — elected window ids (units of W rows)
+    idxl: jax.Array  # [n_win, Npad, K] int32 — in-window local col ids
+    wnl: jax.Array  # [n_win, Npad, K] f32 — in-window edge weights (0 unused)
     strag_dst: jax.Array  # [S] int32 — straggler destination rows (sorted)
     strag_src: jax.Array  # [S] int32 — straggler source rows
     strag_w: jax.Array  # [S] f32 — straggler weights (0 on padding)
@@ -81,17 +84,22 @@ class WindowPlan(NamedTuple):
 
     @property
     def n_pad(self) -> int:
-        return self.idx1l.shape[0]
+        return self.idxl.shape[1]
 
     @property
     def n_blocks(self) -> int:
-        return self.c1.shape[0]
+        return self.cs.shape[1]
+
+    @property
+    def n_windows(self) -> int:
+        return self.cs.shape[0]
 
 
 class OneHots(NamedTuple):
     """Per-solve one-hot operands for the windowed kernel.
 
-    main:  [Npad, 2W] f32 — window selection weights (wn folded in).
+    main:  [Npad, n_windows*W] f32 — window selection weights (wn folded
+           in); columns [w*W, (w+1)*W) select from window w.
     strag: [Npad, s_max] bf16 — 0/1 straggler selection (exact in bf16);
            column s of row r selects straggler entry strag_off[blk(r)] + s.
     """
@@ -110,6 +118,7 @@ def build_window_plan(
     *,
     W: int = DEFAULT_W,
     R: int = DEFAULT_R,
+    n_windows: int = 2,
 ) -> tuple[WindowPlan, float]:
     """Build the window plan on host. Returns (plan, coverage in [0, 1]).
 
@@ -117,12 +126,14 @@ def build_window_plan(
     (wn == 0 marks padding). Vectorized NumPy throughout — no per-edge Python
     loops (VERDICT r1: build_halo_plan's Python loops were the anti-pattern).
     """
-    if W % R != 0:
-        raise ValueError(f"W={W} must be a multiple of R={R}")
+    if n_windows < 1:
+        raise ValueError("n_windows must be >= 1")
     idx = np.asarray(idx)
     wn = np.asarray(wn)
     n, k = idx.shape
-    n_pad = _round_up(n, W)
+    # rows pad to a multiple of both the window and the row-block size (the
+    # two blockings are independent; W=384/R=256 is a valid geometry)
+    n_pad = _round_up(n, int(np.lcm(W, R)))
     b = n_pad // R
 
     idx_p = np.zeros((n_pad, k), dtype=np.int32)
@@ -134,29 +145,34 @@ def build_window_plan(
     wblk = idx_p // W  # [Npad, K] window id of each edge
     rowblk = (np.arange(n_pad) // R)[:, None]  # [Npad, 1]
 
-    # histogram of live edges per (row block, window)
-    n_win = n_pad // W
-    hist = np.zeros((b, n_win), dtype=np.int64)
+    # histogram of live edges per (row block, window); elect the n_windows
+    # most-popular windows per block
+    n_aligned = n_pad // W
+    hist = np.zeros((b, n_aligned), dtype=np.int64)
     np.add.at(hist, (np.broadcast_to(rowblk, wblk.shape)[live], wblk[live]), 1)
 
-    c1 = np.argmax(hist, axis=1).astype(np.int32)
-    hist2 = hist.copy()
-    hist2[np.arange(b), c1] = -1
-    c2 = np.argmax(hist2, axis=1).astype(np.int32)
-    # degenerate single-window blocks: point c2 somewhere distinct
-    same = c2 == c1
-    c2[same] = (c1[same] + 1) % max(n_win, 1)
+    cs = np.zeros((n_windows, b), dtype=np.int32)
+    h = hist.copy()
+    for w in range(n_windows):
+        cw = np.argmax(h, axis=1).astype(np.int32)
+        # degenerate blocks (fewer populated windows than n_windows): point
+        # the election somewhere distinct so window ids never collide
+        for prev in range(w):
+            clash = cw == cs[prev]
+            cw[clash] = (cw[clash] + 1 + prev) % max(n_aligned, 1)
+        h[np.arange(b), cw] = -1
+        cs[w] = cw
 
-    c1_e = c1[rowblk[:, 0]][:, None]  # [Npad, 1] broadcast to edges
-    c2_e = c2[rowblk[:, 0]][:, None]
-    in1 = live & (wblk == c1_e)
-    in2 = live & (wblk == c2_e)
-    strag = live & ~in1 & ~in2
-
-    idx1l = np.where(in1, idx_p - c1_e * W, 0).astype(np.int32)
-    wn1 = np.where(in1, wn_p, 0.0).astype(np.float32)
-    idx2l = np.where(in2, idx_p - c2_e * W, 0).astype(np.int32)
-    wn2 = np.where(in2, wn_p, 0.0).astype(np.float32)
+    in_any = np.zeros_like(live)
+    idxl = np.zeros((n_windows, n_pad, k), dtype=np.int32)
+    wnl = np.zeros((n_windows, n_pad, k), dtype=np.float32)
+    for w in range(n_windows):
+        cw_e = cs[w][rowblk[:, 0]][:, None]
+        in_w = live & (wblk == cw_e) & ~in_any
+        idxl[w] = np.where(in_w, idx_p - cw_e * W, 0)
+        wnl[w] = np.where(in_w, wn_p, 0.0)
+        in_any |= in_w
+    strag = live & ~in_any
 
     s_dst, s_k = np.nonzero(strag)  # row-major -> sorted by dst -> by block
     s_src = idx_p[s_dst, s_k]
@@ -175,7 +191,9 @@ def build_window_plan(
     # bounds for any s_max <= plan_s_max(plan)
     s_len = int(off[b - 1]) + max(128, _round_up(p_max, 128)) if b else 128
 
-    blk_of_pos = np.clip(np.searchsorted(off, np.arange(s_len), side="right") - 1, 0, b - 1)
+    blk_of_pos = np.clip(
+        np.searchsorted(off, np.arange(s_len), side="right") - 1, 0, b - 1
+    )
     strag_dst = (blk_of_pos * R + (R - 1)).astype(np.int32)
     strag_src = np.zeros(s_len, dtype=np.int32)
     strag_w = np.zeros(s_len, dtype=np.float32)
@@ -190,12 +208,9 @@ def build_window_plan(
     coverage = 1.0 - (len(s_dst) / max(n_live, 1))
 
     plan = WindowPlan(
-        c1=jnp.asarray(c1),
-        c2=jnp.asarray(c2),
-        idx1l=jnp.asarray(idx1l),
-        wn1=jnp.asarray(wn1),
-        idx2l=jnp.asarray(idx2l),
-        wn2=jnp.asarray(wn2),
+        cs=jnp.asarray(cs),
+        idxl=jnp.asarray(idxl),
+        wnl=jnp.asarray(wnl),
         strag_dst=jnp.asarray(strag_dst),
         strag_src=jnp.asarray(strag_src),
         strag_w=jnp.asarray(strag_w),
@@ -224,22 +239,23 @@ def plan_s_max(plan: WindowPlan) -> int:
 def build_onehot(plan: WindowPlan, W: int, s_max: int = DEFAULT_SMAX) -> OneHots:
     """One-hot operands, built once per graph (constant across CG iters).
 
-    main [Npad, 2W]: columns [0, W) select from window 1, [W, 2W) from
-    window 2, with edge weights folded in.  strag [Npad, s_max] bf16:
-    0/1 selection of the block's straggler segment (weights live in the
-    per-apply contribution buffer instead, so bf16 is exact)."""
-    n_pad, k = plan.idx1l.shape
+    main [Npad, n_windows*W]: columns [w*W, (w+1)*W) select from window w,
+    with edge weights folded in.  strag [Npad, s_max] bf16: 0/1 selection
+    of the block's straggler segment (weights live in the per-apply
+    contribution buffer instead, so bf16 is exact)."""
+    n_win, n_pad, k = plan.idxl.shape
     cols = lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
-    oh1 = jnp.zeros((n_pad, W), jnp.float32)
-    oh2 = jnp.zeros((n_pad, W), jnp.float32)
-    for a in range(k):
-        oh1 = oh1 + jnp.where(
-            cols == plan.idx1l[:, a][:, None], plan.wn1[:, a][:, None], 0.0
-        )
-        oh2 = oh2 + jnp.where(
-            cols == plan.idx2l[:, a][:, None], plan.wn2[:, a][:, None], 0.0
-        )
-    main = jnp.concatenate([oh1, oh2], axis=1)
+    parts = []
+    for w in range(n_win):
+        oh_w = jnp.zeros((n_pad, W), jnp.float32)
+        for a in range(k):
+            oh_w = oh_w + jnp.where(
+                cols == plan.idxl[w, :, a][:, None],
+                plan.wnl[w, :, a][:, None],
+                0.0,
+            )
+        parts.append(oh_w)
+    main = jnp.concatenate(parts, axis=1)
 
     b = plan.n_blocks
     r = n_pad // b
@@ -263,23 +279,24 @@ def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _matmul_kernel(W: int, precision):
-    use_dot3 = precision == "bf16x3"
+def _window_dot(oh, win, precision):
+    if precision == "bf16x3":
+        return _dot3(oh, win)
+    return jnp.dot(
+        oh, win, preferred_element_type=jnp.float32, precision=precision
+    )
 
-    def kern(c1_ref, c2_ref, xblk, win1, win2, oh, out):
+
+def _matmul_kernel(W: int, n_win: int, precision):
+    def kern(*refs):
+        # refs: c_0..c_{n_win-1} | xblk, win_0.., oh | out
+        xblk = refs[n_win]
+        wins = refs[n_win + 1 : 2 * n_win + 1]
+        oh = refs[2 * n_win + 1]
+        out = refs[2 * n_win + 2]
         acc = xblk[:]
-        if use_dot3:
-            acc = acc - _dot3(oh[:, :W], win1[:])
-            acc = acc - _dot3(oh[:, W:], win2[:])
-        else:
-            acc = acc - jnp.dot(
-                oh[:, :W], win1[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            acc = acc - jnp.dot(
-                oh[:, W:], win2[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+        for w in range(n_win):
+            acc = acc - _window_dot(oh[:, w * W : (w + 1) * W], wins[w][:], precision)
         out[:] = acc
 
     return kern
@@ -291,20 +308,23 @@ def _window_spmv(
 ):
     n_pad, d = Xpad.shape
     b = n_pad // R
+    n_win = plan.n_windows
+
+    def win_spec(w):
+        return pl.BlockSpec((W, d), lambda i, *cs, w=w: (cs[w][i], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # c1, c2
+        num_scalar_prefetch=n_win,  # per-window elected ids
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((R, d), lambda i, c1, c2: (i, 0)),  # xblk
-            pl.BlockSpec((W, d), lambda i, c1, c2: (c1[i], 0)),  # win1
-            pl.BlockSpec((W, d), lambda i, c1, c2: (c2[i], 0)),  # win2
-            pl.BlockSpec((R, 2 * W), lambda i, c1, c2: (i, 0)),  # one-hot
+            pl.BlockSpec((R, d), lambda i, *cs: (i, 0)),  # xblk
+            *[win_spec(w) for w in range(n_win)],
+            pl.BlockSpec((R, n_win * W), lambda i, *cs: (i, 0)),  # one-hot
         ],
-        out_specs=pl.BlockSpec((R, d), lambda i, c1, c2: (i, 0)),
+        out_specs=pl.BlockSpec((R, d), lambda i, *cs: (i, 0)),
     )
     return pl.pallas_call(
-        _matmul_kernel(W, precision),
+        _matmul_kernel(W, n_win, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -312,10 +332,10 @@ def _window_spmv(
         ),
         # CPU backend (the 8-device virtual test mesh) has no Mosaic: interpret
         interpret=jax.default_backend() != "tpu",
-    )(plan.c1, plan.c2, Xpad, Xpad, Xpad, oh)
+    )(*[plan.cs[w] for w in range(n_win)], Xpad, *([Xpad] * n_win), oh)
 
 
-def _matmul_kernel3(W: int, S_max: int, precision):
+def _matmul_kernel3(W: int, n_win: int, S_max: int, precision):
     """Window matmuls + in-kernel straggler correction.
 
     The per-block straggler contributions are DMA'd manually from the
@@ -325,31 +345,30 @@ def _matmul_kernel3(W: int, S_max: int, precision):
     This replaces the XLA scatter-add epilogue, whose read-modify-write of
     the full [Npad, D] output cost ~2 ms/apply at N=100k regardless of
     straggler count."""
-    use_dot3 = precision == "bf16x3"
 
-    def kern(c1_ref, c2_ref, off_ref, xblk, win1, win2, oh, oh3, c_hbm, out,
-             c_vmem, sem):
+    def kern(*refs):
+        # refs: c_0..c_{n_win-1}, off | xblk, win_0.., oh, oh3, c_hbm |
+        #       out | c_vmem, sem
+        off_ref = refs[n_win]
+        base = n_win + 1
+        xblk = refs[base]
+        wins = refs[base + 1 : base + 1 + n_win]
+        oh = refs[base + 1 + n_win]
+        oh3 = refs[base + 2 + n_win]
+        c_hbm = refs[base + 3 + n_win]
+        out = refs[base + 4 + n_win]
+        c_vmem = refs[base + 5 + n_win]
+        sem = refs[base + 6 + n_win]
+
         i = pl.program_id(0)
         # offsets are 8-aligned by plan construction; Mosaic needs the hint
         # to tile the HBM slice
         off = pl.multiple_of(off_ref[i], _LANE)
-        dma = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
-        )
+        dma = pltpu.make_async_copy(c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem)
         dma.start()
         acc = xblk[:]
-        if use_dot3:
-            acc = acc - _dot3(oh[:, :W], win1[:])
-            acc = acc - _dot3(oh[:, W:], win2[:])
-        else:
-            acc = acc - jnp.dot(
-                oh[:, :W], win1[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            acc = acc - jnp.dot(
-                oh[:, W:], win2[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+        for w in range(n_win):
+            acc = acc - _window_dot(oh[:, w * W : (w + 1) * W], wins[w][:], precision)
         dma.wait()
         c = c_vmem[:]
         # oh3 is exact in bf16 (0/1); split c so the product is f32-accurate
@@ -375,33 +394,44 @@ def _window_spmv3(
 ):
     n_pad, d = Xpad.shape
     b = n_pad // R
+    n_win = plan.n_windows
     contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
 
+    def win_spec(w):
+        return pl.BlockSpec((W, d), lambda i, *pre, w=w: (pre[w][i], 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # c1, c2, strag_off
+        num_scalar_prefetch=n_win + 1,  # elected ids + strag_off
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((R, d), lambda i, c1, c2, off: (i, 0)),  # xblk
-            pl.BlockSpec((W, d), lambda i, c1, c2, off: (c1[i], 0)),  # win1
-            pl.BlockSpec((W, d), lambda i, c1, c2, off: (c2[i], 0)),  # win2
-            pl.BlockSpec((R, 2 * W), lambda i, c1, c2, off: (i, 0)),  # one-hot
-            pl.BlockSpec((R, S_max), lambda i, c1, c2, off: (i, 0)),  # strag oh
+            pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),  # xblk
+            *[win_spec(w) for w in range(n_win)],
+            pl.BlockSpec((R, n_win * W), lambda i, *pre: (i, 0)),  # one-hot
+            pl.BlockSpec((R, S_max), lambda i, *pre: (i, 0)),  # strag oh
             pl.BlockSpec(memory_space=pltpu.ANY),  # contribs stay in HBM
         ],
-        out_specs=pl.BlockSpec((R, d), lambda i, c1, c2, off: (i, 0)),
+        out_specs=pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((S_max, d), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        _matmul_kernel3(W, S_max, precision),
+        _matmul_kernel3(W, n_win, S_max, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(plan.c1, plan.c2, plan.strag_off, Xpad, Xpad, Xpad, oh, oh3, contrib)
+    )(
+        *[plan.cs[w] for w in range(n_win)],
+        plan.strag_off,
+        Xpad,
+        *([Xpad] * n_win),
+        oh,
+        oh3,
+        contrib,
+    )
 
 
 def lap_matvec_windowed(
@@ -409,18 +439,24 @@ def lap_matvec_windowed(
     oh: OneHots,
     Xpad: jax.Array,
     *,
-    W: int = DEFAULT_W,
-    R: int = DEFAULT_R,
+    W: int | None = None,
+    R: int | None = None,
     precision="bf16x3",
 ) -> jax.Array:
     """Normalized-Laplacian matvec on padded rows: X - Wn (*) X.
 
     ``Xpad`` must have ``plan.n_pad`` rows (see `pad_rows`); ``oh`` comes
-    from `build_onehot(plan, W, s_max)`.  Output is padded too; padded rows
-    pass through as identity (their wn slots are 0).  On TPU the straggler
-    correction runs inside the kernel (`_matmul_kernel3`); the interpreted
-    CPU path (test mesh) keeps the windows kernel + XLA scatter epilogue.
+    from `build_onehot(plan, W, s_max)`.  W/R default to the geometry the
+    plan was built with (derived statically from array shapes).  Output is
+    padded too; padded rows pass through as identity (their wn slots are 0).
+    On TPU the straggler correction runs inside the kernel
+    (`_matmul_kernel3`); the interpreted CPU path (test mesh) keeps the
+    windows kernel + XLA scatter epilogue.
     """
+    if W is None:
+        W = oh.main.shape[1] // plan.n_windows
+    if R is None:
+        R = plan.n_pad // plan.n_blocks
     if jax.default_backend() == "tpu":
         return _window_spmv3(
             plan, oh.main, oh.strag, Xpad, W, R, oh.strag.shape[1], precision
@@ -441,7 +477,7 @@ def pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def build_window_plan_device(
     idx: jax.Array,
     wn: jax.Array,
@@ -450,6 +486,7 @@ def build_window_plan_device(
     R: int,
     strag_cap: int,
     s_max: int = DEFAULT_SMAX,
+    n_windows: int = 2,
 ):
     """All-device window plan: no [N, K] arrays ever cross to the host.
 
@@ -469,12 +506,10 @@ def build_window_plan_device(
 
     Returns (WindowPlan, coverage [scalar], n_strag [scalar], fits [scalar]).
     """
-    if W % R != 0:
-        raise ValueError(f"W={W} must be a multiple of R={R}")
     n, k = idx.shape
-    n_pad = _round_up(n, W)
+    n_pad = _round_up(n, int(np.lcm(W, R)))
     b = n_pad // R
-    n_win = n_pad // W
+    n_aligned = n_pad // W
 
     inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     idx_p = jnp.pad(inv[idx[order]], ((0, n_pad - n), (0, 0)))
@@ -484,24 +519,31 @@ def build_window_plan_device(
     wblk = idx_p // W  # [Npad, K]
     rowblk = (jnp.arange(n_pad, dtype=jnp.int32) // R)[:, None]
 
-    hist = jnp.zeros((b, n_win), jnp.int32).at[
+    hist = jnp.zeros((b, n_aligned), jnp.int32).at[
         jnp.broadcast_to(rowblk, wblk.shape), wblk
     ].add(live.astype(jnp.int32))
-    c1 = jnp.argmax(hist, axis=1).astype(jnp.int32)
-    hist2 = hist.at[jnp.arange(b), c1].set(-1)
-    c2 = jnp.argmax(hist2, axis=1).astype(jnp.int32)
-    c2 = jnp.where(c2 == c1, (c1 + 1) % max(n_win, 1), c2)
 
-    c1_e = c1[rowblk[:, 0]][:, None]
-    c2_e = c2[rowblk[:, 0]][:, None]
-    in1 = live & (wblk == c1_e)
-    in2 = live & (wblk == c2_e)
-    strag = live & ~in1 & ~in2
+    cs_list = []
+    h = hist
+    for w in range(n_windows):
+        cw = jnp.argmax(h, axis=1).astype(jnp.int32)
+        for prev in range(w):
+            cw = jnp.where(
+                cw == cs_list[prev], (cw + 1 + prev) % max(n_aligned, 1), cw
+            )
+        h = h.at[jnp.arange(b), cw].set(-1)
+        cs_list.append(cw)
+    cs = jnp.stack(cs_list)
 
-    idx1l = jnp.where(in1, idx_p - c1_e * W, 0).astype(jnp.int32)
-    wn1 = jnp.where(in1, wn_p, 0.0)
-    idx2l = jnp.where(in2, idx_p - c2_e * W, 0).astype(jnp.int32)
-    wn2 = jnp.where(in2, wn_p, 0.0)
+    in_any = jnp.zeros_like(live)
+    idxl_list, wnl_list = [], []
+    for w in range(n_windows):
+        cw_e = cs[w][rowblk[:, 0]][:, None]
+        in_w = live & (wblk == cw_e) & ~in_any
+        idxl_list.append(jnp.where(in_w, idx_p - cw_e * W, 0).astype(jnp.int32))
+        wnl_list.append(jnp.where(in_w, wn_p, 0.0))
+        in_any = in_any | in_w
+    strag = live & ~in_any
 
     flat = strag.reshape(-1)
     n_strag = jnp.sum(flat.astype(jnp.int32))
@@ -543,7 +585,12 @@ def build_window_plan_device(
     coverage = 1.0 - n_strag.astype(jnp.float32) / n_live.astype(jnp.float32)
 
     plan = WindowPlan(
-        c1=c1, c2=c2, idx1l=idx1l, wn1=wn1, idx2l=idx2l, wn2=wn2,
-        strag_dst=s_dst, strag_src=s_src, strag_w=s_w, strag_off=off,
+        cs=cs,
+        idxl=jnp.stack(idxl_list),
+        wnl=jnp.stack(wnl_list),
+        strag_dst=s_dst,
+        strag_src=s_src,
+        strag_w=s_w,
+        strag_off=off,
     )
     return plan, coverage, n_strag, fits

@@ -288,8 +288,10 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
     for s in range(n_dev):
         sl = slice(s * rows_per, (s + 1) * rows_per)
         wn_local = wn[sl] * plan.w_local_mask[sl]
+        # three 384-row windows: the measured-best geometry at per-shard
+        # scale (ops/pallas/window_spmv.py header)
         p_s, cov_s = build_window_plan(
-            plan.idx_local[sl], wn_local, W=DEFAULT_W, R=DEFAULT_R
+            plan.idx_local[sl], wn_local, W=384, R=DEFAULT_R, n_windows=3
         )
         plans.append(p_s)
         covs.append(cov_s)
@@ -300,7 +302,7 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
         cur = p.strag_w.shape[0]
         if cur == s_len:
             return p
-        n_pad_rows = p.idx1l.shape[0]
+        n_pad_rows = p.n_pad
         ext = s_len - cur
         return p._replace(
             strag_dst=jnp.concatenate(
@@ -311,7 +313,7 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
         )
 
     plans = [pad_strag(p) for p in plans]
-    ohs = [build_onehot(p, DEFAULT_W, s_max) for p in plans]
+    ohs = [build_onehot(p, 384, s_max) for p in plans]
     stacked_plan = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
     stacked_oh = jax.tree.map(lambda *xs: jnp.stack(xs), *ohs)
     return stacked_plan, stacked_oh, float(min(covs)), s_max
@@ -390,7 +392,7 @@ def halo_solve_windowed(
         k = wn_l.shape[1]
         wp = jax.tree.map(lambda x: x[0], wp_l)
         oh = jax.tree.map(lambda x: x[0], oh_l)
-        n_pad_rows = wp.idx1l.shape[0]
+        n_pad_rows = wp.n_pad
 
         def halo_of(X_l):
             send = jnp.take(X_l, smap.reshape(-1), axis=0).reshape(

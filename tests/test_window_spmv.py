@@ -29,17 +29,16 @@ def test_plan_partitions_every_live_edge():
     wn[rng.random((n, k)) < 0.3] = 0.0  # padding slots
     plan, cov = ws.build_window_plan(idx, wn, W=256, R=128)
     n_live = int((wn != 0).sum())
-    n_in1 = int((np.asarray(plan.wn1) != 0).sum())
-    n_in2 = int((np.asarray(plan.wn2) != 0).sum())
+    n_in = int((np.asarray(plan.wnl) != 0).sum())
     n_strag = int((np.asarray(plan.strag_w) != 0).sum())
-    assert n_in1 + n_in2 + n_strag == n_live
+    assert n_in + n_strag == n_live
     assert cov == pytest.approx(1.0 - n_strag / n_live)
     # straggler dst list must be non-decreasing (scatter uses sorted hint)
     dst = np.asarray(plan.strag_dst)
     assert (np.diff(dst) >= 0).all()
     # local ids within window bounds wherever weights are live
-    for idx_l, w_l in ((plan.idx1l, plan.wn1), (plan.idx2l, plan.wn2)):
-        il, wl = np.asarray(idx_l), np.asarray(w_l)
+    for w in range(plan.n_windows):
+        il, wl = np.asarray(plan.idxl[w]), np.asarray(plan.wnl[w])
         assert il[wl != 0].min() >= 0 and il[wl != 0].max() < 256
 
 
@@ -162,3 +161,54 @@ def test_lattice_chunked_settle_matches_full(monkeypatch):
     out = lat.settle(max_iters=16, tol=1e-5)
     assert out["res"] <= 1e-4
     assert np.abs(np.asarray(lat._U_dev) - np.asarray(base._U_dev)).max() < 1e-4
+
+
+@pytest.mark.parametrize("n_windows", [2, 3])
+def test_windowed_matvec_n_windows(n_windows):
+    """2- and 3-window plans both reproduce the XLA matvec; three windows
+    strictly raise coverage on banded data."""
+    rng = np.random.default_rng(5)
+    n, d, k = 4096, 48, 6
+    idx = ((np.arange(n)[:, None] + rng.integers(-700, 700, size=(n, k))) % n).astype(
+        np.int32
+    )
+    wn = (rng.random((n, k)) * 0.2).astype(np.float32)
+    g = Graph(idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),
+              sqrt_deg=jnp.ones(n))
+    plan, cov = ws.build_window_plan(idx, wn, W=512, R=256, n_windows=n_windows)
+    assert plan.n_windows == n_windows
+    oh = ws.build_onehot(plan, 512, ws.plan_s_max(plan))
+    assert oh.main.shape[1] == n_windows * 512
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    out = np.asarray(ws.lap_matvec_windowed(plan, oh, Xp, W=512, R=256))[:n]
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 1e-5, (n_windows, cov, rel)
+    if n_windows == 3:
+        _, cov2 = ws.build_window_plan(idx, wn, W=512, R=256, n_windows=2)
+        assert cov > cov2
+
+
+def test_device_plan_matches_host_plan_3w():
+    """Device and host builders agree on the 3-window partition."""
+    rng = np.random.default_rng(6)
+    n, k = 2048, 5
+    idx = ((np.arange(n)[:, None] + rng.integers(-500, 500, size=(n, k))) % n).astype(
+        np.int32
+    )
+    wn = (rng.random((n, k)) * 0.2).astype(np.float32)
+    wn[rng.random((n, k)) < 0.2] = 0.0
+    order = np.arange(n, dtype=np.int32)
+    cap = ((n * k // 2 + 7) // 8) * 8
+    plan_d, cov_d, n_strag_d, fits = ws.build_window_plan_device(
+        jnp.asarray(idx), jnp.asarray(wn), jnp.asarray(order), 512, 256, cap,
+        512, 3,
+    )
+    plan_h, cov_h = ws.build_window_plan(idx, wn, W=512, R=256, n_windows=3)
+    assert bool(fits)
+    assert float(cov_d) == pytest.approx(cov_h, abs=1e-6)
+    assert np.array_equal(np.asarray(plan_d.cs), np.asarray(plan_h.cs))
+    assert np.array_equal(np.asarray(plan_d.wnl), np.asarray(plan_h.wnl))
+    assert np.array_equal(np.asarray(plan_d.idxl), np.asarray(plan_h.idxl))
+    assert np.array_equal(np.asarray(plan_d.strag_off), np.asarray(plan_h.strag_off))
