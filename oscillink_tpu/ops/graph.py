@@ -113,6 +113,13 @@ def _topk_blocked(
         )  # [B, N]
         gidx = row_offset + b * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
         S = jnp.where(col_ids[None, :] == gidx[:, None], -jnp.inf, S)
+        # measured dead end (round 2): a two-stage EXACT top-k (per-2048-col
+        # tile top_k -> top_k over the candidate pool; provably identical
+        # incl. tie order) slope-timed 4701 ms/build vs 831 ms for the plain
+        # wide top_k at 98k x 768 — batched [B, nt, T] top_k lowers ~6x
+        # worse than one [B, N] top_k on v5e.  Like the iterative-argmax
+        # variant (round 1), splitting the reduction loses; approx_max_k +
+        # rescore ("fast"/"fastest") remains the only profitable shortcut.
         vals, idx = lax.top_k(S, k)
         return vals, idx.astype(jnp.int32)
 
