@@ -812,7 +812,29 @@ class OscillinkLattice:
         U_prev = self._U_dev if _env_flag("OSCILLINK_RECEIPT_DYNAMICS") else None
         x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
         t0 = time.perf_counter()
-        if self._window_ctx is not None and self._path is None:
+        if (
+            self._window_ctx is not None
+            and self._path is None
+            and self._auto_col_chunks() > 1
+        ):
+            # large-N windowed settle: full-width CG state would exceed HBM
+            from ..models.coherence import settle_step_windowed_chunked
+
+            U_plus, iters, res = settle_step_windowed_chunked(
+                self._window_ctx,
+                self._U_dev,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                dt=self._opts(dt)[0],
+                tol=self._opts(tol)[0],
+                max_iters=jnp.int32(max_iters),
+                x0=x0,
+                use_jacobi=precond == "jacobi",
+                col_chunks=self._auto_col_chunks(),
+            )
+        elif self._window_ctx is not None and self._path is None:
             U_plus, iters, res = _jit_settle_windowed(
                 self._window_ctx,
                 self._U_dev,

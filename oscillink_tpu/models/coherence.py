@@ -398,3 +398,41 @@ def settle_step_windowed(
         A_mul, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
     )
     return jnp.take(Up, ctx.inv_order, axis=0), iters, res
+
+
+_settle_windowed_chunk = jax.jit(
+    settle_step_windowed, static_argnames=("use_jacobi",)
+)
+
+
+def settle_step_windowed_chunked(
+    ctx: WindowCtx,
+    U: jax.Array,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    dt=1.0,
+    tol=1e-3,
+    max_iters=12,
+    x0: Optional[jax.Array] = None,
+    use_jacobi: bool = True,
+    col_chunks: int = 2,
+):
+    """Column-chunked windowed settle for the large-N regime: the windowed
+    analog of `settle_step_chunked` (no gather temps; same host-loop
+    serialization rationale — do not jit)."""
+    n, d = Y.shape
+    if d % col_chunks != 0:
+        raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
+    w = d // col_chunks
+
+    def chunks():
+        for c in range(col_chunks):
+            sl = slice(c * w, (c + 1) * w)
+            yield c * w, _settle_windowed_chunk(
+                ctx, U[:, sl], Y[:, sl], psi[sl], B, lam, dt, tol, max_iters,
+                None if x0 is None else x0[:, sl], use_jacobi,
+            )
+
+    return _accumulate_chunks(n, d, chunks())

@@ -457,7 +457,10 @@ def lap_matvec_windowed(
         W = oh.main.shape[1] // plan.n_windows
     if R is None:
         R = plan.n_pad // plan.n_blocks
-    if jax.default_backend() == "tpu":
+    # the in-kernel straggler DMA slices [s_max, D] from HBM; Mosaic
+    # requires the lane dimension 128-aligned — narrow D (e.g. small
+    # embeddings or thin column chunks) takes the scatter epilogue instead
+    if jax.default_backend() == "tpu" and Xpad.shape[1] % 128 == 0:
         return _window_spmv3(
             plan, oh.main, oh.strag, Xpad, W, R, oh.strag.shape[1], precision
         )

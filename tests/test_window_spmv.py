@@ -212,3 +212,28 @@ def test_device_plan_matches_host_plan_3w():
     assert np.array_equal(np.asarray(plan_d.wnl), np.asarray(plan_h.wnl))
     assert np.array_equal(np.asarray(plan_d.idxl), np.asarray(plan_h.idxl))
     assert np.array_equal(np.asarray(plan_d.strag_off), np.asarray(plan_h.strag_off))
+
+
+def test_lattice_windowed_chunked_settle(monkeypatch):
+    """Windowed ctx + forced chunking routes settle through the windowed
+    chunked path and matches the full-width XLA settle."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1024, 32, seed=11)
+    rng = np.random.default_rng(11)
+    psi = rng.standard_normal(32).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    base.settle(max_iters=16, tol=1e-5)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "2")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None and lat._auto_col_chunks() == 2
+    lat.set_query(psi)
+    out = lat.settle(max_iters=16, tol=1e-5)
+    assert out["res"] <= 1e-4
+    assert np.abs(np.asarray(lat._U_dev) - np.asarray(base._U_dev)).max() < 1e-4
