@@ -692,22 +692,61 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     api_key = ctx["api_key"]
 
     def run() -> dict:
-        # quota charged at execution time (jobs.py:81-94)
-        lat, N, D, k_eff, eff, profile_id = _build_lattice(state, sreq, api_key)
+        # quota charged at execution time (jobs.py:81-94); backend routing
+        # mirrors the synchronous settle path (native / sharded / device) —
+        # async jobs are the natural home of the large-N sharded tier
+        from .native_path import eligible as native_eligible
+        from .native_path import native_settle
+        from .sharded_path import eligible as sharded_eligible
+        from .sharded_path import sharded_settle
+
+        _, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+            state, sreq, api_key
+        )
         units = N * D
         state.monthly.check_and_consume(api_key, units, state.keystore)
         state.quota.check_and_consume(api_key, units, state.keystore)
-        stats = lat.settle(
-            dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
-        )
+        if native_eligible(sreq, N):
+            o = native_settle(
+                sreq, eff, include_receipt=sreq.options.include_receipt
+            )
+            backend = "native"
+        elif sharded_eligible(sreq, N):
+            o = sharded_settle(
+                sreq, eff, include_receipt=sreq.options.include_receipt
+            )
+            backend = "sharded"
+        else:
+            lat, N, D, k_eff, eff, profile_id = _build_lattice(
+                state, sreq, api_key
+            )
+            stats = lat.settle(
+                dt=sreq.options.dt,
+                max_iters=sreq.options.max_iters,
+                tol=sreq.options.tol,
+            )
+            o = {
+                "state_sig": lat._signature(),
+                "settle_stats": stats,
+                "receipt": lat.receipt() if sreq.options.include_receipt else None,
+                "bundle": lat.bundle(k=sreq.options.bundle_k)
+                if sreq.options.bundle_k
+                else None,
+            }
+            backend = "device"
+        stats = o["settle_stats"]
         out: dict[str, Any] = {
-            "state_sig": lat._signature(),
-            "settle": {"iters": int(stats.get("iters") or 0), "res": float(stats.get("res") or 0.0)},
+            "state_sig": o["state_sig"],
+            "backend": backend,
+            "settle": {
+                "iters": int(stats.get("iters") or 0),
+                "res": float(stats.get("res") or 0.0),
+            },
         }
-        if sreq.options.include_receipt:
-            out["receipt"] = lat.receipt()
-        if sreq.options.bundle_k:
-            out["bundle"] = lat.bundle(k=sreq.options.bundle_k)
+        if sreq.options.include_receipt and o.get("receipt") is not None:
+            out["receipt"] = o["receipt"]
+        if sreq.options.bundle_k and o.get("bundle") is not None:
+            out["bundle"] = o["bundle"]
         return out
 
     rec = state.jobs.submit(run, meta={"api_key": api_key})

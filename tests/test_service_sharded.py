@@ -140,3 +140,23 @@ def test_sharded_routing_exclusions(client, monkeypatch):
     r = client.post("/v1/settle", json_body=p)
     assert r.status_code == 200
     assert r.json()["meta"]["backend"] == "device"
+
+
+def test_jobs_route_to_sharded_tier(client, monkeypatch):
+    """Async jobs mirror the synchronous backend routing."""
+    import time as _time
+
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = _payload(128, 8, seed=5, bundle_k=3)
+    r = client.post("/v1/jobs/settle", json_body=p)
+    assert r.status_code == 202
+    job_id = r.json()["job_id"]
+    for _ in range(200):
+        jr = client.get(f"/v1/jobs/{job_id}").json()
+        if jr["status"] in {"done", "error"}:
+            break
+        _time.sleep(0.1)
+    assert jr["status"] == "done", jr
+    assert jr["result"]["backend"] == "sharded"
+    assert jr["result"]["receipt"]["deltaH_total"] is not None
+    assert len(jr["result"]["bundle"]) == 3
