@@ -1355,6 +1355,39 @@ class OscillinkLattice:
             for i in picks
         ]
 
+    def diffusion_gates(
+        self,
+        psi: Optional[np.ndarray] = None,
+        *,
+        beta: float = 1.0,
+        gamma: float = 0.1,
+        tol: float = 1e-4,
+        max_iters: int = 256,
+        apply: bool = False,
+    ) -> np.ndarray:
+        """Screened-diffusion gates over THIS lattice's graph.
+
+        The standalone `compute_diffusion_gates` mirrors the reference by
+        building its own mutual-kNN graph (reference diffusion.py:96-103);
+        this method fuses with the lattice's existing k-sparse structure —
+        the similarity scan is paid once.  ``psi`` defaults to the current
+        query; ``apply=True`` also installs the gates via `set_gates`."""
+        from ..preprocess.diffusion import compute_diffusion_gates_from_graph
+
+        psi_h = self.psi if psi is None else np.asarray(psi, dtype=np.float32)
+        h = compute_diffusion_gates_from_graph(
+            self._graph,
+            self._Y_dev,
+            psi_h,
+            beta=beta,
+            gamma=gamma,
+            tol=tol,
+            max_iters=max_iters,
+        )
+        if apply:
+            self.set_gates(h)
+        return h
+
     # -- callbacks --------------------------------------------------------
 
     def add_settle_callback(self, fn) -> None:

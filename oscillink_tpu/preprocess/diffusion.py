@@ -28,7 +28,7 @@ import numpy as np
 from ..ops.graph import Graph, build_graph, lap_matvec, normalize_rows
 from ..ops.solver import cg_solve
 
-__all__ = ["compute_diffusion_gates"]
+__all__ = ["compute_diffusion_gates", "compute_diffusion_gates_from_graph"]
 
 _DENSE_DIRECT_LIMIT = 4096
 
@@ -59,6 +59,67 @@ def _diffusion_jit(Y, psi, jitter, k, row_cap, beta, gamma, tol, max_iters, meth
 
         h, _, _ = cg_solve(A_mul, s, x0=None, M_diag=M_diag, tol=tol, max_iters=max_iters)
     return h
+
+
+@jax.jit
+def _diffusion_from_graph_jit(g, Y, psi, beta, gamma, tol, max_iters):
+    Yn = normalize_rows(Y)
+    psi_n = psi / (jnp.linalg.norm(psi) + 1e-12)
+    s = beta * jnp.maximum(0.0, Yn @ psi_n)
+    M_diag = jnp.ones(Y.shape[0], dtype=jnp.float32) + gamma
+
+    def A_mul(x):
+        return lap_matvec(g, x) + gamma * x
+
+    h, _, _ = cg_solve(A_mul, s, x0=None, M_diag=M_diag, tol=tol, max_iters=max_iters)
+    return h
+
+
+def compute_diffusion_gates_from_graph(
+    g: Graph,
+    Y_dev: jax.Array,
+    psi: np.ndarray,
+    *,
+    beta: float = 1.0,
+    gamma: float = 0.1,
+    tol: float = 1e-4,
+    max_iters: int = 256,
+    clamp: bool = True,
+) -> np.ndarray:
+    """Screened-diffusion gates over an ALREADY-BUILT lattice graph.
+
+    The reference's preprocessor rebuilds its own mutual-kNN graph with its
+    own kneighbors (diffusion.py:96-103 — SURVEY.md flags the redundancy);
+    this variant fuses with the lattice's existing k-sparse structure, so
+    the O(N^2 D) similarity scan is paid once.  Same screened-Poisson
+    semantics, CG solve only.  Falls back to uniform ones on numerical
+    failure, mirroring `compute_diffusion_gates`."""
+    if gamma <= 0:
+        raise ValueError("gamma must be > 0 for SPD")
+    n = int(Y_dev.shape[0])
+    try:
+        h = np.asarray(
+            _diffusion_from_graph_jit(
+                g,
+                Y_dev,
+                jnp.asarray(np.asarray(psi, dtype=np.float32)),
+                jnp.float32(beta),
+                jnp.float32(gamma),
+                jnp.float32(tol),
+                jnp.int32(max_iters),
+            )
+        )
+        if not np.all(np.isfinite(h)):
+            return np.ones(n, dtype=np.float32)
+    except Exception:
+        return np.ones(n, dtype=np.float32)
+    if clamp:
+        h_min, h_max = float(np.min(h)), float(np.max(h))
+        if h_max - h_min < 1e-12:
+            h = np.ones(n, dtype=np.float32)
+        else:
+            h = (h - h_min) / (h_max - h_min)
+    return np.clip(h, 0.0, 1.0).astype(np.float32)
 
 
 def compute_diffusion_gates(

@@ -102,3 +102,28 @@ def test_from_texts_constructor():
     assert len(lat.bundle(k=2)) == 2
     lat2 = Oscillink.from_texts(texts, kneighbors=2, embed_dim=32)
     assert np.allclose(lat2.psi, 0)  # no query → zero psi
+
+
+def test_lattice_diffusion_gates_reuse_graph():
+    """lat.diffusion_gates fuses with the lattice's built graph and matches
+    the standalone preprocessor at the same graph parameters."""
+    import numpy as np
+
+    from oscillink_tpu import Oscillink, compute_diffusion_gates
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((300, 24)).astype(np.float32)
+    psi = rng.standard_normal(24).astype(np.float32)
+
+    ref = compute_diffusion_gates(
+        Y, psi, kneighbors=6, beta=1.0, gamma=0.12, method="cg"
+    )
+    lat = Oscillink(Y, kneighbors=6)
+    lat.set_query(psi)
+    got = lat.diffusion_gates(beta=1.0, gamma=0.12, apply=True)
+    assert got.shape == (300,)
+    assert np.abs(got - ref).max() < 5e-3  # same graph contract, CG tolerance
+    assert np.allclose(lat.B_diag, got)
+    # gated settle runs
+    out = lat.settle(max_iters=8, tol=1e-3)
+    assert out["res"] is not None
