@@ -120,42 +120,45 @@ def bundle_ragged(
             else np.asarray(g, dtype=np.float32)
         )
 
-    k_eff = min(int(kneighbors), max(1, min(ns) - 1))
     kb = min(int(bundle_k), max(ns))
     lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
-    picks, score, align, iters, res = jax.device_get(
-        _ragged_pipeline(
-            jnp.asarray(Ys),
-            jnp.asarray(Ps),
-            jnp.asarray(Bs),
-            jnp.asarray(np.asarray(ns, dtype=np.int32)),
-            lam,
-            k_eff,
-            kb,
-            jnp.float32(alpha),
-            jnp.float32(dt),
-            jnp.float32(tol),
-            jnp.int32(max_iters),
-        )
-    )
 
-    out: list[dict[str, Any]] = []
-    for i in range(b):
-        entries = [
-            {
-                "id": int(j),
-                "score": float(score[i, j]),
-                "align": float(align[i, j]),
-            }
-            for j in picks[i]
-            if j < ns[i] and np.isfinite(score[i, j])
-        ][: min(kb, ns[i])]
-        out.append(
-            {
+    # each corpus clamps k to its own N-1 (lattice semantics); lanes with
+    # the same effective k run in one vmapped call so a tiny corpus never
+    # changes a larger one's graph
+    k_effs = [min(int(kneighbors), max(1, n_i - 1)) for n_i in ns]
+    out: list[Optional[dict[str, Any]]] = [None] * b
+    for k_eff in sorted(set(k_effs)):
+        lanes = [i for i in range(b) if k_effs[i] == k_eff]
+        picks, score, align, iters, res = jax.device_get(
+            _ragged_pipeline(
+                jnp.asarray(Ys[lanes]),
+                jnp.asarray(Ps[lanes]),
+                jnp.asarray(Bs[lanes]),
+                jnp.asarray(np.asarray([ns[i] for i in lanes], dtype=np.int32)),
+                lam,
+                k_eff,
+                kb,
+                jnp.float32(alpha),
+                jnp.float32(dt),
+                jnp.float32(tol),
+                jnp.int32(max_iters),
+            )
+        )
+        for li, i in enumerate(lanes):
+            entries = [
+                {
+                    "id": int(j),
+                    "score": float(score[li, j]),
+                    "align": float(align[li, j]),
+                }
+                for j in picks[li]
+                if j < ns[i] and np.isfinite(score[li, j])
+            ][: min(kb, ns[i])]
+            out[i] = {
                 "bundle": entries,
-                "iters": int(iters[i]),
-                "res": float(res[i]),
+                "iters": int(iters[li]),
+                "res": float(res[li]),
                 "n": ns[i],
             }
-        )
-    return out
+    return out  # type: ignore[return-value]

@@ -80,3 +80,20 @@ def test_ragged_endpoint(monkeypatch):
     for res in body["results"]:
         assert len(res["bundle"]) == 4
         assert all(e["id"] < res["n"] for e in res["bundle"])
+
+
+def test_ragged_tiny_corpus_does_not_clamp_others():
+    """A corpus smaller than k clamps only its own graph; larger lanes keep
+    their full k and still match standalone serving."""
+    d = 16
+    tiny_Y, tiny_psi = _corpus(4, d, seed=30)  # k_eff = 3
+    big_Y, big_psi = _corpus(80, d, seed=31)  # k_eff = 6
+    results = bundle_ragged(
+        [tiny_Y, big_Y], [tiny_psi, big_psi], kneighbors=6, bundle_k=5
+    )
+    lat = Oscillink(big_Y, kneighbors=6)
+    lat.set_query(big_psi)
+    lat.settle(max_iters=12, tol=1e-3)
+    ref = lat.bundle(k=5)
+    assert [e["id"] for e in results[1]["bundle"]] == [e["id"] for e in ref]
+    assert len(results[0]["bundle"]) == 4
