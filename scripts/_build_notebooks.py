@@ -262,10 +262,109 @@ gating study in notebook 04.
 ]
 
 
+
+
+SCALING_CELLS = [
+    _cell(
+        "markdown",
+        """
+# 05 — Scaling tiers: one lattice across a device mesh
+
+The reference scales by raising N on one CPU (service cap: 5000 nodes);
+this framework shards rows over a `jax.sharding.Mesh`.  This notebook walks
+the tiers on a virtual 8-device CPU mesh (the same code drives TPU pods —
+collectives ride ICI there):
+
+1. `solve_auto` — tier-selecting sharded solve (all-gather / halo-exchange /
+   windowed-halo, picked from measured halo stats + plan coverage)
+2. `sharded_serve` — the serving tier: full receipt computed under the mesh
+3. `hierarchical_settle` — lattice-of-lattices composition
+""",
+    ),
+    _cell(
+        "code",
+        """
+import os
+
+# 8 virtual devices when running off-TPU (must precede the first jax import)
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+import numpy as np
+
+print("devices:", len(jax.devices()), jax.default_backend())
+n_dev = min(8, len(jax.devices()))
+
+rng = np.random.default_rng(0)
+n, d, k = 16384, 24, 6
+centers = 4.0 * rng.standard_normal((16, d)).astype(np.float32)
+Y = (centers[rng.integers(0, 16, size=n)]
+     + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+psi = rng.standard_normal(d).astype(np.float32)
+""",
+    ),
+    _cell(
+        "code",
+        """
+# 1. tier-selecting sharded solve
+from oscillink_tpu.parallel.halo_cg import solve_auto
+from oscillink_tpu.parallel.mesh import lattice_mesh
+
+mesh = lattice_mesh(n_dev)
+U, info = solve_auto(mesh, Y, psi, k=k, tol=1e-4, max_iters=40)
+print("tier:", info["tier"])
+print("window coverage:", info["window_coverage"])
+print("halo rows vs all-gather rows:",
+      int(info["halo_stats"]["halo_mean"]), "/", int(info["halo_stats"]["allgather_rows"]))
+print("iters:", info["iters"], "res:", f"{info['res']:.2e}")
+""",
+    ),
+    _cell(
+        "code",
+        """
+# 2. the serving tier: full receipt under the mesh (U/U* stay sharded)
+from oscillink_tpu.parallel.serve import sharded_serve
+
+out = sharded_serve(mesh, Y, psi, k=k, bundle_k=5, settle_iters=10)
+print("mesh devices:", out["mesh_devices"])
+print("deltaH:", round(out["deltaH"], 2),
+      "| per-node sums:", round(out["coh_drop_sum"], 2),
+      round(out["anchor_pen_sum"], 2), round(out["query_term_sum"], 2))
+print("null points:", len(out["null_points"]),
+      "| bundle:", [e["id"] for e in out["bundle"]])
+print("U sharding:", out["U"].sharding)
+""",
+    ),
+    _cell(
+        "code",
+        """
+# 3. hierarchical lattice-of-lattices (multi-host / DCN composition contract)
+from oscillink_tpu.parallel.hierarchical import hierarchical_settle
+
+hier = hierarchical_settle(Y, psi, n_shards=n_dev, kneighbors=k)
+print("composed deltaH:", round(hier["deltaH_composed"], 2))
+print("shard ranking by settled query alignment:", hier["super"]["ranking"])
+print("per-shard receipts (fault-isolated):")
+for r in hier["shard_receipts"][:4]:
+    print("  ", r)
+""",
+    ),
+    _cell(
+        "markdown",
+        """
+The same settle through the service: set `OSCILLINK_SHARDED_MIN_N` and any
+`POST /v1/settle` above the threshold runs on the mesh with an identical
+response shape and HMAC-signed receipt (docs/SCALING.md).  Sizing for the
+1M-row regime lives in `benchmarks/NORTHSTAR.md`.
+""",
+    ),
+]
+
+
 def main() -> None:
     out = {
         "02_energy_landscape.ipynb": ENERGY_CELLS,
         "03_constraint_query.ipynb": CONSTRAINT_CELLS,
+        "05_scaling_tiers.ipynb": SCALING_CELLS,
     }
     for name, cells in out.items():
         path = os.path.join(ROOT, "notebooks", name)

@@ -41,6 +41,7 @@ NOTEBOOKS = os.path.join(os.path.dirname(EXAMPLES), "notebooks")
         "02_energy_landscape.ipynb",
         "03_constraint_query.ipynb",
         "04_hallucination_gating.ipynb",
+        "05_scaling_tiers.ipynb",
     ],
 )
 def test_notebook_code_cells_run(name, tmp_path, monkeypatch):
