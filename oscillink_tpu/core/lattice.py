@@ -493,15 +493,21 @@ class OscillinkLattice:
         except ValueError:
             w3_max = 262144
         if self.N <= w3_max:
-            win_w, n_windows = 384, 3
+            # s_max 384 keeps the 3-window kernel inside the 16 MB VMEM
+            # budget (512 overflows by ~0.5 MB); three windows leave few
+            # stragglers, so the tighter per-block cap rarely rejects
+            win_w, n_windows, s_max = 384, 3, 384
         else:
-            win_w, n_windows = DEFAULT_W, 2
+            win_w, n_windows, s_max = DEFAULT_W, 2, DEFAULT_SMAX
         plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
             self._graph.idx, self._graph.wn, order, win_w, DEFAULT_R,
-            strag_cap, DEFAULT_SMAX, n_windows,
+            strag_cap, s_max, n_windows,
         )
-        cov, n_strag, fits = (
-            float(v) for v in jax.device_get([cov_dev, n_strag_dev, fits_dev])
+        cov, n_strag, fits, off_last = (
+            float(v)
+            for v in jax.device_get(
+                [cov_dev, n_strag_dev, fits_dev, plan.strag_off[-1]]
+            )
         )  # one tiny RPC
         self._window_coverage = cov
         # the compacted straggler list truncates beyond strag_cap, and the
@@ -514,9 +520,21 @@ class OscillinkLattice:
                 {"coverage": cov, "stragglers": n_strag, "fits": bool(fits)},
             )
             return
+        # right-size the straggler arrays: the device builder pads them to
+        # strag_cap (N*K/10 rows), but every apply gathers the WHOLE list to
+        # build the contribution buffer — at coverage 0.98 that is ~6x more
+        # gather than the actual stragglers (measured ~1 ms/apply at 100k).
+        # The kernel reads at most strag_off[-1] + s_max rows.
+        keep = min(strag_cap, ((int(off_last) + s_max + 127) // 128) * 128)
+        if keep < strag_cap:
+            plan = plan._replace(
+                strag_dst=plan.strag_dst[:keep],
+                strag_src=plan.strag_src[:keep],
+                strag_w=plan.strag_w[:keep],
+            )
         self._window_ctx = WindowCtx(
             plan=plan,
-            oh=build_onehot(plan, win_w, DEFAULT_SMAX),
+            oh=build_onehot(plan, win_w, s_max),
             order=order,
             inv_order=inv,
         )
