@@ -478,9 +478,61 @@ def h_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
 
 def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     """Bundle with per-key TTL-LRU cache + X-Cache headers (main.py:1261-1354)."""
+    from .sharded_path import eligible as sharded_eligible
+    from .sharded_path import request_state_sig, sharded_settle
+
     ctx = _feature_context(state, req)
     breq = _parse(BundleRequest, req.json())
     _check_diffusion_allowed(breq.gates, ctx["features"])
+
+    if sharded_eligible(breq, len(breq.Y)):
+        # large-N bundles run on the mesh tier; the state signature (and
+        # bundle-cache key) is computed without building a lattice and
+        # matches the single-device path by construction
+        Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+            state, breq, ctx["api_key"]
+        )
+        units = N * D
+        monthly_ctx, remaining, limit, reset_at = _charge(
+            state, ctx["api_key"], units
+        )
+        state_sig, k_eff = request_state_sig(breq, eff, Y)
+        cached = state.bundle_cache.get(ctx["api_key"], state_sig)
+        if cached is not None:
+            bundle = cached["bundle"]
+            cache_status = "HIT"
+            t_ms = 0.0
+        else:
+            breq.options.bundle_k = breq.bundle_k
+            out = sharded_settle(
+                breq, eff, include_receipt=False, alpha=breq.alpha
+            )
+            bundle = out["bundle"]
+            t_ms = out["t_ms"]
+            state.metrics.settle_counter.labels(status="ok").inc()
+            state.metrics.settle_latency.observe(t_ms / 1000.0)
+            state.bundle_cache.put(ctx["api_key"], state_sig, bundle)
+            cache_status = "MISS"
+        resp = ApiResponse(
+            body={
+                "state_sig": state_sig,
+                "bundle": bundle,
+                "timings_ms": {"total_ms": t_ms},
+                "meta": {
+                    "N": N,
+                    "D": D,
+                    "kneighbors_effective": k_eff,
+                    "cache": cache_status,
+                    "backend": "sharded",
+                },
+            },
+            headers={"X-Cache": cache_status, "X-Cache-Key": state_sig[:16]},
+        )
+        _usage_and_headers(
+            resp, state, monthly_ctx, remaining, limit, reset_at, profile_id
+        )
+        return resp
+
     lat, N, D, k_eff, eff, profile_id = _build_lattice(state, breq, ctx["api_key"])
     units = N * D
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)

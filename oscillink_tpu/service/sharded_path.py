@@ -33,7 +33,12 @@ from ..core.lattice import OscillinkLattice, compute_graph_token, compute_state_
 from ..core.receipts import sign_payload
 from .config import get_settings
 
-__all__ = ["sharded_threshold", "eligible", "sharded_settle"]
+__all__ = [
+    "sharded_threshold",
+    "eligible",
+    "request_state_sig",
+    "sharded_settle",
+]
 
 
 def sharded_threshold() -> int:
@@ -62,8 +67,54 @@ def eligible(sreq, n: int) -> bool:
     return True
 
 
+def request_state_sig(sreq, eff_params: dict, Y: np.ndarray) -> tuple[str, int]:
+    """State signature for a request without building a lattice — the same
+    token scheme as the single-device build (core/lattice.py:425-436), so
+    signatures and bundle-cache keys agree across backends.
+    Returns (state_sig, k_eff)."""
+    n, d = Y.shape
+    k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
+    similarity = getattr(sreq.params, "similarity", "exact")
+    y_hash = OscillinkLattice._hash_anchors(Y)
+    token = compute_graph_token(
+        y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
+    )
+    if similarity != "exact":
+        token = hashlib.sha256(f"{token}:{similarity}".encode()).hexdigest()
+    B = (
+        np.array(sreq.gates, dtype=np.float32)
+        if sreq.gates is not None
+        else np.ones(n, dtype=np.float32)
+    )
+    psi_sig = (
+        np.array(sreq.psi, dtype=np.float32)
+        if sreq.psi is not None
+        else np.zeros(d, dtype=np.float32)
+    )
+    sig = compute_state_sig(
+        psi_sig,
+        B,
+        [
+            float(eff_params["lamG"]),
+            float(eff_params["lamC"]),
+            float(eff_params["lamQ"]),
+            float(sreq.params.lamP) if sreq.chain else 0.0,
+        ],
+        bool(sreq.chain),
+        len(sreq.chain) if sreq.chain else 0,
+        k_eff,
+        bool(sreq.params.deterministic_k),
+        token,
+    )
+    return sig, k_eff
+
+
 def sharded_settle(
-    sreq, eff_params: dict, *, include_receipt: Optional[bool] = None
+    sreq,
+    eff_params: dict,
+    *,
+    include_receipt: Optional[bool] = None,
+    alpha: float = 0.5,
 ) -> dict[str, Any]:
     """Serve the settle on the sharded tier; returns the response body pieces
     {state_sig, receipt, bundle, settle_stats, t_ms, k_eff, mesh_devices}."""
@@ -96,35 +147,14 @@ def sharded_settle(
         settle_iters=sreq.options.max_iters,
         similarity=similarity,
         bundle_k=sreq.options.bundle_k,
+        alpha=alpha,
         chain=sreq.chain,
         lamP=sreq.params.lamP,
     )
     t_ms = 1000.0 * (time.perf_counter() - t0)
 
-    # same token scheme as the single-device build (core/lattice.py:425-436)
-    y_hash = OscillinkLattice._hash_anchors(Y)
-    token = compute_graph_token(
-        y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
-    )
-    if similarity != "exact":
-        token = hashlib.sha256(f"{token}:{similarity}".encode()).hexdigest()
+    state_sig, _ = request_state_sig(sreq, eff_params, Y)
     B = gates if gates is not None else np.ones(n, dtype=np.float32)
-    psi_sig = psi if psi is not None else np.zeros(d, dtype=np.float32)
-    state_sig = compute_state_sig(
-        psi_sig,
-        B,
-        [
-            float(eff_params["lamG"]),
-            float(eff_params["lamC"]),
-            float(eff_params["lamQ"]),
-            float(sreq.params.lamP) if sreq.chain else 0.0,
-        ],
-        bool(sreq.chain),
-        len(sreq.chain) if sreq.chain else 0,
-        k_eff,
-        bool(sreq.params.deterministic_k),
-        token,
-    )
 
     receipt = None
     if want_receipt:

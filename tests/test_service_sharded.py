@@ -160,3 +160,26 @@ def test_jobs_route_to_sharded_tier(client, monkeypatch):
     assert jr["result"]["backend"] == "sharded"
     assert jr["result"]["receipt"]["deltaH_total"] is not None
     assert len(jr["result"]["bundle"]) == 3
+
+
+def test_bundle_endpoint_routes_sharded_with_cache(client, monkeypatch):
+    """/v1/bundle above threshold runs on the mesh tier; the cache key is
+    the same state signature the device path would produce."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = {**_payload(256, 8, seed=6), "bundle_k": 4}
+    r1 = client.post("/v1/bundle", json_body=p)
+    assert r1.status_code == 200
+    assert r1.headers["X-Cache"] == "MISS"
+    assert r1.json()["meta"]["backend"] == "sharded"
+    assert len(r1.json()["bundle"]) == 4
+    r2 = client.post("/v1/bundle", json_body=p)
+    assert r2.headers["X-Cache"] == "HIT"
+    assert r2.json()["bundle"] == r1.json()["bundle"]
+
+    # device-path signature for the same request matches the cache key
+    monkeypatch.delenv("OSCILLINK_SHARDED_MIN_N", raising=False)
+    r3 = client.post("/v1/bundle", json_body=p)
+    assert r3.json()["state_sig"] == r1.json()["state_sig"]
+    assert [e["id"] for e in r3.json()["bundle"]] == [
+        e["id"] for e in r1.json()["bundle"]
+    ]
