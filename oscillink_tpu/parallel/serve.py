@@ -44,7 +44,7 @@ from ..ops.receipts import (
 )
 from .sharded_build import build_graph_sharded
 
-__all__ = ["sharded_serve"]
+__all__ = ["sharded_chain_receipt", "sharded_serve"]
 
 
 @partial(jax.jit, static_argnames=("bundle_k",))
@@ -98,6 +98,126 @@ def _serve_receipt(
         ]
     )
     return U, Ustar, scalars, nflag, nj, nz, nr, score, align, picks
+
+
+@jax.jit
+def _serve_chain_stats(g, pg, Y, psi, B, lam, ustar_tol, ustar_iters, ci, cj):
+    Ustar, it_u, res_u = solve_stationary(
+        g, pg, Y, psi, B, lam, tol=ustar_tol, max_iters=ustar_iters
+    )
+    from ..ops.receipts import chain_edge_stats
+
+    z_s, z_p, r_s, r_p, gains = chain_edge_stats(
+        g, pg, Ustar, Y, lam.lamC, ci, cj
+    )
+    return z_s, z_p, r_s, r_p, jnp.sum(gains), it_u, res_u
+
+
+def sharded_chain_receipt(
+    mesh: Mesh,
+    Y: np.ndarray,
+    psi: Optional[np.ndarray],
+    gates: Optional[np.ndarray],
+    chain: list,
+    *,
+    k: int = 6,
+    lamG: float = 1.0,
+    lamC: float = 0.5,
+    lamQ: float = 4.0,
+    lamP: float = 0.0,
+    z_th: float = 2.5,
+    ustar_tol: float = 1e-4,
+    ustar_iters: int = 64,
+    similarity: str = "exact",
+    axis_name: str = "rows",
+) -> dict[str, Any]:
+    """Chain receipt computed under the mesh: sharded graph build +
+    stationary solve + per-edge z-scores, identical response shape to
+    `OscillinkLattice.chain_receipt` (reference lattice.py:466-528)."""
+    from ..ops.path import PathGraph, build_path_graph
+
+    Y = np.asarray(Y, dtype=np.float32)
+    n, d = Y.shape
+    n_dev = mesh.devices.size
+    if n % n_dev != 0:
+        raise ValueError(f"N={n} must divide mesh size {n_dev}")
+
+    g = build_graph_sharded(mesh, Y, k, similarity=similarity, axis_name=axis_name)
+    row = NamedSharding(mesh, P(axis_name, None))
+    vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    g = Graph(
+        idx=jax.device_put(g.idx, row),
+        w=jax.device_put(g.w, row),
+        wn=jax.device_put(g.wn, row),
+        sqrt_deg=jax.device_put(g.sqrt_deg, vec),
+    )
+    Yd = jax.device_put(jnp.asarray(Y), row)
+    psi_h = (
+        np.zeros(d, dtype=np.float32)
+        if psi is None
+        else np.asarray(psi, dtype=np.float32)
+    )
+    psi_d = jax.device_put(jnp.asarray(psi_h), repl)
+    B_h = (
+        np.ones(n, dtype=np.float32)
+        if gates is None
+        else np.asarray(gates, dtype=np.float32)
+    )
+    B_d = jax.device_put(jnp.asarray(B_h), vec)
+    lam = EnergyParams.make(lamG, lamC, lamQ, lamP)
+
+    pg_h = build_path_graph(n, chain)
+    pg = PathGraph(
+        src=jax.device_put(pg_h.src, repl),
+        dst=jax.device_put(pg_h.dst, repl),
+        w=jax.device_put(pg_h.w, repl),
+        wn=jax.device_put(pg_h.wn, repl),
+        sqrt_deg=jax.device_put(pg_h.sqrt_deg, vec),
+    )
+    ci = jnp.asarray(np.array(chain[:-1], dtype=np.int32))
+    cj = jnp.asarray(np.array(chain[1:], dtype=np.int32))
+
+    z_s, z_p, r_s, r_p, gain, it_u, res_u = jax.device_get(
+        _serve_chain_stats(
+            g, pg, Yd, psi_d, B_d, lam,
+            jnp.float32(ustar_tol), jnp.int32(ustar_iters), ci, cj,
+        )
+    )
+
+    edges: list[dict[str, Any]] = []
+    worst = (-1, -1.0, (-1, -1))
+    for a in range(len(chain) - 1):
+        i, j = int(chain[a]), int(chain[a + 1])
+        edges.append(
+            {
+                "k": int(a),
+                "edge": [i, j],
+                "z_struct": float(z_s[a]),
+                "z_path": float(z_p[a]),
+                "r_struct": float(r_s[a]),
+                "r_path": float(r_p[a]),
+            }
+        )
+        zmax = max(float(z_s[a]), float(z_p[a]))
+        if zmax > worst[1]:
+            worst = (a, zmax, (i, j))
+    verdict = all(
+        max(float(e["z_struct"]), float(e["z_path"])) <= float(z_th) for e in edges
+    )
+    return {
+        "verdict": bool(verdict),
+        "weakest_link": {
+            "k": int(worst[0]),
+            "edge": [int(worst[2][0]), int(worst[2][1])],
+            "zscore": float(worst[1]),
+        },
+        "coherence_gain": float(gain),
+        "edges": edges,
+        "mesh_devices": int(n_dev),
+        "ustar_iters": int(it_u),
+        "ustar_res": float(res_u),
+    }
 
 
 def sharded_serve(

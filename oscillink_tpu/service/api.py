@@ -584,6 +584,59 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     if not creq.chain or len(creq.chain) < 2:
         raise ApiError(400, "chain must have >=2 nodes")
     _check_diffusion_allowed(creq.gates, ctx["features"])
+
+    from .sharded_path import eligible as sharded_eligible
+    from .sharded_path import request_state_sig
+
+    if sharded_eligible(creq, len(creq.Y)):
+        from ..parallel.mesh import lattice_mesh
+        from ..parallel.serve import sharded_chain_receipt
+        from .sharded_path import _mesh_devices_for
+
+        Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+            state, creq, ctx["api_key"]
+        )
+        units = N * D
+        monthly_ctx, remaining, limit, reset_at = _charge(
+            state, ctx["api_key"], units
+        )
+        state_sig, k_eff = request_state_sig(creq, eff, Y)
+        t0 = time.perf_counter()
+        chain_rec = sharded_chain_receipt(
+            lattice_mesh(_mesh_devices_for(N)),
+            Y,
+            np.array(creq.psi, dtype=np.float32) if creq.psi is not None else None,
+            np.array(creq.gates, dtype=np.float32)
+            if creq.gates is not None
+            else None,
+            creq.chain,
+            k=k_eff,
+            lamG=eff["lamG"],
+            lamC=eff["lamC"],
+            lamQ=eff["lamQ"],
+            lamP=creq.params.lamP,
+            z_th=creq.z_th,
+            similarity=getattr(creq.params, "similarity", "exact"),
+        )
+        t_ms = 1000.0 * (time.perf_counter() - t0)
+        resp = ApiResponse(
+            body={
+                "state_sig": state_sig,
+                "chain_receipt": chain_rec,
+                "timings_ms": {"total_ms": t_ms},
+                "meta": {
+                    "N": N,
+                    "D": D,
+                    "kneighbors_effective": k_eff,
+                    "backend": "sharded",
+                },
+            }
+        )
+        _usage_and_headers(
+            resp, state, monthly_ctx, remaining, limit, reset_at, profile_id
+        )
+        return resp
+
     lat, N, D, k_eff, eff, profile_id = _build_lattice(state, creq, ctx["api_key"])
     units = N * D
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)

@@ -183,3 +183,27 @@ def test_bundle_endpoint_routes_sharded_with_cache(client, monkeypatch):
     assert [e["id"] for e in r3.json()["bundle"]] == [
         e["id"] for e in r1.json()["bundle"]
     ]
+
+
+def test_chain_receipt_endpoint_routes_sharded(client, monkeypatch):
+    """/v1/chain/receipt above threshold computes under the mesh and matches
+    the single-device verdict/z-scores."""
+    p = {**_payload(256, 8, seed=8), "chain": [0, 3, 7, 11], "z_th": 2.5}
+
+    monkeypatch.delenv("OSCILLINK_SHARDED_MIN_N", raising=False)
+    r_dev = client.post("/v1/chain/receipt", json_body=p)
+    assert r_dev.status_code == 200
+
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    r_sh = client.post("/v1/chain/receipt", json_body=p)
+    assert r_sh.status_code == 200
+    b_dev, b_sh = r_dev.json(), r_sh.json()
+    assert b_sh["meta"]["backend"] == "sharded"
+    assert b_sh["state_sig"] == b_dev["state_sig"]
+    cd, cs = b_dev["chain_receipt"], b_sh["chain_receipt"]
+    assert cs["verdict"] == cd["verdict"]
+    assert cs["weakest_link"]["edge"] == cd["weakest_link"]["edge"]
+    assert cs["coherence_gain"] == pytest.approx(cd["coherence_gain"], rel=2e-3)
+    for es, ed in zip(cs["edges"], cd["edges"]):
+        assert es["z_struct"] == pytest.approx(ed["z_struct"], rel=1e-2, abs=1e-3)
+        assert es["z_path"] == pytest.approx(ed["z_path"], rel=1e-2, abs=1e-3)
