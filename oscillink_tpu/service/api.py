@@ -351,7 +351,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     sreq = _parse(SettleRequest, req.json())
     _check_diffusion_allowed(sreq.gates, ctx["features"])
 
-    _, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+    Y_req, N, D, k_eff, eff, profile_id = _validate_and_overrides(
         state, sreq, ctx["api_key"]
     )
     units = N * D
@@ -365,7 +365,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             receipt, bundle, state_sig = out["receipt"], out["bundle"], out["state_sig"]
             served_by = "native"
         elif sharded_eligible(sreq, N):
-            out = sharded_settle(sreq, eff, include_receipt=include_receipt)
+            out = sharded_settle(sreq, eff, include_receipt=include_receipt, Y=Y_req)
             stats = out["settle_stats"]
             receipt, bundle, state_sig = out["receipt"], out["bundle"], out["state_sig"]
             served_by = "sharded"
@@ -505,7 +505,7 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         else:
             breq.options.bundle_k = breq.bundle_k
             out = sharded_settle(
-                breq, eff, include_receipt=False, alpha=breq.alpha
+                breq, eff, include_receipt=False, alpha=breq.alpha, Y=Y
             )
             bundle = out["bundle"]
             t_ms = out["t_ms"]
@@ -805,7 +805,7 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         from .sharded_path import eligible as sharded_eligible
         from .sharded_path import sharded_settle
 
-        _, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+        Y_req, N, D, k_eff, eff, profile_id = _validate_and_overrides(
             state, sreq, api_key
         )
         units = N * D
@@ -818,7 +818,7 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             backend = "native"
         elif sharded_eligible(sreq, N):
             o = sharded_settle(
-                sreq, eff, include_receipt=sreq.options.include_receipt
+                sreq, eff, include_receipt=sreq.options.include_receipt, Y=Y_req
             )
             backend = "sharded"
         else:

@@ -115,13 +115,17 @@ def sharded_settle(
     *,
     include_receipt: Optional[bool] = None,
     alpha: float = 0.5,
+    Y: Optional[np.ndarray] = None,
 ) -> dict[str, Any]:
     """Serve the settle on the sharded tier; returns the response body pieces
-    {state_sig, receipt, bundle, settle_stats, t_ms, k_eff, mesh_devices}."""
+    {state_sig, receipt, bundle, settle_stats, t_ms, k_eff, mesh_devices}.
+    Pass ``Y`` when the caller already parsed the request matrix (the
+    list->ndarray conversion is ~100 ms at N=65k)."""
     from ..parallel.mesh import lattice_mesh
     from ..parallel.serve import sharded_serve
 
-    Y = np.array(sreq.Y, dtype=np.float32)
+    if Y is None:
+        Y = np.array(sreq.Y, dtype=np.float32)
     n, d = Y.shape
     k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
     psi = np.array(sreq.psi, dtype=np.float32) if sreq.psi is not None else None
