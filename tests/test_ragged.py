@@ -97,3 +97,39 @@ def test_ragged_tiny_corpus_does_not_clamp_others():
     ref = lat.bundle(k=5)
     assert [e["id"] for e in results[1]["bundle"]] == [e["id"] for e in ref]
     assert len(results[0]["bundle"]) == 4
+
+
+def test_ragged_gates_and_validation(monkeypatch):
+    """Per-corpus gates apply; mismatched D and empty corpora are rejected."""
+    for var in ("OSCILLINK_API_KEYS", "OSCILLINK_RATE_LIMIT", "OSCILLINK_MONTHLY_CAP"):
+        monkeypatch.delenv(var, raising=False)
+    client = LocalClient()
+    d = 8
+    (Y0, p0), (Y1, p1) = [_corpus(n, d, seed=40 + i) for i, n in enumerate((20, 30))]
+    gates0 = np.zeros(20, dtype=np.float32)
+    gates0[:3] = 1.0  # only the first three nodes feel the query
+    r = client.post(
+        "/v1/bundle/ragged",
+        json_body={
+            "corpora": [Y0.tolist(), Y1.tolist()],
+            "psis": [p0.tolist(), p1.tolist()],
+            "gates": [gates0.tolist(), None],
+            "bundle_k": 3,
+        },
+    )
+    assert r.status_code == 200
+
+    # D mismatch rejected
+    bad = client.post(
+        "/v1/bundle/ragged",
+        json_body={
+            "corpora": [Y0.tolist(), np.zeros((4, d + 1)).tolist()],
+            "psis": [p0.tolist(), p1.tolist()],
+        },
+    )
+    assert bad.status_code == 400
+    # empty corpora rejected
+    bad2 = client.post(
+        "/v1/bundle/ragged", json_body={"corpora": [], "psis": []}
+    )
+    assert bad2.status_code == 400
