@@ -26,4 +26,10 @@ fi
 # small-N regime. Set to 0 to force every request onto the device path.
 export OSCILLINK_NATIVE_SMALL_N="${OSCILLINK_NATIVE_SMALL_N:-2048}"
 
+# Large-N routing: when the deployment has multiple accelerator devices,
+# set OSCILLINK_SHARDED_MIN_N (and raise OSCILLINK_MAX_NODES with it) so
+# requests above the threshold settle on the mesh-sharded tier — full
+# signed receipts, identical state signatures (docs/SCALING.md). Left
+# unset by default: single-chip deployments gain nothing from it.
+
 exec python -m oscillink_tpu.service --host "${HOST:-0.0.0.0}" --port "${PORT:-8000}"
