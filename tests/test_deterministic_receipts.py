@@ -90,3 +90,50 @@ def test_chain_falls_back_to_standard(monkeypatch):
     lat.set_query(np.zeros(16, dtype=np.float32))
     rec = lat.receipt()
     assert rec["meta"]["deltaH_mode"] == "standard"
+
+
+def test_bitwise_stable_across_mesh_layouts():
+    """The fixed-order tree accumulation must give identical BITS whether
+    inputs are replicated or row-sharded over 2/4/8 devices (the §5.8
+    cross-topology receipt-reproducibility claim)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oscillink_tpu.parallel.mesh import lattice_mesh
+
+    g, U, Us, B = _state(n=704, d=32, k=5, seed=3)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+
+    def run(n_dev):
+        with jax.enable_x64(True):
+            if n_dev == 0:
+                return float(
+                    jax.jit(deltaH_trace_deterministic)(
+                        g, None, jnp.asarray(U), jnp.asarray(Us), lam, jnp.asarray(B)
+                    )
+                )
+            mesh = lattice_mesh(n_dev)
+            row = NamedSharding(mesh, P("rows", None))
+            vec = NamedSharding(mesh, P("rows"))
+            gs = type(g)(
+                idx=jax.device_put(g.idx, row),
+                w=jax.device_put(g.w, row),
+                wn=jax.device_put(g.wn, row),
+                sqrt_deg=jax.device_put(g.sqrt_deg, vec),
+            )
+            return float(
+                jax.jit(deltaH_trace_deterministic)(
+                    gs,
+                    None,
+                    jax.device_put(jnp.asarray(U), row),
+                    jax.device_put(jnp.asarray(Us), row),
+                    lam,
+                    jax.device_put(jnp.asarray(B), vec),
+                )
+            )
+
+    base = run(0)
+    for n_dev in (2, 4, 8):
+        got = run(n_dev)
+        assert got.hex() == base.hex(), (
+            f"mesh layout {n_dev} changed deltaH bits: {got.hex()} vs {base.hex()}"
+        )
