@@ -333,6 +333,15 @@ def main() -> None:
                 else {"backend": "tpu-fused", "e2e_ms": fused.get(1200)}
             ),
             "matvec_100k": matvec,
+            # NOT this run's measurements: separately recorded large-N rows
+            # (a cold 500k-1M pass through this tunnel takes minutes and can
+            # wedge; the live sources and dates are in the cited artifact)
+            "large_n_recorded": {
+                "source": "benchmarks/scale_tpu.json (rows_round2)",
+                "settle_warm_ms": {"500k_768": 1043.2, "1M_768": 5044.9},
+                "ustar_ms": {"500k_768": 945.4, "1M_768": 5200.9},
+                "round1_for_comparison": {"500k_settle": "OOM", "1M_ustar_ms": 28402},
+            },
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N5000_source": "reference benchmarks/scale_latest.jsonl (dev CPU)",
             "baseline_N1200_ms": BASELINE_N1200_MS,
