@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Author notebooks 02/03 (energy landscape, constraint query) as JSON.
+"""Author notebooks 02/03/05 (energy landscape, constraint query, scaling tiers) as JSON.
 
 Kept as a script so the notebook sources stay reviewable in diffs and can be
 regenerated; reference analogs: notebooks/02_energy_landscape.ipynb,
