@@ -132,12 +132,13 @@ from ..ops.receipts import deltaH_trace_deterministic as _deltaH_det
 _jit_deltaH_det = jax.jit(_deltaH_det)
 
 
-def _deltaH_deterministic(g, U, Ustar, lam, B):
+def _deltaH_deterministic(g, pg, U, Ustar, lam, B):
     """Fixed-order f64-tree deltaH (bit-reproducible across runs, mesh
     layouts, and — on IEEE-f64 backends — bit-identical to the NumPy spec
-    `ops.receipts.deltaH_tree_np`).  x64 is enabled only for this trace."""
+    `ops.receipts.deltaH_tree_np`).  Chain priors accumulate in sorted-edge
+    order, so they are covered too.  x64 is enabled only for this trace."""
     with jax.enable_x64(True):
-        return _jit_deltaH_det(g, None, U, Ustar, lam, B)
+        return _jit_deltaH_det(g, pg, U, Ustar, lam, B)
 
 
 @jax.jit
@@ -1089,9 +1090,9 @@ class OscillinkLattice:
                 if f
             ]
         deltaH_mode = "standard"
-        if _env_flag("OSCILLINK_DETERMINISTIC_RECEIPTS") and self._path is None:
+        if _env_flag("OSCILLINK_DETERMINISTIC_RECEIPTS"):
             dH_det = _deltaH_deterministic(
-                self._graph, self._U_dev, Ustar_dev, lam, self._B_dev
+                self._graph, self._path, self._U_dev, Ustar_dev, lam, self._B_dev
             )
             dH_h = self._fetch.defer(dH_det)
             deltaH_mode = "deterministic-f64-tree"

@@ -313,32 +313,52 @@ def deltaH_trace_deterministic(
         + lam.lamC.astype(jnp.float64) * acc
         + lam.lamQ.astype(jnp.float64) * (B.astype(jnp.float64)[:, None] * diff)
     )
-    if pg is not None:
-        # chain priors use scatter-adds whose order is not pinned across
-        # backends; callers fall back to the standard deltaH when a chain
-        # is attached (core/lattice.py receipt wiring)
-        raise NotImplementedError(
-            "deterministic deltaH does not support chain priors"
-        )
+    if pg is not None and pg.n_edges > 0:
+        # Chain prior with PINNED accumulation order: edges are sorted at
+        # build time (ops/path.py build_path_graph), and each edge lands as
+        # two single-index scatters in e-ascending, src-before-dst order.
+        # Chains are tiny (E = len(chain)-1), so the unroll is cheap.
+        pwn = pg.wn.astype(jnp.float64)
+        pacc = jnp.zeros_like(diff)
+        for e in range(pg.n_edges):
+            pacc = pacc.at[pg.src[e]].add(pwn[e] * diff[pg.dst[e]])
+            pacc = pacc.at[pg.dst[e]].add(pwn[e] * diff[pg.src[e]])
+        term = term + lam.lamP.astype(jnp.float64) * (diff - pacc)
     per_node = _tree_sum_last(diff * term)  # [N]
     return _tree_sum_last(per_node)
 
 
-def deltaH_tree_np(idx, wn, U, Ustar, lamG, lamC, lamQ, B):
-    """NumPy twin of `deltaH_trace_deterministic` (no chain prior) — the
-    executable spec; must match the device result bit-for-bit."""
+def deltaH_tree_np(
+    idx, wn, U, Ustar, lamG, lamC, lamQ, B,
+    path_src=None, path_dst=None, path_wn=None, lamP=0.0,
+):
+    """NumPy twin of `deltaH_trace_deterministic` — the executable spec; must
+    match the device result bit-for-bit (chain prior included when the sorted
+    path edge list is passed)."""
     import numpy as np
 
+    # lambdas live as float32 on device and are cast f32 -> f64 there; the
+    # spec must round through float32 the same way or non-f32-exact values
+    # (e.g. 0.3) diverge at the f64 LSB.
+    lam64 = lambda v: np.float64(np.float32(v))  # noqa: E731
     diff = U.astype(np.float64) - Ustar.astype(np.float64)
     wn64 = wn.astype(np.float64)
     acc = diff.copy()
     for a in range(idx.shape[1]):
         acc = acc - wn64[:, a][:, None] * diff[idx[:, a]]
     term = (
-        np.float64(lamG) * diff
-        + np.float64(lamC) * acc
-        + np.float64(lamQ) * (B.astype(np.float64)[:, None] * diff)
+        lam64(lamG) * diff
+        + lam64(lamC) * acc
+        + lam64(lamQ) * (B.astype(np.float64)[:, None] * diff)
     )
+    if path_src is not None and len(path_src) > 0:
+        pwn = np.asarray(path_wn, dtype=np.float64)
+        pacc = np.zeros_like(diff)
+        for e in range(len(path_src)):
+            s, d = int(path_src[e]), int(path_dst[e])
+            pacc[s] = pacc[s] + pwn[e] * diff[d]
+            pacc[d] = pacc[d] + pwn[e] * diff[s]
+        term = term + lam64(lamP) * (diff - pacc)
 
     def tree(x):
         n = x.shape[-1]
