@@ -121,11 +121,18 @@ class QuotaState:
 
 class MonthlyUsage:
     """Per-key monthly unit caps by tier (main.py:186-320), env override
-    OSCILLINK_MONTHLY_CAP.  Persistence is a pluggable hook (Firestore in the
-    reference); in-process records are authoritative here."""
+    OSCILLINK_MONTHLY_CAP.  In-process records are authoritative within an
+    instance; when OSCILLINK_MONTHLY_USAGE_COLLECTION is set, usage is
+    seeded from and written through to Firestore (reference main.py:202-244)
+    so caps survive restarts and apply across instances."""
 
-    def __init__(self) -> None:
+    def __init__(self, persistence=None) -> None:
         self._records: Dict[str, dict] = {}
+        if persistence is None:
+            from ._firestore_stores import make_monthly_persistence
+
+            persistence = make_monthly_persistence()
+        self.persistence = persistence
 
     @staticmethod
     def _cap_for(meta: Optional[KeyMetadata]) -> int:
@@ -152,7 +159,10 @@ class MonthlyUsage:
         period = current_period()
         rec = self._records.get(key)
         if rec is None or rec.get("period") != period:
-            rec = {"period": period, "used": 0}
+            seed = 0
+            if self.persistence is not None:
+                seed = int(self.persistence.load(key, period) or 0)
+            rec = {"period": period, "used": seed}
             self._records[key] = rec
         used = int(rec["used"])
         if units > cap:
@@ -167,6 +177,8 @@ class MonthlyUsage:
                 },
             )
         rec["used"] = used + units
+        if self.persistence is not None:
+            self.persistence.save(key, period, int(rec["used"]))
         return {
             "limit": cap,
             "used": int(rec["used"]),

@@ -71,6 +71,13 @@ class MemoryProfileStore:
 
 class Learners:
     def __init__(self, store: Optional[MemoryProfileStore] = None) -> None:
+        if store is None:
+            # Firestore when OSCILLINK_LEARNERS_COLLECTION is set and the
+            # client lib is importable (reference learners.py:127-145);
+            # silent memory fallback otherwise.
+            from ._firestore_stores import make_profile_store
+
+            store = make_profile_store()
         self.store = store or MemoryProfileStore()
 
     # -- config ----------------------------------------------------------

@@ -62,9 +62,13 @@ class WebhookProcessor:
         self.keystore = keystore
         self.cli_sessions = cli_sessions
         self._events: Dict[str, dict] = {}  # idempotency store
+        from ._firestore_stores import make_event_store
 
-    # -- event store: memory first, Redis best-effort for cross-instance
-    # idempotency (reference billing_webhook.py:137-150 + services/events.py)
+        self._fs_events = make_event_store()
+
+    # -- event store: memory first, then Redis, then Firestore — all
+    # best-effort cross-instance idempotency (reference
+    # billing_webhook.py:137-150 + services/events.py:14-72)
 
     def seen(self, event_id: str) -> Optional[dict]:
         rec = self._events.get(event_id)
@@ -82,6 +86,11 @@ class WebhookProcessor:
                     return rec
                 except Exception:
                     return None
+        if self._fs_events is not None:
+            rec = self._fs_events.get(event_id)
+            if rec is not None:
+                self._events[event_id] = rec
+                return rec
         return None
 
     def record(self, event_id: str, rec: dict) -> None:
@@ -96,6 +105,8 @@ class WebhookProcessor:
                 )
             except Exception:
                 pass
+        if self._fs_events is not None:
+            self._fs_events.put(event_id, rec)
 
     def events(self) -> list[dict]:
         return list(self._events.values())
