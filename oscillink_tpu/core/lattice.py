@@ -40,7 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.coherence import EnergyParams, settle_step, solve_stationary
-from ..ops.graph import Graph, build_graph, mmr_select, normalize_rows
+from ..ops.graph import (
+    SIMILARITY_RECALL as _SIM_RECALL,
+    Graph,
+    build_graph,
+    mmr_select,
+    normalize_rows,
+    resolve_similarity as _resolve_similarity,
+)
 from ..ops.path import PathGraph, build_path_graph
 from ..ops.receipts import (
     bundle_scores,
@@ -313,8 +320,10 @@ class OscillinkLattice:
         neighbor_seed: Optional[int] = None,
         similarity: str = "exact",
     ):
-        if similarity not in {"exact", "fast", "fastest"}:
-            raise ValueError("similarity must be 'exact', 'fast' or 'fastest'")
+        if similarity not in {"auto", "exact", "fast", "fastest"}:
+            raise ValueError(
+                "similarity must be 'auto', 'exact', 'fast' or 'fastest'"
+            )
         if isinstance(Y, jax.Array):
             Y = np.asarray(Y)
         if not isinstance(Y, np.ndarray) or Y.ndim != 2:
@@ -339,7 +348,9 @@ class OscillinkLattice:
         self._deterministic_k = bool(deterministic_k)
         self._neighbor_seed = neighbor_seed
         self._row_cap_val = float(row_cap_val)
-        self._similarity = similarity
+        # "auto" resolves once N is known (recall contract surfaced in
+        # receipt meta; resolved mode keys the graph token/cache)
+        self._similarity = _resolve_similarity(self.N, similarity)
 
         self._fetch = DeferredFetchGroup()
         self._settle_callbacks: list[Callable] = []
@@ -1138,6 +1149,12 @@ class OscillinkLattice:
             "deltaH_mode": deltaH_mode,
             "avg_degree": float(n_edges / max(self.N, 1)),
             "edge_density": float(n_edges / max(self.N * (self.N - 1), 1)),
+            # recall contract of the neighbor scan that built this graph
+            # (auditable when similarity="auto" routed to an approx mode)
+            "similarity": self._similarity,
+            "similarity_recall_target": float(
+                _SIM_RECALL.get(self._similarity, 1.0)
+            ),
             "gates_min": float(np.min(self.B_diag)),
             "gates_max": float(np.max(self.B_diag)),
             "gates_mean": float(np.mean(self.B_diag)),
@@ -1733,9 +1750,11 @@ class OscillinkLattice:
         similarity: Optional[str] = None,
     ) -> None:
         if similarity is not None:
-            if similarity not in {"exact", "fast", "fastest"}:
-                raise ValueError("similarity must be 'exact', 'fast' or 'fastest'")
-            self._similarity = similarity
+            if similarity not in {"auto", "exact", "fast", "fastest"}:
+                raise ValueError(
+                    "similarity must be 'auto', 'exact', 'fast' or 'fastest'"
+                )
+            self._similarity = _resolve_similarity(self.N, similarity)
         if row_cap_val is not None:
             self._row_cap_val = float(row_cap_val)
         if kneighbors is not None:

@@ -28,13 +28,47 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["Graph", "build_graph", "graph_from_topk", "lap_matvec", "normalize_rows", "mmr_select"]
+__all__ = [
+    "Graph",
+    "build_graph",
+    "graph_from_topk",
+    "lap_matvec",
+    "normalize_rows",
+    "mmr_select",
+    "resolve_similarity",
+    "SIMILARITY_RECALL",
+    "FAST_SIMILARITY_N",
+]
 
 # Row-block size for the blocked similarity top-k. 1024 rows x N cols of f32
 # keeps the per-block buffer modest while the matmul stays MXU-shaped.
 DEFAULT_BLOCK_ROWS = 1024
 # Below this N the dense [N, N] similarity fits comfortably; skip blocking.
 DENSE_TOPK_LIMIT = 4096
+# similarity="auto" switches to the approx top-k above this N (override with
+# OSCILLINK_FAST_SIM_N).  At 98k x 768 the exact scan is 838 ms vs 388 ms
+# fast (recall 0.99); below ~64k the exact scan is cheap enough to keep the
+# recall-1.0 contract by default.
+FAST_SIMILARITY_N = 65536
+
+# per-row top-k recall contract of each similarity mode (surfaced in
+# receipt meta so approximate builds are auditable)
+SIMILARITY_RECALL = {"exact": 1.0, "fast": 0.99, "fastest": 0.95}
+
+
+def resolve_similarity(n: int, mode: str) -> str:
+    """Map ``"auto"`` to a concrete mode for an N-row build: ``"fast"``
+    (recall 0.99) above FAST_SIMILARITY_N / OSCILLINK_FAST_SIM_N, else
+    ``"exact"``.  Concrete modes pass through unchanged."""
+    if mode != "auto":
+        return mode
+    import os
+
+    try:
+        thr = int(os.getenv("OSCILLINK_FAST_SIM_N", str(FAST_SIMILARITY_N)))
+    except ValueError:
+        thr = FAST_SIMILARITY_N
+    return "fast" if n > thr else "exact"
 
 
 class Graph(NamedTuple):
@@ -201,8 +235,10 @@ def build_graph(
     ``similarity="fast"`` (recall 0.99, ~2.2x) / ``"fastest"`` (recall 0.95,
     ~4.9x) use the bf16 scan + approx_max_k + f32-rescore two-pass top-k on
     the blocked path; exact weights either way (see _topk_blocked_fast).
+    ``similarity="auto"`` resolves by N (see `resolve_similarity`).
     """
     n = Y.shape[0]
+    similarity = resolve_similarity(n, similarity)
     Yn = normalize_rows(Y.astype(jnp.float32))
     if jitter is not None or n <= dense_limit:
         vals, idx = _topk_dense(Yn, k, jitter)

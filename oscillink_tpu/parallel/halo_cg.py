@@ -466,7 +466,7 @@ def solve_auto(
     max_iters: int = 64,
     halo_fraction_cutoff: float = 0.5,
     reorder_levels: int = 4,
-    similarity: str = "exact",
+    similarity: str = "auto",
 ):
     """Tier-selecting sharded stationary solve.
 

@@ -128,7 +128,7 @@ def sharded_chain_receipt(
     z_th: float = 2.5,
     ustar_tol: float = 1e-4,
     ustar_iters: int = 64,
-    similarity: str = "exact",
+    similarity: str = "auto",
     axis_name: str = "rows",
 ) -> dict[str, Any]:
     """Chain receipt computed under the mesh: sharded graph build +
@@ -235,7 +235,7 @@ def sharded_serve(
     settle_iters: int = 12,
     ustar_tol: float = 1e-4,
     ustar_iters: int = 64,
-    similarity: str = "exact",
+    similarity: str = "auto",
     bundle_k: Optional[int] = None,
     alpha: float = 0.5,
     chain: Optional[list] = None,

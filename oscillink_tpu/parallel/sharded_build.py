@@ -44,8 +44,12 @@ def build_graph_sharded(
 ) -> Graph:
     """Mutual-kNN graph over a row-sharded mesh; same contract as
     `ops.graph.build_graph` (exact top-k unless ``similarity`` is
-    fast/fastest).  ``N`` must divide the mesh size."""
+    fast/fastest; ``"auto"`` resolves by N via
+    `ops.graph.resolve_similarity`).  ``N`` must divide the mesh size."""
+    from ..ops.graph import resolve_similarity
+
     n = Y.shape[0]
+    similarity = resolve_similarity(n, similarity)
     n_dev = mesh.devices.size
     if n % n_dev != 0:
         raise ValueError(f"N={n} must divide mesh size {n_dev}")

@@ -15,8 +15,9 @@ class Params(BaseModel):
     kneighbors: int = 6
     deterministic_k: bool = False
     neighbor_seed: Optional[int] = None
-    # graph-build precision mode: exact | fast (recall .99) | fastest (.95)
-    similarity: str = "exact"
+    # graph-build precision mode: auto (exact below OSCILLINK_FAST_SIM_N,
+    # fast above) | exact | fast (recall .99) | fastest (.95)
+    similarity: str = "auto"
 
 
 class SettleOptions(BaseModel):

@@ -39,7 +39,9 @@ def eligible(sreq, n: int) -> bool:
         return False
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break is a device-path feature
-    if getattr(sreq.params, "similarity", "exact") != "exact":
+    from ..ops.graph import resolve_similarity
+
+    if resolve_similarity(n, getattr(sreq.params, "similarity", "exact")) != "exact":
         return False  # approximate builds are a device-path feature
     try:
         from ..native import native_available

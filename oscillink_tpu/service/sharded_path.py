@@ -74,7 +74,9 @@ def request_state_sig(sreq, eff_params: dict, Y: np.ndarray) -> tuple[str, int]:
     Returns (state_sig, k_eff)."""
     n, d = Y.shape
     k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
-    similarity = getattr(sreq.params, "similarity", "exact")
+    from ..ops.graph import resolve_similarity
+
+    similarity = resolve_similarity(n, getattr(sreq.params, "similarity", "exact"))
     y_hash = OscillinkLattice._hash_anchors(Y)
     token = compute_graph_token(
         y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
@@ -130,7 +132,9 @@ def sharded_settle(
     k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
     psi = np.array(sreq.psi, dtype=np.float32) if sreq.psi is not None else None
     gates = np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
-    similarity = getattr(sreq.params, "similarity", "exact")
+    from ..ops.graph import resolve_similarity
+
+    similarity = resolve_similarity(n, getattr(sreq.params, "similarity", "exact"))
 
     want_receipt = (
         sreq.options.include_receipt if include_receipt is None else include_receipt

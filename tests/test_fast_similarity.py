@@ -67,3 +67,51 @@ def test_fast_build_matches_exact_blocked():
     w_e = np.sort(np.asarray(g_exact.w), axis=1)[agree_rows]
     w_f = np.sort(np.asarray(g_fast.w), axis=1)[agree_rows]
     np.testing.assert_allclose(w_f, w_e, rtol=1e-5, atol=1e-6)
+
+
+# -- similarity="auto": N-thresholded routing (default in serving/sharded) --
+
+
+def test_resolve_similarity_auto_threshold(monkeypatch):
+    from oscillink_tpu.ops.graph import FAST_SIMILARITY_N, resolve_similarity
+
+    monkeypatch.delenv("OSCILLINK_FAST_SIM_N", raising=False)
+    assert resolve_similarity(1000, "auto") == "exact"
+    assert resolve_similarity(FAST_SIMILARITY_N, "auto") == "exact"
+    assert resolve_similarity(FAST_SIMILARITY_N + 1, "auto") == "fast"
+    # concrete modes pass through regardless of N
+    assert resolve_similarity(10**7, "exact") == "exact"
+    assert resolve_similarity(10, "fastest") == "fastest"
+    # env override
+    monkeypatch.setenv("OSCILLINK_FAST_SIM_N", "100")
+    assert resolve_similarity(101, "auto") == "fast"
+    assert resolve_similarity(100, "auto") == "exact"
+
+
+def test_lattice_auto_resolves_and_documents_recall(monkeypatch):
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    rng = np.random.default_rng(5)
+    Y = rng.standard_normal((120, 16)).astype(np.float32)
+
+    lat = OscillinkLattice(Y, kneighbors=4, similarity="auto")
+    assert lat._similarity == "exact"  # small N -> exact
+    lat.set_query(np.zeros(16, dtype=np.float32))
+    rec = lat.receipt()
+    assert rec["meta"]["similarity"] == "exact"
+    assert rec["meta"]["similarity_recall_target"] == 1.0
+
+    # low threshold: auto routes to fast and the receipt documents it
+    monkeypatch.setenv("OSCILLINK_FAST_SIM_N", "64")
+    lat2 = OscillinkLattice(Y, kneighbors=4, similarity="auto")
+    assert lat2._similarity == "fast"
+    lat2.set_query(np.zeros(16, dtype=np.float32))
+    rec2 = lat2.receipt()
+    assert rec2["meta"]["similarity"] == "fast"
+    assert rec2["meta"]["similarity_recall_target"] == 0.99
+
+
+def test_service_default_similarity_is_auto():
+    from oscillink_tpu.service.models import Params
+
+    assert Params().similarity == "auto"
