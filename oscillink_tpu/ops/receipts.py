@@ -55,10 +55,38 @@ def _deg_normalized(g: Graph, X: jax.Array) -> jax.Array:
     return X / (g.sqrt_deg[:, None] + 1e-12)
 
 
+# direct-path budget for the [N, K, D] gathered-neighbor temp; above this the
+# edge distances are computed in row blocks (at 1M x 8 x 768 f32 the direct
+# temp would be ~24 GB — past HBM; blocked it is ~192 MB per step)
+_EDGE_TEMP_BUDGET_BYTES = 1 << 30
+_EDGE_BLOCK_ROWS = 8192
+
+
 def _edge_sq_dists(g: Graph, Xn: jax.Array) -> jax.Array:
-    """[N, K] squared distances ||Xn_i - Xn_j||^2 along graph edges."""
-    diff = Xn[:, None, :] - jnp.take(Xn, g.idx, axis=0)
-    return jnp.sum(diff * diff, axis=-1)
+    """[N, K] squared distances ||Xn_i - Xn_j||^2 along graph edges.
+
+    Row-blocked above a temp-size budget so full receipts stay in-HBM at
+    500k-1M nodes (the reference's O(N^2 D) variant is receipts.py:63-83;
+    this one is edge-sparse AND bounded-temp)."""
+    n, d = Xn.shape
+    k = g.idx.shape[1]
+    if 4 * n * k * d <= _EDGE_TEMP_BUDGET_BYTES or n <= _EDGE_BLOCK_ROWS:
+        diff = Xn[:, None, :] - jnp.take(Xn, g.idx, axis=0)
+        return jnp.sum(diff * diff, axis=-1)
+
+    B = _EDGE_BLOCK_ROWS
+    n_steps = -(-n // B)
+
+    def step(s, out):
+        start = jnp.minimum(s * B, n - B)  # tail overlaps; rewrites are equal
+        xb = jax.lax.dynamic_slice(Xn, (start, 0), (B, d))
+        ib = jax.lax.dynamic_slice(g.idx, (start, 0), (B, k))
+        diff = xb[:, None, :] - jnp.take(Xn, ib, axis=0)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        return jax.lax.dynamic_update_slice(out, d2, (start, 0))
+
+    out = jnp.zeros((n, k), dtype=Xn.dtype)
+    return jax.lax.fori_loop(0, n_steps, step, out)
 
 
 def coherence_drop(
