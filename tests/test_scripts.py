@@ -157,3 +157,28 @@ def test_stripe_setup_dry_run(tmp_path, capsys):
     rc = stripe_setup.main(["--dry-run", "--out", str(tmp_path / "pm.json")])
     assert rc == 0
     assert (tmp_path / "pm.json").exists()
+
+
+def test_stripe_payment_link_dry_run(capsys):
+    import stripe_payment_link
+
+    rc = stripe_payment_link.main(["--tier", "beta", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "payment_link" in out
+    # pro gated behind --allow-pro (early-beta contract)
+    assert stripe_payment_link.main(["--tier", "pro", "--dry-run"]) == 2
+    assert (
+        stripe_payment_link.main(["--tier", "pro", "--allow-pro", "--dry-run"]) == 0
+    )
+
+
+def test_stripe_webhook_manage_dry_run(capsys):
+    import stripe_webhook_manage
+
+    assert stripe_webhook_manage.main(["list", "--dry-run"]) == 0
+    assert stripe_webhook_manage.main(["create", "--dry-run"]) == 0
+    rc = stripe_webhook_manage.main(["rotate", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "signing_secret" in out
