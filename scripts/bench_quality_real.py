@@ -1,0 +1,241 @@
+"""Retrieval-quality evidence on REAL text with REAL learned embeddings.
+
+The egress-free counterpart of the reference's quality studies, run on a
+vendored hand-written factual corpus (benchmarks/data/minicorpus.jsonl — 24
+topics x 5 true passages + 1 plausible-but-false trap each) embedded with an
+LSA model trained on the corpus itself (oscillink_tpu/adapters/lsa.py —
+TF-IDF + SVD: real linguistic co-occurrence structure, NOT hash
+projections).  Two studies:
+
+1. **Hallucination gating** (reference scripts/proof_hallucination.py
+   protocol: labeled traps get gate=trap_gate, mild off-topic damping,
+   optional diffusion multiplier — the reference's headline
+   "trap rate 0.70 -> 0.00" is exactly this oracle-gated suppression):
+   per topic, candidates = topic docs + off-topic fillers; cosine top-k
+   baseline vs gated-lattice bundle; hallucination rate / F1 / trap share.
+
+2. **Ungated rerank** (reference scripts/bench_beir.py shape): cosine
+   top-30 candidates -> default lattice bundle rerank; nDCG@10 / recall@5.
+   Reported honestly — the reference's own checked-in competitor sample
+   (benchmarks/competitor_sample.json: tuned oscillink F1 0.4 vs cosine
+   0.6) shows the ungated bundle is not a plain-relevance win either.
+
+  python scripts/bench_quality_real.py --out benchmarks/quality_real_lsa_latest.json
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import numpy as np
+
+from bench_beir import ndcg_at_k, recall_at_k
+
+_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "benchmarks", "data")
+
+
+def load_corpus():
+    docs = [json.loads(ln) for ln in open(os.path.join(_DATA, "minicorpus.jsonl"))]
+    queries = [json.loads(ln) for ln in open(os.path.join(_DATA, "miniqueries.jsonl"))]
+    return docs, queries
+
+
+def _f1(pred, gt):
+    tp = len(set(pred) & gt)
+    prec = tp / len(pred) if pred else 0.0
+    rec = tp / len(gt) if gt else 0.0
+    return 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+
+
+def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6,
+                use_diffusion=True, seed=0, alpha=0.0):
+    """Reference proof_hallucination protocol on real text: labeled traps are
+    gated down (oracle gating — the reference's own study design), off-topic
+    docs mildly damped, optional diffusion multiplier."""
+    from oscillink_tpu import OscillinkLattice
+    from oscillink_tpu.preprocess.diffusion import compute_diffusion_gates
+
+    rng = np.random.default_rng(seed)
+    by_topic = {}
+    for i, d in enumerate(docs):
+        by_topic.setdefault(d["topic"], []).append(i)
+
+    rows = []
+    for q in queries:
+        topic_rows = by_topic[q["topic"]]
+        # candidate set: the topic's 6 docs + 12 random off-topic fillers
+        others = [i for t, rr in by_topic.items() if t != q["topic"] for i in rr]
+        fill = list(rng.choice(others, size=12, replace=False))
+        cand = topic_rows + fill
+        Yc = Y[cand].astype(np.float32)
+        qv = emb.embed([q["text"]])[0]
+
+        local_gt = {j for j, i in enumerate(cand) if not docs[i]["trap"]
+                    and docs[i]["topic"] == q["topic"]}
+        local_traps = {j for j, i in enumerate(cand) if docs[i]["trap"]
+                       and docs[i]["topic"] == q["topic"]}
+
+        sims = Yc @ qv
+        pred_base = list(np.argsort(-sims)[:k])
+
+        kn = min(6, len(cand) - 1)
+        lat = OscillinkLattice(Yc, kneighbors=kn, lamQ=2.0)
+        gates = np.ones(len(cand), dtype=np.float32)
+        for j in range(len(cand)):
+            if j in local_traps:
+                gates[j] = min(gates[j], trap_gate)
+            elif j not in local_gt:
+                gates[j] = min(gates[j], offtopic_gate)
+        if use_diffusion:
+            try:
+                diff = compute_diffusion_gates(Yc, qv, kneighbors=kn,
+                                               beta=1.5, gamma=0.1)
+                gates = (gates * diff).astype(np.float32)
+            except Exception:
+                pass
+        lat.set_gates(gates)
+        lat.set_query(qv)
+        lat.settle(max_iters=12, tol=1e-3)
+        # alpha=0 = pure gated alignment (reference lattice.py:546 documents
+        # alpha as the anomaly/alignment trade-off; retrieval wants alignment)
+        pred_lat = [int(e["id"]) for e in lat.bundle(k=k, alpha=alpha)]
+
+        def metrics(pred):
+            tshare = len([j for j in pred if j in local_traps]) / max(1, k)
+            return {
+                "hallucination": any(j in local_traps for j in pred),
+                "f1": _f1(pred, local_gt),
+                "trap_share": tshare,
+            }
+
+        rows.append({"qid": q["qid"], "baseline": metrics(pred_base),
+                     "lattice": metrics(pred_lat)})
+
+    def agg(side, m):
+        vals = [r[side][m] for r in rows]
+        return round(float(np.mean(vals)), 4)
+
+    return {
+        "protocol": "reference proof_hallucination.py (oracle trap gates "
+        f"{trap_gate}, offtopic {offtopic_gate}, diffusion={use_diffusion}, "
+        f"bundle alpha={alpha})",
+        "k": k,
+        "baseline": {
+            "hallucination_rate": agg("baseline", "hallucination"),
+            "f1_mean": agg("baseline", "f1"),
+            "trap_share_mean": agg("baseline", "trap_share"),
+        },
+        "lattice": {
+            "hallucination_rate": agg("lattice", "hallucination"),
+            "f1_mean": agg("lattice", "f1"),
+            "trap_share_mean": agg("lattice", "trap_share"),
+        },
+        "per_query": rows,
+    }
+
+
+def rerank_study(docs, queries, Y, emb, *, topk=30):
+    """Ungated bundle rerank of cosine candidates (bench_beir shape)."""
+    from oscillink_tpu import OscillinkLattice
+
+    doc_ids = [d["id"] for d in docs]
+    by_topic = {}
+    for d in docs:
+        by_topic.setdefault(d["topic"], []).append(d)
+
+    rows = []
+    for q in queries:
+        qv = emb.embed([q["text"]])[0]
+        qrels = {d["id"]: 1 for d in by_topic[q["topic"]] if not d["trap"]}
+        sims = Y @ qv
+        order = np.argsort(-sims)
+        cos_ranked = [doc_ids[i] for i in order]
+        cand = [int(i) for i in order[:topk]]
+
+        Yc = Y[cand].astype(np.float32)
+        kn = min(6, len(cand) - 1)
+        # best automatic (label-free) config from the tune grid the reference
+        # also runs (cloud benchmarks tuned lamC/lamQ): lamQ=0.5 + diffusion
+        lat = OscillinkLattice(Yc, kneighbors=kn, lamQ=0.5)
+        try:
+            from oscillink_tpu.preprocess.diffusion import compute_diffusion_gates
+
+            lat.set_gates(compute_diffusion_gates(Yc, qv, kneighbors=kn,
+                                                  beta=1.5, gamma=0.1))
+        except Exception:
+            pass
+        lat.set_query(qv)
+        lat.settle(max_iters=12, tol=1e-3)
+        sel = [int(e["id"]) for e in lat.bundle(k=10, alpha=0.0)]
+        rest = [i for i in range(len(cand)) if i not in sel]
+        lat_ranked = [doc_ids[cand[i]] for i in sel + rest]
+
+        rows.append({
+            "qid": q["qid"],
+            "cosine": {"ndcg10": ndcg_at_k(cos_ranked, qrels, 10),
+                       "recall5": recall_at_k(cos_ranked, qrels, 5)},
+            "oscillink": {"ndcg10": ndcg_at_k(lat_ranked, qrels, 10),
+                          "recall5": recall_at_k(lat_ranked, qrels, 5)},
+        })
+
+    def agg(side, m):
+        return round(float(np.mean([r[side][m] for r in rows])), 4)
+
+    return {
+        "cosine": {m: agg("cosine", m) for m in ("ndcg10", "recall5")},
+        "oscillink": {m: agg("oscillink", m) for m in ("ndcg10", "recall5")},
+        "note": "label-free diffusion-gated bundle rerank (tuned lamQ=0.5, "
+        "alpha=0); the MMR-diversified bundle trades plain relevance for "
+        "diversity BY CONTRACT — the reference's own competitor_sample.json "
+        "(tuned oscillink F1 0.4 vs cosine 0.6) shows the same; the quality "
+        "claim the reference actually makes is the gated study above",
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--out", default="benchmarks/quality_real_lsa_latest.json")
+    args = p.parse_args(argv)
+
+    from oscillink_tpu.adapters.lsa import LSAEmbedder
+
+    docs, queries = load_corpus()
+    emb = LSAEmbedder(dim=args.dim)
+    Y = emb.fit([d["text"] for d in docs])
+
+    gated = gated_study(docs, queries, Y, emb)
+    rerank = rerank_study(docs, queries, Y, emb)
+
+    out = {
+        "corpus": "benchmarks/data/minicorpus.jsonl (hand-written factual text; "
+        f"{len(docs)} passages, {len(queries)} queries, "
+        f"{sum(1 for d in docs if d['trap'])} traps)",
+        "embeddings": f"LSA (TF-IDF + SVD) dim={args.dim}, trained on the corpus",
+        "hallucination_gating": {k: v for k, v in gated.items() if k != "per_query"},
+        "ungated_rerank": rerank,
+        "reference_baselines": {
+            "hallucination_study": "trap 0.70->0.00, F1 0.56->0.66 "
+            "(hash embeddings, oracle gates; hallucination_summary.json)",
+            "competitor_sample": "tuned oscillink F1 0.4 vs cosine 0.6 "
+            "(benchmarks/competitor_sample.json — ungated bundle loses plain F1 "
+            "in the reference too)",
+        },
+        "per_query_gated": gated["per_query"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"hallucination_gating": out["hallucination_gating"],
+                      "ungated_rerank": rerank}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
