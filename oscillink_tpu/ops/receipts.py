@@ -62,15 +62,22 @@ _EDGE_TEMP_BUDGET_BYTES = 1 << 30
 _EDGE_BLOCK_ROWS = 8192
 
 
-def _edge_sq_dists(g: Graph, Xn: jax.Array) -> jax.Array:
-    """[N, K] squared distances ||Xn_i - Xn_j||^2 along graph edges.
+def _edge_sq_dists(
+    g: Graph, X: jax.Array, inv_row_scale: Optional[jax.Array] = None
+) -> jax.Array:
+    """[N, K] squared distances ||s_i X_i - s_j X_j||^2 along graph edges,
+    with optional per-row scaling s = ``inv_row_scale`` (the receipts'
+    1/sqrt_deg normalization).
 
     Row-blocked above a temp-size budget so full receipts stay in-HBM at
     500k-1M nodes (the reference's O(N^2 D) variant is receipts.py:63-83;
-    this one is edge-sparse AND bounded-temp)."""
-    n, d = Xn.shape
+    this one is edge-sparse AND bounded-temp).  The row scaling is applied
+    INSIDE each block so the scaled [N, D] matrix is never materialized —
+    at 1M x 768 that saves two 3 GB temps per receipt."""
+    n, d = X.shape
     k = g.idx.shape[1]
     if 4 * n * k * d <= _EDGE_TEMP_BUDGET_BYTES or n <= _EDGE_BLOCK_ROWS:
+        Xn = X if inv_row_scale is None else X * inv_row_scale[:, None]
         diff = Xn[:, None, :] - jnp.take(Xn, g.idx, axis=0)
         return jnp.sum(diff * diff, axis=-1)
 
@@ -79,14 +86,23 @@ def _edge_sq_dists(g: Graph, Xn: jax.Array) -> jax.Array:
 
     def step(s, out):
         start = jnp.minimum(s * B, n - B)  # tail overlaps; rewrites are equal
-        xb = jax.lax.dynamic_slice(Xn, (start, 0), (B, d))
+        xb = jax.lax.dynamic_slice(X, (start, 0), (B, d))
         ib = jax.lax.dynamic_slice(g.idx, (start, 0), (B, k))
-        diff = xb[:, None, :] - jnp.take(Xn, ib, axis=0)
+        xg = jnp.take(X, ib, axis=0)
+        if inv_row_scale is not None:
+            sb = jax.lax.dynamic_slice(inv_row_scale, (start,), (B,))
+            xb = xb * sb[:, None]
+            xg = xg * jnp.take(inv_row_scale, ib, axis=0)[:, :, None]
+        diff = xb[:, None, :] - xg
         d2 = jnp.sum(diff * diff, axis=-1)
         return jax.lax.dynamic_update_slice(out, d2, (start, 0))
 
-    out = jnp.zeros((n, k), dtype=Xn.dtype)
+    out = jnp.zeros((n, k), dtype=X.dtype)
     return jax.lax.fori_loop(0, n_steps, step, out)
+
+
+def _inv_sqrt_deg(g: Graph) -> jax.Array:
+    return 1.0 / (g.sqrt_deg + 1e-12)
 
 
 def coherence_drop(
@@ -95,12 +111,12 @@ def coherence_drop(
     """Per-node coherence drop (reference receipts.py:44-55, lattice.py:803-822).
 
     coh_i = sum_j 0.5 lamC w_ij (||Yn_i - Yn_j||^2 - ||Un_i - Un_j||^2)
-    with Xn = X / (sqrt_deg + 1e-12).
+    with Xn = X / (sqrt_deg + 1e-12); normalization folded into the blocked
+    edge pass (no [N, D] scaled temps at large N).
     """
-    Yn = _deg_normalized(g, Y)
-    Un = _deg_normalized(g, Ustar)
-    dy2 = _edge_sq_dists(g, Yn)
-    du2 = _edge_sq_dists(g, Un)
+    inv = _inv_sqrt_deg(g)
+    dy2 = _edge_sq_dists(g, Y, inv)
+    du2 = _edge_sq_dists(g, Ustar, inv)
     return jnp.sum(0.5 * lamC * g.w * (dy2 - du2), axis=1)
 
 
@@ -141,8 +157,7 @@ def structural_residuals(
     g: Graph, Ustar: jax.Array, lamC: jax.Array
 ) -> SparseRowStats:
     """R_ij = lamC * w_ij * ||Un_i - Un_j||^2 with dense-row moments."""
-    Un = _deg_normalized(g, Ustar)
-    d2 = _edge_sq_dists(g, Un)
+    d2 = _edge_sq_dists(g, Ustar, _inv_sqrt_deg(g))
     R = lamC * g.w * d2
     return _row_stats_over_dense(R, g.n_nodes)
 
@@ -274,10 +289,9 @@ def dynamics_core(
     move2 = jnp.sum(dU * dU, axis=1)
     dH_step = deltaH_trace(g, pg, U_prev, U_next, lam, B)
 
-    Up = _deg_normalized(g, U_prev)
-    Un = _deg_normalized(g, U_next)
-    e_prev = 0.5 * lam.lamC * g.w * _edge_sq_dists(g, Up)
-    e_next = 0.5 * lam.lamC * g.w * _edge_sq_dists(g, Un)
+    inv = _inv_sqrt_deg(g)
+    e_prev = 0.5 * lam.lamC * g.w * _edge_sq_dists(g, U_prev, inv)
+    e_next = 0.5 * lam.lamC * g.w * _edge_sq_dists(g, U_next, inv)
     flow = jnp.where(g.w > 0, jnp.maximum(0.0, e_prev - e_next), 0.0)
     flow_total = jnp.sum(flow)
 
