@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.coherence import EnergyParams, settle_step, solve_stationary
+from ..models.coherence import (
+    EnergyParams,
+    settle_step,
+    solve_stationary,
+    stationary_matvec,
+)
 from ..ops.graph import (
     SIMILARITY_RECALL as _SIM_RECALL,
     Graph,
@@ -187,6 +192,69 @@ def _jit_receipt_full(g, pg, U, Ustar, lam, B, Y, psi):
         nz,
         nr,
     )
+
+
+@partial(jax.jit, static_argnames=("col_chunks",))
+def _jit_receipt_full_chunked(g, pg, U, Ustar, lam, B, Y, psi, col_chunks):
+    """Column-chunked receipt-full for the HBM-limit regime (observed OOM at
+    1M x 768: the deltaH matvec's full-width gather temps plus the
+    anchor/query [N, D] temps exceed the chip on top of the resident
+    Y/U/U* arguments).  The stationary operator acts per column, so deltaH
+    and the anchor/query sums accumulate over D-slices; the edge
+    diagnostics are already row-blocked (ops/receipts.py)."""
+    from ..ops.receipts import coherence_drop
+
+    from ..ops.path import path_lap_matvec
+
+    n, d = U.shape
+    w = d // col_chunks
+    k_max = g.k_max
+
+    def lap_seq(X):
+        """Pair-sequenced Laplacian matvec: 2 gather temps in flight instead
+        of k (the unrolled form's k live [N, w] temps tipped the 1M receipt
+        over HBM by ~0.6 GB on top of the resident Y/U/U* arguments)."""
+        if k_max % 2 != 0:
+            acc = X
+            for a in range(k_max):
+                acc = acc - g.wn[:, a][:, None] * jnp.take(X, g.idx[:, a], axis=0)
+            return acc
+
+        def body(j, acc):
+            a = 2 * j
+            i0 = jax.lax.dynamic_index_in_dim(g.idx, a, 1, keepdims=False)
+            i1 = jax.lax.dynamic_index_in_dim(g.idx, a + 1, 1, keepdims=False)
+            w0 = jax.lax.dynamic_index_in_dim(g.wn, a, 1, keepdims=False)
+            w1 = jax.lax.dynamic_index_in_dim(g.wn, a + 1, 1, keepdims=False)
+            return (
+                acc
+                - w0[:, None] * jnp.take(X, i0, axis=0)
+                - w1[:, None] * jnp.take(X, i1, axis=0)
+            )
+
+        return jax.lax.fori_loop(0, k_max // 2, body, X)
+
+    dH = jnp.float32(0.0)
+    anchor_vec = jnp.zeros(n, jnp.float32)
+    query_vec = jnp.zeros(n, jnp.float32)
+    for c in range(col_chunks):
+        sl = slice(c * w, (c + 1) * w)
+        diff = U[:, sl] - Ustar[:, sl]
+        term = lam.lamG * diff + lam.lamC * lap_seq(diff) + lam.lamQ * (
+            B[:, None] * diff
+        )
+        if pg is not None:
+            term = term + lam.lamP * path_lap_matvec(pg, diff)
+        dH = dH + jnp.sum(diff * term)
+        av = Ustar[:, sl] - Y[:, sl]
+        anchor_vec = anchor_vec + jnp.sum(av * av, axis=1)
+        qp = Ustar[:, sl] - psi[sl][None, :]
+        query_vec = query_vec + jnp.sum(qp * qp, axis=1)
+    anchor_sum = lam.lamG * jnp.sum(anchor_vec)
+    query_sum = jnp.sum(lam.lamQ * B * query_vec)
+    coh = coherence_drop(g, Y, Ustar, lam.lamC)
+    nflag, nj, nz, nr = null_points_sparse(g, Ustar, lam.lamC, z_th=3.0)
+    return dH, jnp.sum(coh), anchor_sum, query_sum, nflag, nj, nz, nr
 
 
 @jax.jit
@@ -1074,16 +1142,32 @@ class OscillinkLattice:
             nulls_full: list[dict[str, Any]] = []
             coh_sum = anchor_sum = query_sum = 0.0
         else:
-            dH_d, coh_d, anchor_d, query_d, nflag, nj, nz, nr = _jit_receipt_full(
-                self._graph,
-                self._path,
-                self._U_dev,
-                Ustar_dev,
-                lam,
-                self._B_dev,
-                self._Y_dev,
-                self._psi_dev,
-            )
+            cc = self._auto_col_chunks()
+            if cc > 1:
+                dH_d, coh_d, anchor_d, query_d, nflag, nj, nz, nr = (
+                    _jit_receipt_full_chunked(
+                        self._graph,
+                        self._path,
+                        self._U_dev,
+                        Ustar_dev,
+                        lam,
+                        self._B_dev,
+                        self._Y_dev,
+                        self._psi_dev,
+                        col_chunks=cc,
+                    )
+                )
+            else:
+                dH_d, coh_d, anchor_d, query_d, nflag, nj, nz, nr = _jit_receipt_full(
+                    self._graph,
+                    self._path,
+                    self._U_dev,
+                    Ustar_dev,
+                    lam,
+                    self._B_dev,
+                    self._Y_dev,
+                    self._psi_dev,
+                )
             dH_h = self._fetch.defer(dH_d)
             coh_h = self._fetch.defer(coh_d)
             anchor_h = self._fetch.defer(anchor_d)

@@ -60,3 +60,32 @@ def test_diagnostics_unchanged_by_blocking(monkeypatch):
     np.testing.assert_array_equal(nulls_blocked[1], nulls_direct[1])  # argmax j
     np.testing.assert_allclose(nulls_blocked[2], nulls_direct[2], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_receipt_full_chunked_matches_unchunked(monkeypatch):
+    """The column-chunked receipt program (HBM-limit routing) must agree
+    with the full-width one to float noise."""
+    import os
+
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    rng = np.random.default_rng(3)
+    Y = rng.standard_normal((600, 32)).astype(np.float32)
+    psi = rng.standard_normal(32).astype(np.float32)
+
+    def run():
+        lat = OscillinkLattice(Y, kneighbors=5)
+        lat.set_query(psi)
+        lat.settle(max_iters=10, tol=1e-3)
+        return lat.receipt()
+
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
+    r_full = run()
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "4")
+    r_chunk = run()
+    assert r_chunk["deltaH_total"] == pytest.approx(
+        r_full["deltaH_total"], rel=1e-5
+    )
+    for k in ("coh_drop_sum", "anchor_pen_sum", "query_term_sum"):
+        assert r_chunk[k] == pytest.approx(r_full[k], rel=1e-4, abs=1e-4)
+    assert len(r_chunk["null_points"]) == len(r_full["null_points"])
