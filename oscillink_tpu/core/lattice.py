@@ -234,22 +234,37 @@ def _jit_receipt_full_chunked(g, pg, U, Ustar, lam, B, Y, psi, col_chunks):
 
         return jax.lax.fori_loop(0, k_max // 2, body, X)
 
-    dH = jnp.float32(0.0)
-    anchor_vec = jnp.zeros(n, jnp.float32)
-    query_vec = jnp.zeros(n, jnp.float32)
-    for c in range(col_chunks):
-        sl = slice(c * w, (c + 1) * w)
-        diff = U[:, sl] - Ustar[:, sl]
+    def chunk_step(c, carry):
+        # fori_loop (not a Python unroll): XLA's scheduler otherwise keeps
+        # every chunk's [N, w] temps live at once, which re-OOMs the 1M
+        # receipt the chunking exists to fix
+        dH, anchor_vec, query_vec = carry
+        start = c * w
+        diff = jax.lax.dynamic_slice(U, (0, start), (n, w)) - jax.lax.dynamic_slice(
+            Ustar, (0, start), (n, w)
+        )
         term = lam.lamG * diff + lam.lamC * lap_seq(diff) + lam.lamQ * (
             B[:, None] * diff
         )
         if pg is not None:
             term = term + lam.lamP * path_lap_matvec(pg, diff)
         dH = dH + jnp.sum(diff * term)
-        av = Ustar[:, sl] - Y[:, sl]
+        av = jax.lax.dynamic_slice(Ustar, (0, start), (n, w)) - jax.lax.dynamic_slice(
+            Y, (0, start), (n, w)
+        )
         anchor_vec = anchor_vec + jnp.sum(av * av, axis=1)
-        qp = Ustar[:, sl] - psi[sl][None, :]
+        qp = jax.lax.dynamic_slice(Ustar, (0, start), (n, w)) - jax.lax.dynamic_slice(
+            psi[None, :], (0, start), (1, w)
+        )
         query_vec = query_vec + jnp.sum(qp * qp, axis=1)
+        return (dH, anchor_vec, query_vec)
+
+    dH, anchor_vec, query_vec = jax.lax.fori_loop(
+        0,
+        col_chunks,
+        chunk_step,
+        (jnp.float32(0.0), jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32)),
+    )
     anchor_sum = lam.lamG * jnp.sum(anchor_vec)
     query_sum = jnp.sum(lam.lamQ * B * query_vec)
     coh = coherence_drop(g, Y, Ustar, lam.lamC)
@@ -277,6 +292,23 @@ def _jit_dynamics(g, pg, U_prev, U_next, lam, B):
 
 def _env_flag(name: str) -> bool:
     return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
+
+
+def _null_cap_env() -> int:
+    try:
+        return int(os.getenv("OSCILLINK_RECEIPT_NULL_CAP", "0").strip())
+    except ValueError:
+        return 0
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _jit_cap_nulls(nflag, nj, nz, nr, cap: int):
+    """Device-side top-z selection of flagged null points (see
+    ops.receipts.null_points_capped for the rationale)."""
+    n_flagged = jnp.sum(nflag.astype(jnp.int32))
+    score = jnp.where(nflag, nz, -jnp.inf)
+    top_z, top_i = jax.lax.top_k(score, cap)
+    return n_flagged, top_i.astype(jnp.int32), nj[top_i], top_z, nr[top_i]
 
 
 def _maybe_sync(x) -> None:
@@ -1141,6 +1173,7 @@ class OscillinkLattice:
             )
             nulls_full: list[dict[str, Any]] = []
             coh_sum = anchor_sum = query_sum = 0.0
+            device_capped: Optional[int] = None
         else:
             cc = self._auto_col_chunks()
             if cc > 1:
@@ -1172,18 +1205,39 @@ class OscillinkLattice:
             coh_h = self._fetch.defer(coh_d)
             anchor_h = self._fetch.defer(anchor_d)
             query_h = self._fetch.defer(query_d)
-            nulls_h = [self._fetch.defer(a) for a in (nflag, nj, nz, nr)]
-            # one batched flush materializes everything registered so far
-            self._fetch.flush()
-            nflag, nj, nz, nr = (self._fetch.get(h) for h in nulls_h)
+            device_capped: Optional[int] = None
+            cap_pre = _null_cap_env()
+            if 0 < cap_pre < self.N:
+                # ON-DEVICE top-z capping: at large N nearly every row
+                # crosses z_th (z grows with sqrt(N) under the reference's
+                # dense-row moments), so fetching four [N] arrays and
+                # building N dicts dominates the receipt through a
+                # network-attached device.  Only [cap] rows cross the wire.
+                cnt_d, ni_d, nj_d, nz_d, nr_d = _jit_cap_nulls(
+                    nflag, nj, nz, nr, cap=cap_pre
+                )
+                nulls_h = [self._fetch.defer(a) for a in (cnt_d, ni_d, nj_d, nz_d, nr_d)]
+                self._fetch.flush()
+                cnt, ni, njv, nzv, nrv = (self._fetch.get(h) for h in nulls_h)
+                device_capped = int(cnt)
+                nulls_full = [
+                    {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
+                    for i, j, z, r in zip(ni, njv, nzv, nrv)
+                    if np.isfinite(z)
+                ]
+            else:
+                nulls_h = [self._fetch.defer(a) for a in (nflag, nj, nz, nr)]
+                # one batched flush materializes everything registered so far
+                self._fetch.flush()
+                nflag, nj, nz, nr = (self._fetch.get(h) for h in nulls_h)
+                nulls_full = [
+                    {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
+                    for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
+                    if f
+                ]
             coh_sum = float(self._fetch.get(coh_h))
             anchor_sum = float(self._fetch.get(anchor_h))
             query_sum = float(self._fetch.get(query_h))
-            nulls_full = [
-                {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
-                for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
-                if f
-            ]
         deltaH_mode = "standard"
         if _env_flag("OSCILLINK_DETERMINISTIC_RECEIPTS"):
             dH_det = _deltaH_deterministic(
@@ -1194,12 +1248,16 @@ class OscillinkLattice:
         dH = float(self._fetch.get(dH_h))
 
         # null-point capping (observability control, lattice.py:334-356)
-        cap_raw = os.getenv("OSCILLINK_RECEIPT_NULL_CAP", "0").strip()
-        try:
-            cap_val = int(cap_raw)
-        except ValueError:
-            cap_val = 0
-        if cap_val > 0 and len(nulls_full) > cap_val:
+        cap_val = _null_cap_env()
+        if device_capped is not None:
+            # cap already applied on device; nulls_full is the z-desc top-cap
+            nulls = nulls_full
+            null_meta = {
+                "total_null_points": device_capped,
+                "returned_null_points": len(nulls_full),
+                "null_cap_applied": device_capped > len(nulls_full),
+            }
+        elif cap_val > 0 and len(nulls_full) > cap_val:
             nulls = sorted(nulls_full, key=lambda e: e.get("z", 0.0), reverse=True)[
                 :cap_val
             ]

@@ -89,3 +89,33 @@ def test_receipt_full_chunked_matches_unchunked(monkeypatch):
     for k in ("coh_drop_sum", "anchor_pen_sum", "query_term_sum"):
         assert r_chunk[k] == pytest.approx(r_full[k], rel=1e-4, abs=1e-4)
     assert len(r_chunk["null_points"]) == len(r_full["null_points"])
+
+
+def test_device_capped_nulls_match_host_capping(monkeypatch):
+    """With OSCILLINK_RECEIPT_NULL_CAP set, the top-z selection happens on
+    device (only [cap] rows fetched); the kept set must equal the host-side
+    sort-and-trim of the uncapped list."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    rng = np.random.default_rng(9)
+    Y = rng.standard_normal((300, 24)).astype(np.float32)
+    psi = rng.standard_normal(24).astype(np.float32)
+
+    def run():
+        lat = OscillinkLattice(Y, kneighbors=5)
+        lat.set_query(psi)
+        lat.settle(max_iters=10, tol=1e-3)
+        return lat.receipt()
+
+    monkeypatch.delenv("OSCILLINK_RECEIPT_NULL_CAP", raising=False)
+    r_all = run()
+    monkeypatch.setenv("OSCILLINK_RECEIPT_NULL_CAP", "5")
+    r_cap = run()
+
+    want = sorted(r_all["null_points"], key=lambda e: e["z"], reverse=True)[:5]
+    got = r_cap["null_points"]
+    assert len(got) == min(5, len(r_all["null_points"]))
+    assert {tuple(e["edge"]) for e in got} == {tuple(e["edge"]) for e in want}
+    meta = r_cap["meta"]["null_points_summary"]
+    assert meta["total_null_points"] == len(r_all["null_points"])
+    assert meta["null_cap_applied"] == (len(r_all["null_points"]) > 5)
