@@ -150,9 +150,17 @@ def halo_solve(
     tol: float = 1e-4,
     max_iters: int = 64,
     axis_name: str = "rows",
+    gather_dtype: str = "float32",
 ):
     """Stationary solve with halo-exchange collectives. Same numerical
-    contract as shardmap_cg (epsilons, >=1 iteration, max-col-norm)."""
+    contract as shardmap_cg (epsilons, >=1 iteration, max-col-norm).
+
+    ``gather_dtype="bfloat16"`` reads neighbor rows from a bf16 view of the
+    CG vector (f32 accumulation).  The gather is latency-bound, so this
+    buys a measured 1.16x per apply at the 125k-row shard size — combined
+    with the measured 4-iteration convergence it moves the isotropic-data
+    fallback under the 100 ms/1M budget (benchmarks/gather_bf16_125k.json:
+    solution relative error 4.2e-5, deltaH delta 0 at 5 iters)."""
     n = Y.shape[0]
     n_dev = mesh.devices.size
     if n_dev * plan.rows_per != n:
@@ -213,17 +221,25 @@ def halo_solve(
             )
             return recv.reshape(-1, X_l.shape[1])  # [n_dev * R, D]
 
+        bf16 = gather_dtype in ("bfloat16", "bf16")
+
         def M_mul(p_l):
             halo = halo_of(p_l)
             # interior accumulation carries NO dependency on the collective —
             # XLA overlaps the all_to_all with these gathers
+            src = p_l.astype(jnp.bfloat16) if bf16 else p_l
+            halo_src = halo.astype(jnp.bfloat16) if bf16 else halo
             acc = p_l
             for a in range(k):
                 wa = (wn_l[:, a] * wl_l[:, a])[:, None]
-                acc = acc - wa * jnp.take(p_l, il_l[:, a], axis=0)
+                acc = acc - wa * jnp.take(src, il_l[:, a], axis=0).astype(
+                    jnp.float32
+                )
             for a in range(k):
                 wa = (wn_l[:, a] * wh_l[:, a])[:, None]
-                acc = acc - wa * jnp.take(halo, ih_l[:, a], axis=0)
+                acc = acc - wa * jnp.take(halo_src, ih_l[:, a], axis=0).astype(
+                    jnp.float32
+                )
             return lam.lamG * p_l + lam.lamC * acc + lam.lamQ * (B_l[:, None] * p_l)
 
         rhs = lam.lamG * Y_l + lam.lamQ * (B_l[:, None] * psi_r[None, :])
@@ -533,10 +549,16 @@ def solve_auto(
             )
             tier = "halo-exchange-windowed"
         else:
+            gd = os.getenv("OSCILLINK_GATHER_DTYPE", "float32").strip().lower()
             U, it, res = halo_solve(
-                mesh, g, plan, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters
+                mesh, g, plan, Yd, psi_d, B_d, lam, tol=tol,
+                max_iters=max_iters, gather_dtype=gd,
             )
-            tier = "halo-exchange"
+            tier = (
+                "halo-exchange-bf16gather"
+                if gd in ("bfloat16", "bf16")
+                else "halo-exchange"
+            )
     else:
         U, it, res = shardmap_solve(
             mesh, g, Yd, psi_d, B_d, lam, tol=tol, max_iters=max_iters

@@ -146,3 +146,66 @@ def test_halo_solve_windowed_matches_halo_solve():
     assert np.abs(np.asarray(U_win) - np.asarray(U_ref)).max() / scale < 5e-4
     assert float(res_win) <= 1e-5
     assert abs(int(it_win) - int(it_ref)) <= 1
+
+
+def test_halo_solve_bf16_gather_matches_f32():
+    """Opt-in bf16 neighbor gathers (the isotropic-fallback budget lever):
+    solution must match the f32 tier to ~1e-3 and solve_auto must label the
+    tier when OSCILLINK_GATHER_DTYPE=bfloat16."""
+    import os
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from oscillink_tpu.models.coherence import EnergyParams
+    from oscillink_tpu.parallel.halo_cg import build_halo_plan, halo_solve
+    from oscillink_tpu.parallel.sharded_build import build_graph_sharded
+
+    mesh8 = lattice_mesh(8)
+    rng = np.random.default_rng(0)
+    n, d, k = 2048, 32, 6
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    B = np.ones(n, dtype=np.float32)
+
+    g = build_graph_sharded(mesh8, jnp.asarray(Y), k)
+    import jax
+
+    idx_h, w_h = (np.asarray(a) for a in jax.device_get([g.idx, g.w]))
+    plan = build_halo_plan(idx_h, w_h, 8)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+
+    U32, it32, _ = halo_solve(
+        mesh8, g, plan, jnp.asarray(Y), jnp.asarray(psi), jnp.asarray(B), lam,
+        tol=1e-4, max_iters=48,
+    )
+    U16, it16, _ = halo_solve(
+        mesh8, g, plan, jnp.asarray(Y), jnp.asarray(psi), jnp.asarray(B), lam,
+        tol=1e-4, max_iters=48, gather_dtype="bfloat16",
+    )
+    rel = float(
+        jnp.linalg.norm(U16 - U32) / (jnp.linalg.norm(U32) + 1e-12)
+    )
+    assert rel < 2e-3, rel
+
+
+def test_solve_auto_bf16_tier_label(monkeypatch):
+    import numpy as np
+
+    from oscillink_tpu.parallel.halo_cg import solve_auto
+
+    mesh8 = lattice_mesh(8)
+    monkeypatch.setenv("OSCILLINK_GATHER_DTYPE", "bfloat16")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")  # force gather path
+    rng = np.random.default_rng(1)
+    # clustered rows so the halo tier is selected
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+    Y = np.concatenate(
+        [c + 0.3 * rng.standard_normal((256, 16)).astype(np.float32) for c in centers]
+    )
+    psi = rng.standard_normal(16).astype(np.float32)
+    U, info = solve_auto(mesh8, Y, psi, k=6, tol=1e-3, max_iters=24)
+    if info["tier"].startswith("halo-exchange"):
+        assert info["tier"] == "halo-exchange-bf16gather"
+    assert np.isfinite(U).all()
