@@ -404,10 +404,18 @@ def main() -> None:
             # (a cold 500k-1M pass through this tunnel takes minutes and can
             # wedge; the live sources and dates are in the cited artifact)
             "large_n_recorded": {
-                "source": "benchmarks/scale_tpu.json (rows_round2)",
-                "settle_warm_ms": {"500k_768": 1043.2, "1M_768": 5044.9},
-                "ustar_ms": {"500k_768": 945.4, "1M_768": 5200.9},
-                "round1_for_comparison": {"500k_settle": "OOM", "1M_ustar_ms": 28402},
+                "source": "benchmarks/scale_tpu.json (rows_round3) + "
+                "benchmarks/northstar_125k.json + gather_bf16_125k.json",
+                "settle_warm_ms": {"500k_768": 2292.0, "1M_768": 4451.5},
+                "ustar_ms": {"500k_768": 2849.3, "1M_768": 5455.1},
+                "receipt_full_ms": {"500k_768": 3212.2, "1M_768": 5873.1},
+                "shard125k_cg5_ms": {"windowed": 68.8, "gather": 117.0,
+                                     "gather_bf16": 108.1},
+                "round2_for_comparison": {
+                    "500k_settle_ms": 1043.2,
+                    "1M_settle_ms": 5044.9,
+                    "receipt_at_scale": "unmeasured (OOM risk)",
+                },
             },
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N5000_source": "reference benchmarks/scale_latest.jsonl (dev CPU)",
