@@ -1,8 +1,9 @@
 """Small-N native serving fast path.
 
 When OSCILLINK_NATIVE_SMALL_N is set to a positive threshold and a request
-has N <= threshold, no chain prior, and the native engine built, the settle
-is served by the C++ host engine instead of dispatching to the accelerator —
+has N <= threshold, an exact-similarity build, and the native engine built,
+the settle (including gates and chain priors) is served by the C host
+engine instead of dispatching to the accelerator —
 dodging the fixed per-request device round-trip (measured ~30-60 ms through
 tunneled runtimes) for lattices that settle in well under a millisecond on
 the host.  The response shape (receipt, signatures, HMAC) is identical to
