@@ -420,9 +420,9 @@ class OscillinkLattice:
         neighbor_seed: Optional[int] = None,
         similarity: str = "exact",
     ):
-        if similarity not in {"auto", "exact", "fast", "fastest"}:
+        if similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
             raise ValueError(
-                "similarity must be 'auto', 'exact', 'fast' or 'fastest'"
+                "similarity must be 'auto', 'exact', 'fast', 'fastest' or 'cluster'"
             )
         if isinstance(Y, jax.Array):
             Y = np.asarray(Y)
@@ -509,6 +509,7 @@ class OscillinkLattice:
         # defaults for paths that return before _maybe_build_window_ctx
         self._window_ctx = None
         self._window_coverage = None
+        self._similarity_info = None
         jitter = None
         if self._neighbor_seed is not None and not self._deterministic_k:
             # Seeded tie-break contract (reference graph.py:54-58): jitter is
@@ -522,13 +523,25 @@ class OscillinkLattice:
             # loud limit (VERDICT r1 item 5).
             self._build_graph_seeded_host()
             return
-        g, n_edges = _jit_build_graph(
-            self._Y_dev,
-            jitter,
-            self._kneighbors,
-            self._opts(self._row_cap_val)[0],
-            similarity=self._similarity,
-        )
+        if self._similarity == "cluster":
+            # IVF clustered candidates (ops/ivf.py): ~60x fewer scan FLOPs
+            # than the full N^2 pass; overflow- and recall-gated with a
+            # silent fallback to the fast scan (info records which ran)
+            from ..ops.ivf import build_graph_ivf
+
+            g, info = build_graph_ivf(
+                self._Y_dev, self._kneighbors, row_cap=self._row_cap_val
+            )
+            self._similarity_info = info
+            n_edges = jnp.count_nonzero(g.w > 0)
+        else:
+            g, n_edges = _jit_build_graph(
+                self._Y_dev,
+                jitter,
+                self._kneighbors,
+                self._opts(self._row_cap_val)[0],
+                similarity=self._similarity,
+            )
         _maybe_sync(g.w)
         self._graph = g
         self._edge_count_handle = self._fetch.defer(n_edges)
@@ -1297,6 +1310,11 @@ class OscillinkLattice:
             "similarity_recall_target": float(
                 _SIM_RECALL.get(self._similarity, 1.0)
             ),
+            **(
+                {"similarity_info": getattr(self, "_similarity_info", None)}
+                if getattr(self, "_similarity_info", None) is not None
+                else {}
+            ),
             "gates_min": float(np.min(self.B_diag)),
             "gates_max": float(np.max(self.B_diag)),
             "gates_mean": float(np.mean(self.B_diag)),
@@ -1892,9 +1910,10 @@ class OscillinkLattice:
         similarity: Optional[str] = None,
     ) -> None:
         if similarity is not None:
-            if similarity not in {"auto", "exact", "fast", "fastest"}:
+            if similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
                 raise ValueError(
-                    "similarity must be 'auto', 'exact', 'fast' or 'fastest'"
+                    "similarity must be 'auto', 'exact', 'fast', 'fastest' "
+                    "or 'cluster'"
                 )
             self._similarity = _resolve_similarity(self.N, similarity)
         if row_cap_val is not None:

@@ -1,0 +1,229 @@
+"""IVF (inverted-file) clustered mutual-kNN build: sub-quadratic candidates.
+
+The full similarity scan is MXU-FLOP-bound: at 1M x 768 the N^2 bf16 scan
+is 1.5 PFLOP ≈ 7.8 s on one v5e — measured 9.9 s warm at recall 0.99
+(benchmarks/scale_tpu.json build_1M_device_round3), i.e. the scan kernel is
+at 80-90% of speed-of-light and further build speedups require scanning
+FEWER pairs, not faster kernels.  This module is that algorithm, kept
+TPU-native:
+
+  1. k-means over the unit-normalized rows (a few matmul-dominated
+     Lloyd iterations; assignments via an [N, C] bf16 scan),
+  2. bucketize rows by cluster into a padded [C, P] table
+     (P = bucket_factor * N/C, static; overflow COUNTED, see below),
+  3. per-cluster scan: each cluster's rows score against the buckets of
+     its m_probe nearest clusters ([P, m*P] bf16 matmul + approx_max_k),
+  4. exact f32 rescore of the overscan*k candidates (selected weights are
+     exact similarities, same contract as the "fast" scan), global top-k,
+  5. `graph_from_topk` (mutual mask, row cap, Laplacian factors).
+
+FLOPs: N * (m_probe * P) * D * 2 ≈ 25 TFLOP at 1M/C=1024/m=8 — ~60x less
+than the full scan.
+
+Failure containment (the coverage-gate pattern used throughout this repo):
+rows past a bucket's cap would silently get no neighbors, so the build
+returns the overflow count and `build_graph_ivf` FALLS BACK to the dense
+fast scan whenever overflow > 0 (or N is too small to be worth probing).
+Recall is data-dependent (boundary rows can miss cross-cluster neighbors);
+the `info` dict carries the knobs so callers can record them in receipts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .graph import Graph, build_graph, graph_from_topk, normalize_rows
+
+__all__ = ["build_graph_ivf", "ivf_topk"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "n_clusters", "bucket_cap", "m_probe", "kmeans_iters",
+                     "overscan"),
+)
+def ivf_topk(
+    Y: jax.Array,
+    k: int,
+    *,
+    n_clusters: int,
+    bucket_cap: int,
+    m_probe: int,
+    kmeans_iters: int = 6,
+    overscan: int = 4,
+):
+    """Per-row approximate top-k via clustered probing.
+
+    Returns (vals [N, k] exact-f32 sims, idx [N, k] int32, overflow scalar,
+    filled [N] bool — False for rows that never entered a bucket).
+    """
+    n, d = Y.shape
+    C, P, m = n_clusters, bucket_cap, m_probe
+    Yn = normalize_rows(Y.astype(jnp.float32))
+    Yb = Yn.astype(jnp.bfloat16)
+
+    # ---- k-means (Lloyd) on the unit sphere --------------------------------
+    stride = max(n // C, 1)
+    cent = Yn[:: stride][:C]
+    cent = normalize_rows(cent)
+
+    def lloyd(_, cent):
+        A = jnp.dot(Yb, cent.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)  # [N, C]
+        assign = jnp.argmax(A, axis=1)
+        sums = jnp.zeros((C, d), jnp.float32).at[assign].add(Yn)
+        cnts = jnp.zeros((C,), jnp.float32).at[assign].add(1.0)
+        new = sums / (cnts[:, None] + 1e-6)
+        # empty clusters keep their previous centroid
+        new = jnp.where(cnts[:, None] > 0, new, cent)
+        return normalize_rows(new)
+
+    cent = lax.fori_loop(0, kmeans_iters, lloyd, cent)
+    A = jnp.dot(Yb, cent.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32)
+    assign = jnp.argmax(A, axis=1).astype(jnp.int32)  # [N]
+
+    # ---- bucketize: padded [C, P] membership table -------------------------
+    order = jnp.argsort(assign, stable=True)  # row ids grouped by cluster
+    a_sorted = assign[order]
+    start = jnp.searchsorted(a_sorted, jnp.arange(C, dtype=jnp.int32), side="left")
+    pos = jnp.arange(n, dtype=jnp.int32) - start[a_sorted]  # rank within cluster
+    in_cap = pos < P
+    overflow = jnp.sum(~in_cap)
+    bucket = jnp.full((C, P), -1, jnp.int32)
+    # overflow rows write to an out-of-range row id and are dropped — they
+    # must NOT clobber slot P-1 of their cluster
+    row_t = jnp.where(in_cap, a_sorted, C)
+    bucket = bucket.at[row_t, jnp.minimum(pos, P - 1)].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    filled = jnp.zeros((n,), bool).at[order].set(in_cap)
+
+    # ---- probe sets: each cluster scans its m nearest clusters -------------
+    CC = jnp.dot(cent, cent.T, preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(CC, m)  # [C, m], self is its own argmax
+
+    # ---- per-cluster scan ---------------------------------------------------
+    pad_row = jnp.zeros((1, d), jnp.bfloat16)
+    Yb_pad = jnp.concatenate([Yb, pad_row], axis=0)  # id -1 -> zero row
+    Yn_pad = jnp.concatenate([Yn, jnp.zeros((1, d), jnp.float32)], axis=0)
+    oc = min(overscan * k, m * P)
+
+    def scan_cluster(c):
+        q_ids = bucket[c]  # [P]
+        cand_ids = bucket[probe[c]].reshape(-1)  # [m*P]
+        q = Yb_pad[q_ids]  # [P, D] (id -1 wraps to the zero pad row)
+        cand = Yb_pad[cand_ids]  # [mP, D]
+        S = jnp.dot(q, cand.T, preferred_element_type=jnp.float32)  # [P, mP]
+        invalid = (cand_ids[None, :] < 0) | (cand_ids[None, :] == q_ids[:, None])
+        S = jnp.where(invalid, -jnp.inf, S)
+        _, slots = lax.approx_max_k(S, oc)  # [P, oc] candidate slots
+        sel = cand_ids[slots]  # [P, oc] global ids (may be -1 on tiny buckets)
+        # exact f32 rescore of the selected candidates
+        qf = Yn_pad[q_ids]  # [P, D]
+        cf = Yn_pad[sel]  # [P, oc, D]
+        sims = jnp.einsum("pd,pod->po", qf, cf)
+        sims = jnp.where(
+            (sel < 0) | (sel == q_ids[:, None]), -jnp.inf, sims
+        )
+        v, j = lax.top_k(sims, k)  # [P, k]
+        return q_ids, v, jnp.take_along_axis(sel, j, axis=1)
+
+    q_ids, vals_c, idx_c = lax.map(scan_cluster, jnp.arange(C))
+    # scatter per-cluster results into global row order
+    flat_q = q_ids.reshape(-1)
+    ok = flat_q >= 0
+    safe_q = jnp.where(ok, flat_q, n)  # drop padding via mode="drop"
+    vals = jnp.zeros((n + 1, k), jnp.float32).at[safe_q].set(
+        vals_c.reshape(-1, k), mode="drop"
+    )[:n]
+    idx = jnp.zeros((n + 1, k), jnp.int32).at[safe_q].set(
+        jnp.maximum(idx_c.reshape(-1, k), 0), mode="drop"
+    )[:n]
+    vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
+    return vals, idx, overflow, filled
+
+
+@partial(jax.jit, static_argnames=("k", "sample"))
+def _sample_recall(Y: jax.Array, idx: jax.Array, k: int, sample: int = 256):
+    """Estimated top-k id recall of ``idx`` on ``sample`` strided rows,
+    against an exact dense scan of those rows (cheap: sample x N matmul)."""
+    n, d = Y.shape
+    Yn = normalize_rows(Y.astype(jnp.float32))
+    stride = max(n // sample, 1)
+    rows = (jnp.arange(sample) * stride) % n
+    S = jnp.dot(
+        Yn[rows], Yn.T, preferred_element_type=jnp.float32
+    )  # [sample, N]
+    S = jnp.where(jnp.arange(n)[None, :] == rows[:, None], -jnp.inf, S)
+    _, exact = lax.top_k(S, k)  # [sample, k]
+    got = idx[rows]  # [sample, k]
+    hit = (exact[:, :, None] == got[:, None, :]).any(-1)
+    return jnp.mean(hit.astype(jnp.float32))
+
+
+def build_graph_ivf(
+    Y: jax.Array,
+    k: int,
+    *,
+    row_cap: float = 1.0,
+    n_clusters: int = 1024,
+    m_probe: int = 8,
+    bucket_factor: float = 2.0,
+    kmeans_iters: int = 6,
+    overscan: int = 4,
+    min_n: int = 65536,
+    min_recall: float = 0.9,
+) -> tuple[Graph, dict]:
+    """Clustered approximate graph build with dense-fast-scan fallback.
+
+    Returns (Graph, info).  info["mode"] is "ivf" or "fallback-fast";
+    fallback triggers when N < min_n, when any bucket overflowed its cap,
+    when the geometry is degenerate (C*4 >= N), or when the sampled recall
+    estimate (256 rows vs an exact scan of those rows) falls below
+    ``min_recall`` — clustering cannot help isotropic corpora (measured
+    recall 0.27-0.62 there), and the gate is what makes the mode safe to
+    route automatically."""
+    n, d = Y.shape
+    if n < min_n or n_clusters * 4 >= n:
+        g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
+        return g, {"mode": "fallback-fast", "reason": "N below IVF threshold"}
+
+    P = _round_up(int(bucket_factor * n / n_clusters), 128)
+    vals, idx, overflow, filled = ivf_topk(
+        Y, k, n_clusters=n_clusters, bucket_cap=P, m_probe=m_probe,
+        kmeans_iters=kmeans_iters, overscan=overscan,
+    )
+    recall_est = _sample_recall(Y, idx, k)
+    ovf, rec = (
+        int(jax.device_get(overflow)),
+        float(jax.device_get(recall_est)),
+    )
+    if ovf > 0 or rec < min_recall:
+        g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
+        reason = (
+            f"bucket overflow ({ovf} rows past cap {P})"
+            if ovf > 0
+            else f"sampled recall {rec:.3f} < {min_recall}"
+        )
+        return g, {"mode": "fallback-fast", "reason": reason,
+                   "recall_estimate": rec}
+    g = graph_from_topk(vals, idx, row_cap=row_cap)
+    return g, {
+        "mode": "ivf",
+        "n_clusters": n_clusters,
+        "bucket_cap": P,
+        "m_probe": m_probe,
+        "overscan": overscan,
+        "overflow": 0,
+        "recall_estimate": rec,
+    }

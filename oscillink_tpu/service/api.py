@@ -216,8 +216,10 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
     Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(state, req, api_key)
     lamG, lamC, lamQ = eff["lamG"], eff["lamC"], eff["lamQ"]
 
-    if req.params.similarity not in {"auto", "exact", "fast", "fastest"}:
-        raise ApiError(422, "params.similarity must be auto|exact|fast|fastest")
+    if req.params.similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
+        raise ApiError(
+            422, "params.similarity must be auto|exact|fast|fastest|cluster"
+        )
     lat = OscillinkLattice(
         Y,
         kneighbors=k_eff,

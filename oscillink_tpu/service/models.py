@@ -16,7 +16,8 @@ class Params(BaseModel):
     deterministic_k: bool = False
     neighbor_seed: Optional[int] = None
     # graph-build precision mode: auto (exact below OSCILLINK_FAST_SIM_N,
-    # fast above) | exact | fast (recall .99) | fastest (.95)
+    # fast above) | exact | fast (recall .99) | fastest (.95) | cluster
+    # (IVF probing, recall-gated with fast fallback — ops/ivf.py)
     similarity: str = "auto"
 
 

@@ -1,0 +1,101 @@
+"""IVF clustered graph build (ops/ivf.py): recall on clustered data, the
+overflow and recall gates, and the lattice similarity="cluster" wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oscillink_tpu.ops.graph import normalize_rows
+from oscillink_tpu.ops.ivf import build_graph_ivf, ivf_topk
+
+
+def _clustered(n_clusters=32, per=256, d=64, seed=0, spread=0.5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 5
+    return np.concatenate(
+        [c + spread * rng.standard_normal((per, d)).astype(np.float32)
+         for c in centers]
+    )
+
+
+def _exact_topk_ids(Y, k):
+    Yn = np.asarray(normalize_rows(jnp.asarray(Y)))
+    S = Yn @ Yn.T
+    np.fill_diagonal(S, -np.inf)
+    return np.argsort(-S, axis=1)[:, :k]
+
+
+def test_ivf_recall_on_clustered_data():
+    Y = _clustered()
+    n, k = Y.shape[0], 8
+    vals, idx, ovf, filled = ivf_topk(
+        jnp.asarray(Y), k, n_clusters=32, bucket_cap=384, m_probe=4
+    )
+    assert int(ovf) == 0 and int(filled.sum()) == n
+    exact = _exact_topk_ids(Y, k)
+    idx_h = np.asarray(idx)
+    recall = np.mean(
+        [len(set(exact[i]) & set(idx_h[i])) / k for i in range(n)]
+    )
+    assert recall > 0.97, recall
+    # selected weights are exact f32 similarities
+    Yn = np.asarray(normalize_rows(jnp.asarray(Y)))
+    i = 17
+    for slot in range(k):
+        j = int(idx_h[i, slot])
+        assert float(np.asarray(vals)[i, slot]) == pytest.approx(
+            float(Yn[i] @ Yn[j]), abs=1e-5
+        )
+
+
+def test_recall_gate_falls_back_on_isotropic():
+    rng = np.random.default_rng(1)
+    Y = jnp.asarray(rng.standard_normal((8192, 64)).astype(np.float32))
+    g, info = build_graph_ivf(Y, 8, n_clusters=32, m_probe=4, min_n=1000)
+    assert info["mode"] == "fallback-fast"
+    assert "recall" in info["reason"]
+
+
+def test_overflow_gate_falls_back():
+    Y = jnp.asarray(_clustered(seed=2))
+    g, info = build_graph_ivf(
+        Y, 8, n_clusters=32, m_probe=4, bucket_factor=0.5, min_n=1000
+    )
+    assert info["mode"] == "fallback-fast"
+    assert "overflow" in info["reason"]
+
+
+def test_small_n_falls_back():
+    rng = np.random.default_rng(3)
+    Y = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    g, info = build_graph_ivf(Y, 4)
+    assert info["mode"] == "fallback-fast"
+
+
+def test_lattice_cluster_mode(monkeypatch):
+    """similarity='cluster' end-to-end through the container: the realized
+    mode lands in receipt meta and the lattice settles normally."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+    from oscillink_tpu.ops import ivf as ivf_mod
+
+    Y = _clustered(n_clusters=8, per=64, d=32, seed=4)
+    # test-sized geometry (the production default min_n is 65536)
+    orig = ivf_mod.build_graph_ivf
+
+    def small(Yd, k, **kw):
+        kw.update(n_clusters=8, m_probe=4, min_n=256)
+        return orig(Yd, k, **kw)
+
+    monkeypatch.setattr(ivf_mod, "build_graph_ivf", small)
+    lat = OscillinkLattice(Y, kneighbors=6, similarity="cluster")
+    lat.set_query(np.zeros(32, dtype=np.float32))
+    lat.settle(max_iters=10, tol=1e-3)
+    rec = lat.receipt()
+    assert rec["meta"]["similarity"] == "cluster"
+    info = rec["meta"]["similarity_info"]
+    assert info["mode"] in {"ivf", "fallback-fast"}
+    if info["mode"] == "ivf":
+        assert info["recall_estimate"] > 0.9
+    assert np.isfinite(rec["deltaH_total"])
