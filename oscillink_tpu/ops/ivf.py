@@ -171,6 +171,33 @@ def _sample_recall(Y: jax.Array, idx: jax.Array, k: int, sample: int = 256):
     return jnp.mean(hit.astype(jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("k", "sample"))
+def _sample_quality(Y: jax.Array, vals: jax.Array, idx: jax.Array, k: int,
+                    sample: int = 256):
+    """(id_recall, sim_gap_p99) on ``sample`` strided rows.
+
+    In tight-cluster corpora the exact top-k is buried among thousands of
+    near-ties (sims within ~1e-3); id recall is then a misleading metric —
+    a neighbor whose similarity matches the true top-k to ~1e-2 yields an
+    equivalent graph (weights differ below the row-cap scale).  The gap is
+    computed per sorted slot: exact_topk_sims - chosen_sims."""
+    n, d = Y.shape
+    Yn = normalize_rows(Y.astype(jnp.float32))
+    stride = max(n // sample, 1)
+    rows = (jnp.arange(sample) * stride) % n
+    S = jnp.dot(Yn[rows], Yn.T, preferred_element_type=jnp.float32)
+    S = jnp.where(jnp.arange(n)[None, :] == rows[:, None], -jnp.inf, S)
+    ex_vals, exact = lax.top_k(S, k)
+    got = idx[rows]
+    hit = (exact[:, :, None] == got[:, None, :]).any(-1)
+    recall = jnp.mean(hit.astype(jnp.float32))
+    ex_sorted = jnp.sort(ex_vals, axis=1)[:, ::-1]
+    got_sorted = jnp.sort(vals[rows], axis=1)[:, ::-1]
+    gap = (ex_sorted - got_sorted).reshape(-1)
+    p99 = jnp.quantile(gap, 0.99)
+    return recall, p99
+
+
 def build_graph_ivf(
     Y: jax.Array,
     k: int,
@@ -183,16 +210,20 @@ def build_graph_ivf(
     overscan: int = 4,
     min_n: int = 65536,
     min_recall: float = 0.9,
+    max_sim_gap: float = 0.01,
 ) -> tuple[Graph, dict]:
     """Clustered approximate graph build with dense-fast-scan fallback.
 
     Returns (Graph, info).  info["mode"] is "ivf" or "fallback-fast";
-    fallback triggers when N < min_n, when any bucket overflowed its cap,
-    when the geometry is degenerate (C*4 >= N), or when the sampled recall
-    estimate (256 rows vs an exact scan of those rows) falls below
-    ``min_recall`` — clustering cannot help isotropic corpora (measured
-    recall 0.27-0.62 there), and the gate is what makes the mode safe to
-    route automatically."""
+    fallback triggers when N < min_n, when any bucket overflowed its cap
+    (overflow rows would silently get no neighbors), when the geometry is
+    degenerate (C*4 >= N), or when the sampled quality gate fails.  The
+    quality gate accepts EITHER id recall >= ``min_recall`` OR a p99
+    per-slot similarity gap <= ``max_sim_gap`` vs the exact top-k — tight
+    clusters bury the exact top-k among near-ties where id recall is
+    meaningless but the chosen neighbors are graph-equivalent; isotropic
+    corpora fail BOTH (measured: id recall 0.27-0.62, gaps well above the
+    bar) and correctly fall back."""
     n, d = Y.shape
     if n < min_n or n_clusters * 4 >= n:
         g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
@@ -203,20 +234,22 @@ def build_graph_ivf(
         Y, k, n_clusters=n_clusters, bucket_cap=P, m_probe=m_probe,
         kmeans_iters=kmeans_iters, overscan=overscan,
     )
-    recall_est = _sample_recall(Y, idx, k)
-    ovf, rec = (
+    recall_est, gap_p99 = _sample_quality(Y, vals, idx, k)
+    ovf, rec, gap = (
         int(jax.device_get(overflow)),
         float(jax.device_get(recall_est)),
+        float(jax.device_get(gap_p99)),
     )
-    if ovf > 0 or rec < min_recall:
+    if ovf > 0 or (rec < min_recall and gap > max_sim_gap):
         g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
         reason = (
             f"bucket overflow ({ovf} rows past cap {P})"
             if ovf > 0
-            else f"sampled recall {rec:.3f} < {min_recall}"
+            else f"sampled recall {rec:.3f} < {min_recall} and sim-gap p99 "
+            f"{gap:.4f} > {max_sim_gap}"
         )
         return g, {"mode": "fallback-fast", "reason": reason,
-                   "recall_estimate": rec}
+                   "recall_estimate": rec, "sim_gap_p99": gap}
     g = graph_from_topk(vals, idx, row_cap=row_cap)
     return g, {
         "mode": "ivf",
@@ -226,4 +259,5 @@ def build_graph_ivf(
         "overscan": overscan,
         "overflow": 0,
         "recall_estimate": rec,
+        "sim_gap_p99": gap,
     }
