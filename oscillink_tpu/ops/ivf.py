@@ -21,11 +21,12 @@ FLOPs: N * (m_probe * P) * D * 2 ≈ 25 TFLOP at 1M/C=1024/m=8 — ~60x less
 than the full scan.
 
 Failure containment (the coverage-gate pattern used throughout this repo):
-rows past a bucket's cap would silently get no neighbors, so the build
-returns the overflow count and `build_graph_ivf` FALLS BACK to the dense
-fast scan whenever overflow > 0 (or N is too small to be worth probing).
-Recall is data-dependent (boundary rows can miss cross-cluster neighbors);
-the `info` dict carries the knobs so callers can record them in receipts.
+rows past a bucket's cap are PATCHED with an exact dense scan (cheap for
+the hundreds of rows k-means imbalance produces; `patch_cap` bounds it),
+and `build_graph_ivf` falls back to the dense fast scan when overflow
+exceeds the patch capacity or the sampled quality gate fails (id recall
+AND per-slot sim-gap — see `_sample_quality`).  The `info` dict carries
+the realized mode and quality estimates for receipts.
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.jit,
     static_argnames=("k", "n_clusters", "bucket_cap", "m_probe", "kmeans_iters",
-                     "overscan"),
+                     "overscan", "patch_cap"),
 )
 def ivf_topk(
     Y: jax.Array,
@@ -61,11 +62,17 @@ def ivf_topk(
     m_probe: int,
     kmeans_iters: int = 6,
     overscan: int = 4,
+    patch_cap: int = 2048,
 ):
     """Per-row approximate top-k via clustered probing.
 
     Returns (vals [N, k] exact-f32 sims, idx [N, k] int32, overflow scalar,
     filled [N] bool — False for rows that never entered a bucket).
+
+    Up to ``patch_cap`` bucket-overflow rows are PATCHED with an exact
+    dense scan (a [cap, N] matmul — trivial FLOPs for hundreds of rows), so
+    k-means imbalance does not leave rows without neighbors; only overflow
+    beyond the cap requires the caller to fall back.
     """
     n, d = Y.shape
     C, P, m = n_clusters, bucket_cap, m_probe
@@ -150,6 +157,39 @@ def ivf_topk(
         jnp.maximum(idx_c.reshape(-1, k), 0), mode="drop"
     )[:n]
     vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
+
+    # ---- exact patch-scan for bucket-overflow rows --------------------------
+    # lax.top_k on the unfilled mask is index-stable: the first `patch_cap`
+    # unfilled row ids, padding with filled rows marked invalid
+    pc = min(patch_cap, n)
+    miss_flag, patch_ids = lax.top_k((~filled).astype(jnp.int32), pc)
+    pvalid = miss_flag == 1
+    chunk = 512
+    pc_pad = _round_up(pc, chunk)
+    patch_pad = jnp.pad(patch_ids, (0, pc_pad - pc))
+
+    def patch_chunk(c):
+        rows = lax.dynamic_slice(patch_pad, (c * chunk,), (chunk,))
+        S = jnp.dot(Yb[rows], Yb.T, preferred_element_type=jnp.float32)
+        S = jnp.where(jnp.arange(n)[None, :] == rows[:, None], -jnp.inf, S)
+        _, cand = lax.approx_max_k(S, oc)
+        sims = jnp.einsum("pd,pod->po", Yn[rows], Yn[cand])
+        sims = jnp.where(cand == rows[:, None], -jnp.inf, sims)
+        v, j = lax.top_k(sims, k)
+        return v, jnp.take_along_axis(cand, j, axis=1).astype(jnp.int32)
+
+    pv, pi = lax.map(patch_chunk, jnp.arange(pc_pad // chunk))
+    pv = pv.reshape(-1, k)[:pc]
+    pi = pi.reshape(-1, k)[:pc]
+    tgt = jnp.where(pvalid, patch_ids, n)
+    vals = jnp.concatenate([vals, jnp.zeros((1, k), vals.dtype)]).at[tgt].set(
+        pv, mode="drop"
+    )[:n]
+    idx = jnp.concatenate([idx, jnp.zeros((1, k), idx.dtype)]).at[tgt].set(
+        pi, mode="drop"
+    )[:n]
+    vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
+    filled = filled | (jnp.zeros((n + 1,), bool).at[tgt].set(True, mode="drop")[:n])
     return vals, idx, overflow, filled
 
 
@@ -211,12 +251,13 @@ def build_graph_ivf(
     min_n: int = 65536,
     min_recall: float = 0.9,
     max_sim_gap: float = 0.01,
+    patch_cap: int = 2048,
 ) -> tuple[Graph, dict]:
     """Clustered approximate graph build with dense-fast-scan fallback.
 
     Returns (Graph, info).  info["mode"] is "ivf" or "fallback-fast";
-    fallback triggers when N < min_n, when any bucket overflowed its cap
-    (overflow rows would silently get no neighbors), when the geometry is
+    fallback triggers when N < min_n, when bucket overflow exceeds the
+    exact patch-scan capacity ``patch_cap``, when the geometry is
     degenerate (C*4 >= N), or when the sampled quality gate fails.  The
     quality gate accepts EITHER id recall >= ``min_recall`` OR a p99
     per-slot similarity gap <= ``max_sim_gap`` vs the exact top-k — tight
@@ -232,7 +273,7 @@ def build_graph_ivf(
     P = _round_up(int(bucket_factor * n / n_clusters), 128)
     vals, idx, overflow, filled = ivf_topk(
         Y, k, n_clusters=n_clusters, bucket_cap=P, m_probe=m_probe,
-        kmeans_iters=kmeans_iters, overscan=overscan,
+        kmeans_iters=kmeans_iters, overscan=overscan, patch_cap=patch_cap,
     )
     recall_est, gap_p99 = _sample_quality(Y, vals, idx, k)
     ovf, rec, gap = (
@@ -240,11 +281,11 @@ def build_graph_ivf(
         float(jax.device_get(recall_est)),
         float(jax.device_get(gap_p99)),
     )
-    if ovf > 0 or (rec < min_recall and gap > max_sim_gap):
+    if ovf > patch_cap or (rec < min_recall and gap > max_sim_gap):
         g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
         reason = (
-            f"bucket overflow ({ovf} rows past cap {P})"
-            if ovf > 0
+            f"bucket overflow ({ovf} rows) exceeds patch capacity {patch_cap}"
+            if ovf > patch_cap
             else f"sampled recall {rec:.3f} < {min_recall} and sim-gap p99 "
             f"{gap:.4f} > {max_sim_gap}"
         )
@@ -257,7 +298,7 @@ def build_graph_ivf(
         "bucket_cap": P,
         "m_probe": m_probe,
         "overscan": overscan,
-        "overflow": 0,
+        "overflow_patched": ovf,
         "recall_estimate": rec,
         "sim_gap_p99": gap,
     }

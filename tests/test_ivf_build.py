@@ -99,3 +99,29 @@ def test_lattice_cluster_mode(monkeypatch):
     if info["mode"] == "ivf":
         assert info["recall_estimate"] > 0.9
     assert np.isfinite(rec["deltaH_total"])
+
+
+def test_overflow_rows_get_patched_neighbors():
+    """Rows past a bucket cap must receive exact-scan neighbors, not empty
+    lists (the patch pass)."""
+    Y = _clustered(n_clusters=8, per=256, d=32, seed=7)
+    n, k = Y.shape[0], 6
+    # tiny caps: most rows overflow, all within patch_cap
+    vals, idx, ovf, filled = ivf_topk(
+        jnp.asarray(Y), k, n_clusters=8, bucket_cap=128, m_probe=4,
+        patch_cap=2048,
+    )
+    assert int(ovf) > 0
+    assert bool(filled.all())  # every row filled after patching
+    exact = _exact_topk_ids(Y, k)
+    idx_h = np.asarray(idx)
+    recall = np.mean([len(set(exact[i]) & set(idx_h[i])) / k for i in range(n)])
+    # here HALF the corpus overflowed (cap 128 vs cluster size 256), so
+    # overflow rows are patched as queries but still missing as candidates
+    # for bucket rows — recall degrades gracefully instead of rows losing
+    # all neighbors.  Production overflow rates are ~0.1% (see
+    # benchmarks/ivf_1m.json) where this effect is negligible; the sampled
+    # quality gate catches real damage either way.
+    assert recall > 0.7, recall
+    # and no row is left with an empty neighbor list
+    assert (np.asarray(vals).max(axis=1) > 0).all()
