@@ -122,9 +122,12 @@ def main():
             rows.append({"N": n, "error": f"{type(e).__name__}: {e}"})
 
     data = json.load(open(OUT))
-    # merge: keep previously recorded rows for sizes not re-run
+    # merge: keep previously recorded rows for sizes not re-run, and never
+    # let a failed re-run overwrite a recorded good row with an error row
     old = {r.get("N"): r for r in data.get("rows_round3", []) if "error" not in r}
     for r in rows:
+        if "error" in r and r.get("N") in old:
+            continue
         old[r.get("N")] = r
     rows = [old[k] for k in sorted(old)]
     data["note_round3"] = (

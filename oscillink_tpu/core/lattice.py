@@ -39,12 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.coherence import (
-    EnergyParams,
-    settle_step,
-    solve_stationary,
-    stationary_matvec,
-)
+from ..models.coherence import EnergyParams, settle_step, solve_stationary
 from ..ops.graph import (
     SIMILARITY_RECALL as _SIM_RECALL,
     Graph,

@@ -53,7 +53,9 @@ FAST_SIMILARITY_N = 65536
 
 # per-row top-k recall contract of each similarity mode (surfaced in
 # receipt meta so approximate builds are auditable)
-SIMILARITY_RECALL = {"exact": 1.0, "fast": 0.99, "fastest": 0.95}
+# "cluster" carries the IVF acceptance bar (ops/ivf.py min_recall; the
+# receipt's similarity_info holds the per-build measured estimate)
+SIMILARITY_RECALL = {"exact": 1.0, "fast": 0.99, "fastest": 0.95, "cluster": 0.9}
 
 
 def resolve_similarity(n: int, mode: str) -> str:

@@ -194,24 +194,6 @@ def ivf_topk(
 
 
 @partial(jax.jit, static_argnames=("k", "sample"))
-def _sample_recall(Y: jax.Array, idx: jax.Array, k: int, sample: int = 256):
-    """Estimated top-k id recall of ``idx`` on ``sample`` strided rows,
-    against an exact dense scan of those rows (cheap: sample x N matmul)."""
-    n, d = Y.shape
-    Yn = normalize_rows(Y.astype(jnp.float32))
-    stride = max(n // sample, 1)
-    rows = (jnp.arange(sample) * stride) % n
-    S = jnp.dot(
-        Yn[rows], Yn.T, preferred_element_type=jnp.float32
-    )  # [sample, N]
-    S = jnp.where(jnp.arange(n)[None, :] == rows[:, None], -jnp.inf, S)
-    _, exact = lax.top_k(S, k)  # [sample, k]
-    got = idx[rows]  # [sample, k]
-    hit = (exact[:, :, None] == got[:, None, :]).any(-1)
-    return jnp.mean(hit.astype(jnp.float32))
-
-
-@partial(jax.jit, static_argnames=("k", "sample"))
 def _sample_quality(Y: jax.Array, vals: jax.Array, idx: jax.Array, k: int,
                     sample: int = 256):
     """(id_recall, sim_gap_p99) on ``sample`` strided rows.
@@ -225,7 +207,12 @@ def _sample_quality(Y: jax.Array, vals: jax.Array, idx: jax.Array, k: int,
     Yn = normalize_rows(Y.astype(jnp.float32))
     stride = max(n // sample, 1)
     rows = (jnp.arange(sample) * stride) % n
-    S = jnp.dot(Yn[rows], Yn.T, preferred_element_type=jnp.float32)
+    # the reference scan MUST be exact: at default precision (bf16 passes)
+    # its own noise is the size of max_sim_gap and the gate measures noise
+    S = jnp.dot(
+        Yn[rows], Yn.T, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
     S = jnp.where(jnp.arange(n)[None, :] == rows[:, None], -jnp.inf, S)
     ex_vals, exact = lax.top_k(S, k)
     got = idx[rows]

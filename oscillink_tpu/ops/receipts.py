@@ -31,7 +31,6 @@ __all__ = [
     "per_node_components",
     "coherence_drop",
     "null_points_sparse",
-    "null_points_capped",
     "chain_edge_stats",
     "bundle_scores",
     "dynamics_core",
@@ -181,33 +180,6 @@ def null_points_sparse(
     j_best = g.idx[rows, slot]
     flag = (r_best > 0) & (z_best > z_th)
     return flag, j_best, z_best, r_best
-
-
-def null_points_capped(
-    g: Graph, Ustar: jax.Array, lamC: jax.Array, z_th: float, cap: int
-):
-    """`null_points_sparse` with ON-DEVICE top-z capping.
-
-    At large N nearly every row crosses z_th (z scales with sqrt(N) under
-    the reference's dense-row moments), so fetching four [N] diagnostic
-    arrays and building N dicts dominates the receipt through a
-    network-attached device (measured: the 1M receipt's tail).  With a cap,
-    the top-`cap` rows by z are selected device-side and only [cap] arrays
-    cross to the host.  Returns (n_flagged, i[cap], j[cap], z[cap], r[cap],
-    valid[cap]) — rows ordered by descending z, `valid` false on padding
-    when fewer than `cap` rows flag."""
-    flag, j_best, z_best, r_best = null_points_sparse(g, Ustar, lamC, z_th)
-    n_flagged = jnp.sum(flag.astype(jnp.int32))
-    score = jnp.where(flag, z_best, -jnp.inf)
-    top_z, top_i = jax.lax.top_k(score, cap)
-    return (
-        n_flagged,
-        top_i.astype(jnp.int32),
-        j_best[top_i],
-        top_z,
-        r_best[top_i],
-        jnp.isfinite(top_z),
-    )
 
 
 def _edge_weight_lookup(g: Graph, i: jax.Array, j: jax.Array) -> jax.Array:

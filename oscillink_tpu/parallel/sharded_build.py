@@ -50,6 +50,11 @@ def build_graph_sharded(
 
     n = Y.shape[0]
     similarity = resolve_similarity(n, similarity)
+    if similarity == "cluster":
+        raise ValueError(
+            "similarity='cluster' (IVF) is single-device only; callers must "
+            "realize it as 'fast' before the sharded build (sharded_path.py)"
+        )
     n_dev = mesh.devices.size
     if n % n_dev != 0:
         raise ValueError(f"N={n} must divide mesh size {n_dev}")

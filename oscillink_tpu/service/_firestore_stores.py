@@ -96,47 +96,57 @@ class FirestoreMonthlyPersistence:
         except Exception:
             return None
 
-    def save(self, api_key: str, period: str, used: int) -> None:
-        """Persist the new `used` total; transaction first, blind set fallback."""
+    def add(self, api_key: str, period: str, units: int) -> Optional[int]:
+        """Transactionally INCREMENT the stored `used` by ``units`` and
+        return the new global total (authoritative across replicas), or
+        None on failure.  Incrementing — not writing the caller's local
+        total — is what makes concurrent replicas compose instead of
+        last-write-wins clobbering each other's counters."""
         try:
             from google.cloud import firestore  # type: ignore
 
             ref = self._ref(api_key, period)
 
             @firestore.transactional
-            def _tx_update(tx, ref):  # type: ignore
+            def _tx_add(tx, ref):  # type: ignore
                 snap = ref.get(transaction=tx)
-                if getattr(snap, "exists", False):
-                    data = snap.to_dict() or {}
-                    data["used"] = used
-                    data["updated_at"] = time.time()
-                    tx.set(ref, data, merge=False)
-                else:
-                    tx.set(
-                        ref,
-                        {
-                            "api_key": api_key,
-                            "period": period,
-                            "used": used,
-                            "created_at": time.time(),
-                            "updated_at": time.time(),
-                        },
-                    )
-
-            try:
-                _tx_update(self._cl.transaction(), ref)
-            except Exception:
-                ref.set(
+                stored = (
+                    int((snap.to_dict() or {}).get("used", 0))
+                    if getattr(snap, "exists", False)
+                    else 0
+                )
+                new_total = stored + int(units)
+                tx.set(
+                    ref,
                     {
                         "api_key": api_key,
                         "period": period,
-                        "used": used,
+                        "used": new_total,
                         "updated_at": time.time(),
                     },
                     merge=True,
                 )
+                return new_total
+
+            try:
+                return _tx_add(self._cl.transaction(), ref)
+            except Exception:
+                # degraded fallback: read + merge-set (racy only when the
+                # transaction machinery itself is unavailable)
+                stored = self.load(api_key, period) or 0
+                new_total = int(stored) + int(units)
+                ref.set(
+                    {
+                        "api_key": api_key,
+                        "period": period,
+                        "used": new_total,
+                        "updated_at": time.time(),
+                    },
+                    merge=True,
+                )
+                return new_total
         except Exception:
-            pass  # best-effort: in-process record stays authoritative
+            return None  # best-effort: in-process record stays authoritative
 
 
 class FirestoreEventStore:

@@ -178,7 +178,11 @@ class MonthlyUsage:
             )
         rec["used"] = used + units
         if self.persistence is not None:
-            self.persistence.save(key, period, int(rec["used"]))
+            # transactional cross-replica increment; adopt the global total
+            # when another replica has consumed more than we have seen
+            total = self.persistence.add(key, period, units)
+            if total is not None and int(total) > int(rec["used"]):
+                rec["used"] = int(total)
         return {
             "limit": cap,
             "used": int(rec["used"]),

@@ -77,6 +77,8 @@ def request_state_sig(sreq, eff_params: dict, Y: np.ndarray) -> tuple[str, int]:
     from ..ops.graph import resolve_similarity
 
     similarity = resolve_similarity(n, getattr(sreq.params, "similarity", "exact"))
+    if similarity == "cluster":
+        similarity = "fast"  # IVF is single-device; realized mode keys the sig
     y_hash = OscillinkLattice._hash_anchors(Y)
     token = compute_graph_token(
         y_hash, k_eff, 1.0, bool(sreq.params.deterministic_k), sreq.params.neighbor_seed
@@ -135,6 +137,11 @@ def sharded_settle(
     from ..ops.graph import resolve_similarity
 
     similarity = resolve_similarity(n, getattr(sreq.params, "similarity", "exact"))
+    if similarity == "cluster":
+        # the sharded tiers have no IVF path yet — realize as the fast scan
+        # (and hash THAT into the signature so sharded and single-device
+        # cluster requests, whose graphs differ, never share cache keys)
+        similarity = "fast"
 
     want_receipt = (
         sreq.options.include_receipt if include_receipt is None else include_receipt

@@ -85,7 +85,7 @@ class WebhookProcessor:
                     self._events[event_id] = rec
                     return rec
                 except Exception:
-                    return None
+                    pass  # corrupt Redis payload: fall through to Firestore
         if self._fs_events is not None:
             rec = self._fs_events.get(event_id)
             if rec is not None:

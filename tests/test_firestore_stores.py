@@ -195,8 +195,8 @@ def test_monthly_usage_survives_restart(fake_firestore, monkeypatch):
 
 
 def test_monthly_persistence_blind_set_fallback(fake_firestore, monkeypatch):
-    """When the transaction path raises, the blind merge-set fallback still
-    lands the write (reference main.py:233-242)."""
+    """When the transaction path raises, the read+merge-set fallback still
+    lands the increment (reference main.py:233-242)."""
     monkeypatch.setenv("OSCILLINK_MONTHLY_USAGE_COLLECTION", "oscillink_monthly")
     from oscillink_tpu.service._firestore_stores import FirestoreMonthlyPersistence
 
@@ -206,8 +206,33 @@ def test_monthly_persistence_blind_set_fallback(fake_firestore, monkeypatch):
         raise RuntimeError("tx unavailable")
 
     monkeypatch.setattr(_Client, "transaction", boom)
-    p.save("k", "2026-08", 42)
+    assert p.add("k", "2026-08", 42) == 42
     assert p.load("k", "2026-08") == 42
+
+
+def test_monthly_concurrent_replicas_compose(fake_firestore, monkeypatch):
+    """Two replicas consuming concurrently must ACCUMULATE in Firestore —
+    the transactional add increments the stored total instead of writing
+    each replica's local view (last-write-wins would let caps be bypassed
+    cap x replicas times)."""
+    monkeypatch.setenv("OSCILLINK_MONTHLY_USAGE_COLLECTION", "oscillink_monthly")
+    monkeypatch.setenv("OSCILLINK_MONTHLY_CAP", "100")
+    from oscillink_tpu.service.governance import ApiError, MonthlyUsage
+    from oscillink_tpu.service.keystore import InMemoryKeyStore
+
+    ks = InMemoryKeyStore()
+    ks.update("k", create=True, tier="free", status="active")
+
+    # both replicas seed at 0 (fresh period), then consume interleaved
+    m1, m2 = MonthlyUsage(), MonthlyUsage()
+    out1 = m1.check_and_consume("k", 60, ks)
+    assert out1["used"] == 60
+    out2 = m2.check_and_consume("k", 30, ks)
+    # replica 2 adopts the GLOBAL total (60 + 30), not its local 30
+    assert out2["used"] == 90
+    with pytest.raises(ApiError) as exc:
+        m2.check_and_consume("k", 20, ks)
+    assert exc.value.status == 429
 
 
 # -- webhook event store -----------------------------------------------------
