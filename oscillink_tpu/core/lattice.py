@@ -98,6 +98,20 @@ def _jit_settle(g, pg, U, Y, psi, B, lam, opts, x0, use_jacobi):
     return U_plus, iters, res
 
 
+@partial(jax.jit, static_argnames=("use_jacobi",), donate_argnums=(2,))
+def _jit_settle_donated(g, pg, U, Y, psi, B, lam, opts, x0, use_jacobi):
+    """Full-width settle that donates U — the pre-settle state is consumed
+    into the CG start vector, freeing one [N, D] block at the 1M single-chip
+    HBM margin (pass ``x0=None`` to start from the donated U; a non-None x0
+    must be a DISTINCT buffer).  Only routed on TPU at large N: buffer
+    donation is a no-op warning on the CPU backend."""
+    dt, tol, max_iters = opts[0], opts[1], opts[2].astype(jnp.int32)
+    return settle_step(
+        g, pg, U, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters, x0=x0,
+        use_jacobi=use_jacobi,
+    )
+
+
 @jax.jit
 def _jit_solve_ustar(g, pg, Y, psi, B, lam, opts):
     tol, max_iters = opts[0], opts[1].astype(jnp.int32)
@@ -949,6 +963,19 @@ class OscillinkLattice:
         # second [N, D] buffer matters at the 1M single-chip margin
         U_prev = self._U_dev if _env_flag("OSCILLINK_RECEIPT_DYNAMICS") else None
         x0 = self._choose_start_x0(warm_start=warm_start, inertia=inertia)
+        # U's buffer can be consumed by the solve when nothing else holds it:
+        # dynamics retains the pre-settle U, and on a fresh lattice U still
+        # aliases Y (donating would delete the anchors, lattice.py:437)
+        donate_ok = U_prev is None and self._U_dev is not self._Y_dev
+        # resident full-width blocks during the gather-path solve: Y, plus U
+        # when it is a distinct buffer.  Donation does NOT lower the count:
+        # the probe-measured 1M settle_c4 with donate_u=True still
+        # ResourceExhausted'd (probe_chunked_1m — per-chunk slice copies and
+        # un-donated transients eat the reused block), so the empirical
+        # model keys on buffer distinctness alone.
+        gather_cc = self._auto_col_chunks_gather(
+            1 + (0 if self._U_dev is self._Y_dev else 1)
+        )
         t0 = time.perf_counter()
         if (
             self._window_ctx is not None
@@ -984,9 +1011,9 @@ class OscillinkLattice:
                 x0,
                 precond == "jacobi",
             )
-        elif self._auto_col_chunks() > 1:
-            # large-N settle: full-width CG state + gather temps exceed HBM
-            # (observed OOM at N=500k, D=768); chunk the embedding columns
+        elif gather_cc > 1:
+            # large-N settle: even the 4-block low-memory CG state exceeds
+            # HBM at this (N, resident) point; chunk the embedding columns
             from ..models.coherence import settle_step_chunked
 
             U_plus, iters, res = settle_step_chunked(
@@ -1002,14 +1029,31 @@ class OscillinkLattice:
                 max_iters=jnp.int32(max_iters),
                 x0=x0,
                 use_jacobi=precond == "jacobi",
-                col_chunks=self._auto_col_chunks(),
+                col_chunks=gather_cc,
                 # U is replaced by the result below; reusing its buffer as
                 # the accumulator saves one full-width block at the 1M HBM
-                # margin.  Unsafe when dynamics retains the pre-settle U or
-                # when U still aliases Y (the fresh-lattice state,
-                # lattice.py:332) — donating would delete the anchors.
-                donate_u=U_prev is None and self._U_dev is not self._Y_dev,
+                # margin (safety conditions above).
+                donate_u=donate_ok,
             )
+        elif donate_ok and self.N * self.D * 4 >= 1_000_000_000:
+            # large-N full-width settle: consuming U's buffer into the CG
+            # start vector is what fits the 4-block state at the 1M margin
+            # (TPU-only routing — donation is a no-op warning on CPU)
+            U_plus, iters, res = _jit_settle_donated(
+                self._graph,
+                self._path,
+                self._U_dev,
+                self._Y_dev,
+                self._psi_dev,
+                self._B_dev,
+                self._lam(),
+                self._opts(dt, tol, max_iters),
+                # the warm start IS the donated buffer; pass None so
+                # settle_step starts from its (donated) U argument
+                None if x0 is self._U_dev else x0,
+                precond == "jacobi",
+            )
+            self._U_dev = U_plus  # the old buffer is gone; rebind eagerly
         else:
             U_plus, iters, res = _jit_settle(
                 self._graph,
@@ -1065,6 +1109,11 @@ class OscillinkLattice:
 
         t0 = time.perf_counter()
         col_chunks = self._auto_col_chunks()
+        # gather-path solve: Y resident, plus U when it is a distinct buffer
+        # (the fresh-lattice U aliases Y and costs nothing)
+        gather_cc = self._auto_col_chunks_gather(
+            1 + (1 if self._U_dev is not self._Y_dev else 0)
+        )
         if col_chunks > 1 and self._window_ctx is not None and self._path is None:
             # large-N windowed solve: no [N, K, D_c] gather temp, so the
             # column chunking only has to cover the CG state blocks
@@ -1081,7 +1130,9 @@ class OscillinkLattice:
                 col_chunks=col_chunks,
             )
             converged = res <= tol
-        elif col_chunks > 1:
+        elif gather_cc > 1 and (self._window_ctx is None or self._path is not None):
+            # chains always solve on the gather path (the windowed kernel has
+            # no L_path term), so the chained+windowed case lands here too
             from ..models.coherence import solve_stationary_chunked
 
             Ustar, iters, res = solve_stationary_chunked(
@@ -1093,7 +1144,7 @@ class OscillinkLattice:
                 self._lam(),
                 tol=self._opts(tol)[0],
                 max_iters=jnp.int32(max_iters),
-                col_chunks=col_chunks,
+                col_chunks=gather_cc,
             )
             converged = res <= tol
         elif self._window_ctx is not None and self._path is None:
@@ -1878,6 +1929,64 @@ class OscillinkLattice:
         budget = max(2.0, 14.0 - 3 * block_gb)
         for c in (1, 2, 4, 8, 16):
             if self.D % c == 0 and block_gb * 8 / c <= budget:
+                return c
+        return 16 if self.D % 16 == 0 else (8 if self.D % 8 == 0 else 1)
+
+    def _auto_col_chunks_gather(self, resident_blocks: int) -> int:
+        """Column-chunk count for the XLA-gather settle / U* solves.
+
+        Tighter than `_auto_col_chunks` (which models the pre-round-3 solver
+        and still governs the windowed solves and receipts): with the
+        row-blocked k-loop matvec (ops/graph.py lap_matvec, ~0.4 GB bounded
+        gather temps) and the fused low-memory CG (ops/solver.py
+        cg_solve_lowmem) the solve working set is 5 row-blocks — x, r, p,
+        Ap, and the solution OUTPUT, which stays un-aliased: input->output
+        donation is NOT honored through the axon remote-compile backend
+        (benchmarks/probe_alias_1m.py: the 4-block program runs with a
+        scalar output, 1111.6 ms/5 iters at 1M, and is compile-rejected the
+        moment the full [N, D] solution is returned — donated or not).
+        Chunked solves additionally hold the accumulator and the per-chunk
+        input slice.  The 12.5 ceiling is EMPIRICAL — it reproduces all
+        five 16 GB-chip observations (est by this formula -> outcome):
+        500k full-width 9.7/11.3 ran (486/576 ms, probe_lowmem3); 1M c=4
+        resident-1 11.3 ran (2565 ms); 1M c=4 resident-2 14.4 and 1M c=2
+        15.9 compile-rejected (probe_chunked_1m) — the compiler reserves
+        ~3 GB beyond the raw buffer arithmetic (carry double-buffering).
+
+        ``resident_blocks`` counts the caller's live full-width [N, D]
+        buffers during the solve (Y, plus U when distinct).
+        """
+        raw = os.getenv("OSCILLINK_COL_CHUNKS", "").strip()
+        if raw:
+            try:
+                forced = int(raw)
+                if forced > 1 and self.D % forced == 0:
+                    return forced
+                return 1
+            except ValueError:
+                return 1
+        block_gb = self.N * self.D * 4 / 1e9
+        graph_gb = 3 * self.N * self._kneighbors * 4 / 1e9
+        for c in (1, 2, 4, 8, 16):
+            if self.D % c != 0:
+                continue
+            if c == 1:
+                # x, r, p, Ap + un-aliased output
+                working = 5 * block_gb
+                extra = 0.0
+            else:
+                # per-chunk x, r, p, Ap, output + input slice; plus the
+                # full-width accumulator
+                working = 6 * block_gb / c
+                extra = block_gb
+            est = (
+                resident_blocks * block_gb
+                + extra
+                + working
+                + 0.45  # bounded k-loop gather temps + scalar state
+                + graph_gb
+            )
+            if est <= 12.5:
                 return c
         return 16 if self.D % 16 == 0 else (8 if self.D % 8 == 0 else 1)
 

@@ -29,7 +29,16 @@ from jax import lax
 
 from ..ops.graph import Graph, lap_matvec
 from ..ops.path import PathGraph, path_lap_matvec
-from ..ops.solver import cg_solve
+from ..ops.solver import LOWMEM_SOLVE_BYTES, cg_solve, cg_solve_lowmem
+
+
+def _pick_cg(b: jax.Array):
+    """Shape-gated solver choice: the fused low-memory CG above ~1 GB
+    b-blocks (4 live [N, D] blocks vs the classic form's 5-6 — the
+    difference between running and ResourceExhausted at 1M x 768 on one
+    v5e), the classic form below (identical there; keeps small-N programs
+    byte-for-byte unchanged)."""
+    return cg_solve_lowmem if b.size * b.dtype.itemsize > LOWMEM_SOLVE_BYTES else cg_solve
 
 __all__ = [
     "EnergyParams",
@@ -89,7 +98,9 @@ def solve_stationary(
     def M_mul(X):
         return stationary_matvec(g, pg, lam, B, X)
 
-    return cg_solve(M_mul, rhs, x0=Y if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
+    return _pick_cg(rhs)(
+        M_mul, rhs, x0=Y if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
 
 
 _solve_stationary_chunk = jax.jit(solve_stationary)
@@ -206,7 +217,9 @@ def settle_step(
             diag_base = diag_base + lam.lamP
         M_diag = 1.0 + dt * diag_base
 
-    return cg_solve(A_mul, rhs, x0=U if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters)
+    return _pick_cg(rhs)(
+        A_mul, rhs, x0=U if x0 is None else x0, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
 
 
 _settle_step_chunk = jax.jit(settle_step, static_argnames=("use_jacobi",))

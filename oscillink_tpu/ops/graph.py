@@ -288,6 +288,38 @@ def graph_from_topk(
     return Graph(idx=idx, w=w, wn=wn, sqrt_deg=sqrt_deg)
 
 
+# Unrolled-gather temp budget: K live [N, D_c] gather temps above this spill
+# the large-N solves (observed: 8 x [500k, 768] f32 = 11.4 GB killed the
+# full-width settle at N=500k).
+_UNROLL_TEMP_BYTES = 8_000_000_000
+# Above this row count the row-blocked regime engages regardless of width:
+# the column-chunked 500k-1M solves call this matvec with narrow X blocks
+# whose unrolled temps (8 x [1M, 192] = 6.1 GB at col_chunks=4) still blow
+# the chunk memory budget, and at these N the row-fetch engine is
+# latency-bound so blocking the rows costs nothing (155-157 ms/apply across
+# the whole rb sweep at 1M).
+_KLOOP_MIN_ROWS = 325_000
+# Row-blocked regime: bound the K in-flight gather temps to ~384 MB
+# (K * RB * D * 4).  Solves at the 1M single-chip HBM margin need the temps
+# small; the block-size sweep at 1M x 768 x k8 measured 155-157 ms/apply for
+# rb in {15625, 31250, 62500} (vs 176 ms pair-sequenced), so within the
+# fits-in-HBM range the choice is flat and the smallest footprint wins.
+_KLOOP_TEMP_BYTES = 384_000_000
+
+
+def _kloop_block_rows(n: int, d: int, k: int) -> int:
+    import os
+
+    raw = os.getenv("OSCILLINK_MATVEC_RB", "").strip()
+    if raw:
+        try:
+            return max(8, min(n, int(raw)))
+        except ValueError:
+            pass
+    rb = _KLOOP_TEMP_BYTES // (k * d * 4)
+    return min(n, max(1024, (rb // 8) * 8))
+
+
 def lap_matvec(g: Graph, X: jax.Array) -> jax.Array:
     """Normalized-Laplacian matvec: (L_sym X)[i] = X[i] - sum_a wn[i,a] X[idx[i,a]].
 
@@ -299,35 +331,44 @@ def lap_matvec(g: Graph, X: jax.Array) -> jax.Array:
     #   * unrolled (small/medium N): XLA overlaps the K independent gathers
     #     — measured 12.7 ms/apply at N=100k, D=768, k=8 vs 20.9 ms fully
     #     sequenced — at the cost of K live [N, D] temps;
-    #   * pair-sequenced (large N): the unrolled form's K temps OOM HBM
-    #     (observed: 8 live [500k, 768] temps = 11.4 GB killed the
-    #     full-width settle at N=500k), so a fori_loop over PAIRS keeps two
-    #     gathers in flight (17.3 ms/apply at 100k — most of the overlap)
-    #     with the temp footprint capped at ~2 [N, D] blocks.
+    #   * row-blocked k-loop (large N): a fori_loop over row blocks, the K
+    #     gathers unrolled (and overlapping) WITHIN each block, so the temp
+    #     footprint is K [RB, D] blocks (~768 MB) instead of K [N, D].
+    #     Measured at 1M x 768 x k8 on v5e: 141-156 ms/apply vs 176 ms for
+    #     the previous pair-sequenced full-width form (and 86 -> 70 ms at
+    #     500k) — the row-fetch engine is latency-bound, so slicing the rows
+    #     costs nothing while freeing ~5 GB of HBM at 1M
+    #     (benchmarks/probe_lowmem.py).
     #
     # Accumulation order matches the reference a=0..K-1 subtracts in both.
+    n, d = X.shape
     k_max = g.k_max
-    temp_bytes = k_max * X.shape[0] * X.shape[1] * 4
-    if temp_bytes <= 8_000_000_000 or k_max % 2 != 0:
+    temp_bytes = k_max * n * d * 4
+    if n <= _KLOOP_MIN_ROWS and temp_bytes <= _UNROLL_TEMP_BYTES:
         acc = X
         for a in range(k_max):
             nbr = jnp.take(X, g.idx[:, a], axis=0)
             acc = acc - g.wn[:, a][:, None] * nbr
         return acc
 
-    def body(j, acc):
-        a = 2 * j
-        i0 = lax.dynamic_index_in_dim(g.idx, a, 1, keepdims=False)
-        i1 = lax.dynamic_index_in_dim(g.idx, a + 1, 1, keepdims=False)
-        w0 = lax.dynamic_index_in_dim(g.wn, a, 1, keepdims=False)
-        w1 = lax.dynamic_index_in_dim(g.wn, a + 1, 1, keepdims=False)
-        return (
-            acc
-            - w0[:, None] * jnp.take(X, i0, axis=0)
-            - w1[:, None] * jnp.take(X, i1, axis=0)
-        )
+    rb = _kloop_block_rows(n, d, k_max)
+    nb = -(-n // rb)
+    idx, wn = g.idx, g.wn
 
-    return lax.fori_loop(0, k_max // 2, body, X)
+    def body(b, out):
+        # When the final block overhangs N, every dynamic_slice /
+        # dynamic_update_slice below clamps the start to N - rb IDENTICALLY,
+        # so the overhang rows are simply recomputed with the same values —
+        # correct because each block reads only X (the input), never `out`.
+        r0 = b * rb
+        acc = lax.dynamic_slice(X, (r0, 0), (rb, d))
+        for a in range(k_max):
+            i_a = lax.dynamic_slice(idx, (r0, a), (rb, 1))[:, 0]
+            w_a = lax.dynamic_slice(wn, (r0, a), (rb, 1))[:, 0]
+            acc = acc - w_a[:, None] * jnp.take(X, i_a, axis=0)
+        return lax.dynamic_update_slice(out, acc, (r0, 0))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros_like(X))
 
 
 def mmr_select(

@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cg_solve"]
+__all__ = ["cg_solve", "cg_solve_lowmem", "LOWMEM_SOLVE_BYTES"]
+
+# Above this b-block size the coherence solves route to cg_solve_lowmem
+# (models/coherence.py): at N=1M x 768 the classic form's live set
+# (x, r, p, z, Ap — 5-6 [N, D] blocks) exceeds the 16 GB chip and
+# ResourceExhausted's, while the fused form's 4 blocks fit
+# (benchmarks/probe_lowmem3.py).
+LOWMEM_SOLVE_BYTES = 1_000_000_000
 
 
 def cg_solve(
@@ -76,6 +83,73 @@ def cg_solve(
         rz_new = jnp.sum(r * z, axis=0)
         beta = rz_new / (rz + 1e-18)
         p = z + p * beta
+        return (x, r, p, rz_new, it + 1, res)
+
+    init = (x, r, p, rz, jnp.int32(0), jnp.float32(jnp.inf))
+    x, _, _, _, iters, res = lax.while_loop(cond_fn, body_fn, init)
+    if b.ndim == 1:
+        x = x[:, 0]
+    return x, iters, res
+
+
+def cg_solve_lowmem(
+    A_mul: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    M_diag: Optional[jax.Array] = None,
+    tol: float | jax.Array = 1e-3,
+    max_iters: int | jax.Array = 100,
+):
+    """`cg_solve` with the minimum large-N live set: 4 [N, D] blocks.
+
+    Same contract and float-identical update expressions as `cg_solve` —
+    the preconditioned residual z = r * inv_M is just never a named value:
+    the Jacobi multiply is written inline in the rz reduction
+    (sum(r * (r * inv_M))) and the p update (r * inv_M + p * beta), so XLA
+    fuses it into both consumers instead of materializing a fifth/sixth
+    [N, D] block.  At N=1M, D=768 on one v5e the classic form
+    ResourceExhausted's while this one runs (probe_lowmem3 vs probe_lowmem2
+    cg5 — the probe this shape was validated by).  Use for b-blocks above
+    `LOWMEM_SOLVE_BYTES`; below that the classic form is identical in both
+    time and fit.
+    """
+    b2 = b[:, None] if b.ndim == 1 else b
+    x = jnp.zeros_like(b2) if x0 is None else x0.reshape(b2.shape).astype(b2.dtype)
+
+    if M_diag is not None:
+        inv_M = 1.0 / (M_diag[:, None] + 1e-12)
+    else:
+        inv_M = None
+
+    def _rz(r):
+        return jnp.sum(r * (r * inv_M) if inv_M is not None else r * r, axis=0)
+
+    def _p_from(r, p, beta):
+        z = r * inv_M if inv_M is not None else r
+        return z + p * beta
+
+    tol = jnp.asarray(tol, dtype=jnp.float32)
+    max_iters = jnp.asarray(max_iters, dtype=jnp.int32)
+
+    r = b2 - A_mul(x)
+    rz = _rz(r)
+    p = r * inv_M if inv_M is not None else r
+
+    def cond_fn(carry):
+        _, _, _, _, it, res = carry
+        return (it == 0) | ((it < max_iters) & (res > tol))
+
+    def body_fn(carry):
+        x, r, p, rz, it, _ = carry
+        Ap = A_mul(p)
+        denom = jnp.sum(p * Ap, axis=0) + 1e-18
+        alpha = rz / denom
+        x = x + p * alpha
+        r = r - Ap * alpha
+        res = jnp.max(jnp.linalg.norm(r, axis=0))
+        rz_new = _rz(r)
+        beta = rz_new / (rz + 1e-18)
+        p = _p_from(r, p, beta)
         return (x, r, p, rz_new, it + 1, res)
 
     init = (x, r, p, rz, jnp.int32(0), jnp.float32(jnp.inf))
