@@ -15,6 +15,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CONFIGS = ["settle_c8_distinct", "settle_c4_aliased"]
 OUT = "benchmarks/probe_settle8_1m.json"
 

@@ -967,15 +967,13 @@ class OscillinkLattice:
         # dynamics retains the pre-settle U, and on a fresh lattice U still
         # aliases Y (donating would delete the anchors, lattice.py:437)
         donate_ok = U_prev is None and self._U_dev is not self._Y_dev
-        # resident full-width blocks during the gather-path solve: Y, plus U
-        # when it is a distinct buffer.  Donation does NOT lower the count:
-        # the probe-measured 1M settle_c4 with donate_u=True still
-        # ResourceExhausted'd (probe_chunked_1m — per-chunk slice copies and
-        # un-donated transients eat the reused block), so the empirical
-        # model keys on buffer distinctness alone.
-        gather_cc = self._auto_col_chunks_gather(
-            1 + (0 if self._U_dev is self._Y_dev else 1)
-        )
+        # The settle is always modeled at TWO resident blocks: its chunk
+        # program carries one more live slice than the stationary solve
+        # (U chunk + Y chunk + rhs), and the chip agrees — at 1M the c=4
+        # settle ResourceExhausted's in EVERY variant (donated distinct-U,
+        # probe_chunked_1m; U-aliasing-Y, probe_settle8_1m) while c=8 runs
+        # at 2885.5 ms and the ustar c=4 (one fewer slice) runs fine.
+        gather_cc = self._auto_col_chunks_gather(2)
         t0 = time.perf_counter()
         if (
             self._window_ctx is not None
@@ -1946,12 +1944,17 @@ class OscillinkLattice:
         scalar output, 1111.6 ms/5 iters at 1M, and is compile-rejected the
         moment the full [N, D] solution is returned — donated or not).
         Chunked solves additionally hold the accumulator and the per-chunk
-        input slice.  The 12.5 ceiling is EMPIRICAL — it reproduces all
-        five 16 GB-chip observations (est by this formula -> outcome):
-        500k full-width 9.7/11.3 ran (486/576 ms, probe_lowmem3); 1M c=4
-        resident-1 11.3 ran (2565 ms); 1M c=4 resident-2 14.4 and 1M c=2
-        15.9 compile-rejected (probe_chunked_1m) — the compiler reserves
-        ~3 GB beyond the raw buffer arithmetic (carry double-buffering).
+        input slice.  The 12.5 ceiling is EMPIRICAL — it reproduces the
+        16 GB-chip observations (est by this formula -> outcome):
+        500k full-width 9.7/11.3 ran (486/576 ms, probe_lowmem3); 1M U*
+        c=4 resident-1 11.3 ran (2565 ms); 1M c=4 resident-2 14.4 and 1M
+        c=2 15.9 compile-rejected (probe_chunked_1m); 1M settle c=8
+        resident-2 12.07 ran (2885 ms, probe_settle8_1m) — the compiler
+        reserves ~3 GB beyond the raw buffer arithmetic (carry
+        double-buffering).  The settle caller always passes
+        ``resident_blocks=2``: its chunk program holds one extra live
+        slice, and the 1M settle c=4 fails in every variant (donated or
+        U-aliasing-Y) while the one-fewer-slice U* c=4 runs.
 
         ``resident_blocks`` counts the caller's live full-width [N, D]
         buffers during the solve (Y, plus U when distinct).

@@ -48,10 +48,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rank_in_cluster(cur: jax.Array, sim: jax.Array, C: int, n: int):
+    """Rank rows within their assigned cluster by DESCENDING centroid
+    similarity: returns (order, a_sorted, pos) where ``order`` permutes rows
+    into cluster-grouped blocks, ``a_sorted = cur[order]``, and ``pos`` is
+    the 0-based rank within the cluster.  Two stable argsorts implement the
+    (cluster asc, sim desc) lexsort without wide composite keys; ranking by
+    centrality (not arrival order) means a capacity cap always keeps the
+    most central members."""
+    o1 = jnp.argsort(-sim)  # stable: desc-sim order
+    o2 = jnp.argsort(cur[o1])  # stable: groups clusters, preserves sim order
+    order = o1[o2]
+    a_sorted = cur[order]
+    start = jnp.searchsorted(a_sorted, jnp.arange(C, dtype=a_sorted.dtype), side="left")
+    pos = jnp.arange(n, dtype=jnp.int32) - start[a_sorted].astype(jnp.int32)
+    return order, a_sorted, pos
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "n_clusters", "bucket_cap", "m_probe", "kmeans_iters",
-                     "overscan", "patch_cap"),
+                     "overscan", "patch_cap", "balance_rounds", "balance_cands"),
 )
 def ivf_topk(
     Y: jax.Array,
@@ -63,6 +80,8 @@ def ivf_topk(
     kmeans_iters: int = 6,
     overscan: int = 4,
     patch_cap: int = 2048,
+    balance_rounds: int = 3,
+    balance_cands: int = 4,
 ):
     """Per-row approximate top-k via clustered probing.
 
@@ -73,6 +92,16 @@ def ivf_topk(
     dense scan (a [cap, N] matmul — trivial FLOPs for hundreds of rows), so
     k-means imbalance does not leave rows without neighbors; only overflow
     beyond the cap requires the caller to fall back.
+
+    ``balance_rounds`` > 0 enables capacity-constrained spillover
+    assignment: per row the ``balance_cands`` nearest centroids are kept,
+    and rows past a cluster's capacity (ranked by centroid similarity, so
+    the most central stay) advance to their next-nearest candidate for the
+    following round.  This HARD-bounds bucket occupancy regardless of
+    k-means merge imbalance — the mechanism the measured-negative
+    penalty-based balancing and split-reseeding could not provide (a merged
+    cell's rows keep argmaxing to the merged centroid; here they are forced
+    to the 2nd..Rth candidate).  Cost: 2 stable argsorts over N per round.
     """
     n, d = Y.shape
     C, P, m = n_clusters, bucket_cap, m_probe
@@ -97,13 +126,30 @@ def ivf_topk(
 
     cent = lax.fori_loop(0, kmeans_iters, lloyd, cent)
     A = jnp.dot(Yb, cent.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32)
-    assign = jnp.argmax(A, axis=1).astype(jnp.int32)  # [N]
+    if balance_rounds > 0:
+        # capacity-constrained spillover: rows past a full cluster's cap
+        # (least-central first) advance to their next-nearest candidate
+        R = max(2, balance_cands)
+        cvals, cidx = lax.top_k(A, R)  # [N, R]
+
+        def bal(_, ptr):
+            cur = jnp.take_along_axis(cidx, ptr[:, None], axis=1)[:, 0]
+            sim = jnp.take_along_axis(cvals, ptr[:, None], axis=1)[:, 0]
+            order_r, _, pos_r = _rank_in_cluster(cur, sim, C, n)
+            over = jnp.zeros((n,), bool).at[order_r].set(pos_r >= P)
+            return jnp.where(over & (ptr < R - 1), ptr + 1, ptr)
+
+        ptr = lax.fori_loop(0, balance_rounds, bal, jnp.zeros((n,), jnp.int32))
+        assign = jnp.take_along_axis(cidx, ptr[:, None], axis=1)[:, 0].astype(jnp.int32)
+        a_sim = jnp.take_along_axis(cvals, ptr[:, None], axis=1)[:, 0]
+    else:
+        assign = jnp.argmax(A, axis=1).astype(jnp.int32)  # [N]
+        a_sim = jnp.max(A, axis=1)
 
     # ---- bucketize: padded [C, P] membership table -------------------------
-    order = jnp.argsort(assign, stable=True)  # row ids grouped by cluster
-    a_sorted = assign[order]
-    start = jnp.searchsorted(a_sorted, jnp.arange(C, dtype=jnp.int32), side="left")
-    pos = jnp.arange(n, dtype=jnp.int32) - start[a_sorted]  # rank within cluster
+    # centrality-ranked (not arrival-ranked): a capped bucket keeps its most
+    # central members, consistent with the balancing rounds' ranking
+    order, a_sorted, pos = _rank_in_cluster(assign, a_sim, C, n)
     in_cap = pos < P
     overflow = jnp.sum(~in_cap)
     bucket = jnp.full((C, P), -1, jnp.int32)
@@ -239,6 +285,8 @@ def build_graph_ivf(
     min_recall: float = 0.9,
     max_sim_gap: float = 0.01,
     patch_cap: int = 2048,
+    balance_rounds: int = 3,
+    balance_cands: int = 4,
 ) -> tuple[Graph, dict]:
     """Clustered approximate graph build with dense-fast-scan fallback.
 
@@ -261,6 +309,7 @@ def build_graph_ivf(
     vals, idx, overflow, filled = ivf_topk(
         Y, k, n_clusters=n_clusters, bucket_cap=P, m_probe=m_probe,
         kmeans_iters=kmeans_iters, overscan=overscan, patch_cap=patch_cap,
+        balance_rounds=balance_rounds, balance_cands=balance_cands,
     )
     recall_est, gap_p99 = _sample_quality(Y, vals, idx, k)
     ovf, rec, gap = (
@@ -285,6 +334,7 @@ def build_graph_ivf(
         "bucket_cap": P,
         "m_probe": m_probe,
         "overscan": overscan,
+        "balance_rounds": balance_rounds,
         "overflow_patched": ovf,
         "recall_estimate": rec,
         "sim_gap_p99": gap,

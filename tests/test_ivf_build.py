@@ -125,3 +125,33 @@ def test_overflow_rows_get_patched_neighbors():
     assert recall > 0.7, recall
     # and no row is left with an empty neighbor list
     assert (np.asarray(vals).max(axis=1) > 0).all()
+
+
+def test_balanced_assignment_bounds_overflow():
+    """Capacity-constrained spillover: on skewed data (one dominant mode)
+    plain argmax assignment overflows the dominant bucket; the balancing
+    rounds hard-bound occupancy by spilling least-central rows to their
+    next-nearest clusters, and patched/bucketed rows keep real neighbors."""
+    rng = np.random.default_rng(11)
+    d = 32
+    # one dominant mode (1024 rows) + 7 small modes (128 rows each)
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+    parts = [centers[0] + 0.5 * rng.standard_normal((1024, d)).astype(np.float32)]
+    for c in centers[1:]:
+        parts.append(c + 0.5 * rng.standard_normal((128, d)).astype(np.float32))
+    Y = jnp.asarray(np.concatenate(parts))
+    n, k = Y.shape[0], 6
+
+    _, _, ovf0, _ = ivf_topk(
+        Y, k, n_clusters=8, bucket_cap=256, m_probe=4, balance_rounds=0
+    )
+    vals, idx, ovf3, filled = ivf_topk(
+        Y, k, n_clusters=8, bucket_cap=256, m_probe=4, balance_rounds=3
+    )
+    assert int(ovf0) >= 512  # dominant bucket overflows without balancing
+    assert int(ovf3) <= int(ovf0) // 4  # spillover absorbs the bulk
+    assert bool(filled.all())
+    exact = _exact_topk_ids(np.asarray(Y), k)
+    idx_h = np.asarray(idx)
+    recall = np.mean([len(set(exact[i]) & set(idx_h[i])) / k for i in range(n)])
+    assert recall > 0.8, recall
