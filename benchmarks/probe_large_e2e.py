@@ -91,11 +91,15 @@ def run_one(n):
     e2e_ms = 1000.0 * (time.perf_counter() - t0)
     print(f"# e2e fresh (warm-compiled): {e2e_ms:.0f} ms", flush=True)
 
+    info = getattr(lat2, "_similarity_info", None)
+    sim_label = f"auto->{lat2._similarity}"
+    if info is not None:
+        sim_label += f" ({info.get('mode')}: {info.get('reason', 'accepted')})"
     return {
         "N": n,
         "D": D,
         "k": K,
-        "similarity": "auto->fast (recall 0.99)",
+        "similarity": sim_label,
         "build_ms": round(build_ms, 1),
         "settle_warm_ms": round(s2["t_ms"], 1),
         "settle_iters": int(s2["iters"]),

@@ -458,8 +458,9 @@ class OscillinkLattice:
         self._neighbor_seed = neighbor_seed
         self._row_cap_val = float(row_cap_val)
         # "auto" resolves once N is known (recall contract surfaced in
-        # receipt meta; resolved mode keys the graph token/cache)
-        self._similarity = _resolve_similarity(self.N, similarity)
+        # receipt meta; resolved mode keys the graph token/cache).  The
+        # single-device lattice supports the gated IVF cluster build.
+        self._similarity = _resolve_similarity(self.N, similarity, allow_cluster=True)
 
         self._fetch = DeferredFetchGroup()
         self._settle_callbacks: list[Callable] = []
@@ -2022,7 +2023,7 @@ class OscillinkLattice:
                     "similarity must be 'auto', 'exact', 'fast', 'fastest' "
                     "or 'cluster'"
                 )
-            self._similarity = _resolve_similarity(self.N, similarity)
+            self._similarity = _resolve_similarity(self.N, similarity, allow_cluster=True)
         if row_cap_val is not None:
             self._row_cap_val = float(row_cap_val)
         if kneighbors is not None:

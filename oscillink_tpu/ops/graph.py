@@ -38,6 +38,7 @@ __all__ = [
     "resolve_similarity",
     "SIMILARITY_RECALL",
     "FAST_SIMILARITY_N",
+    "CLUSTER_SIMILARITY_N",
 ]
 
 # Row-block size for the blocked similarity top-k. 1024 rows x N cols of f32
@@ -57,15 +58,33 @@ FAST_SIMILARITY_N = 65536
 # receipt's similarity_info holds the per-build measured estimate)
 SIMILARITY_RECALL = {"exact": 1.0, "fast": 0.99, "fastest": 0.95, "cluster": 0.9}
 
+# similarity="auto" on a single device routes to the IVF cluster build above
+# this N (override with OSCILLINK_CLUSTER_SIM_N; 0 disables).  Measured at
+# 1M x 768: balanced IVF 3.7 s vs 9.9 s fast scan (2.7x) with the quality
+# gate accepting both study corpora (benchmarks/ivf_balanced_1m.json); a
+# sampled clusterability pre-gate means isotropic corpora skip straight to
+# the fast scan without paying a failed IVF attempt (ops/ivf.py).
+CLUSTER_SIMILARITY_N = 500_000
 
-def resolve_similarity(n: int, mode: str) -> str:
-    """Map ``"auto"`` to a concrete mode for an N-row build: ``"fast"``
-    (recall 0.99) above FAST_SIMILARITY_N / OSCILLINK_FAST_SIM_N, else
-    ``"exact"``.  Concrete modes pass through unchanged."""
+
+def resolve_similarity(n: int, mode: str, *, allow_cluster: bool = False) -> str:
+    """Map ``"auto"`` to a concrete mode for an N-row build: ``"cluster"``
+    (gated IVF) above CLUSTER_SIMILARITY_N when the caller supports it,
+    else ``"fast"`` (recall 0.99) above FAST_SIMILARITY_N /
+    OSCILLINK_FAST_SIM_N, else ``"exact"``.  Concrete modes pass through
+    unchanged.  ``allow_cluster`` is opted into by the single-device
+    lattice; the sharded tiers keep auto->fast (IVF is single-device)."""
     if mode != "auto":
         return mode
     import os
 
+    if allow_cluster:
+        try:
+            cthr = int(os.getenv("OSCILLINK_CLUSTER_SIM_N", str(CLUSTER_SIMILARITY_N)))
+        except ValueError:
+            cthr = CLUSTER_SIMILARITY_N
+        if cthr > 0 and n >= cthr:
+            return "cluster"
     try:
         thr = int(os.getenv("OSCILLINK_FAST_SIM_N", str(FAST_SIMILARITY_N)))
     except ValueError:

@@ -53,7 +53,15 @@ def test_ivf_recall_on_clustered_data():
 def test_recall_gate_falls_back_on_isotropic():
     rng = np.random.default_rng(1)
     Y = jnp.asarray(rng.standard_normal((8192, 64)).astype(np.float32))
+    # default path: the cheap clusterability pre-gate fires first
     g, info = build_graph_ivf(Y, 8, n_clusters=32, m_probe=4, min_n=1000)
+    assert info["mode"] == "fallback-fast"
+    assert "clusterability" in info["reason"]
+    # with the pre-gate disabled the sampled recall/sim-gap gate still
+    # protects quality (the original acceptance bar)
+    g, info = build_graph_ivf(
+        Y, 8, n_clusters=32, m_probe=4, min_n=1000, min_clusterability=0.0
+    )
     assert info["mode"] == "fallback-fast"
     assert "recall" in info["reason"]
 
@@ -155,3 +163,58 @@ def test_balanced_assignment_bounds_overflow():
     idx_h = np.asarray(idx)
     recall = np.mean([len(set(exact[i]) & set(idx_h[i])) / k for i in range(n)])
     assert recall > 0.8, recall
+
+
+def test_clusterability_pregate_skips_isotropic():
+    """Isotropic corpora must fall back via the cheap sampled pre-gate —
+    without ever paying the cluster scan (which would be gate-rejected)."""
+    from oscillink_tpu.ops.ivf import _clusterability
+
+    rng = np.random.default_rng(21)
+    iso = jnp.asarray(rng.standard_normal((8192, 128)).astype(np.float32))
+    clus_iso = float(_clusterability(iso, n_clusters=64, sample=4096))
+    clustered = jnp.asarray(_clustered(n_clusters=16, per=512, d=128, seed=22))
+    clus_cl = float(_clusterability(clustered, n_clusters=64, sample=4096))
+    assert clus_iso < 0.45 < clus_cl, (clus_iso, clus_cl)
+
+    g, info = build_graph_ivf(iso, 8, n_clusters=32, m_probe=4, min_n=1000)
+    assert info["mode"] == "fallback-fast"
+    assert "clusterability" in info["reason"]
+
+
+def test_auto_resolves_to_cluster_above_threshold(monkeypatch):
+    from oscillink_tpu.ops.graph import resolve_similarity
+
+    monkeypatch.setenv("OSCILLINK_CLUSTER_SIM_N", "500000")
+    assert resolve_similarity(1_000_000, "auto", allow_cluster=True) == "cluster"
+    assert resolve_similarity(1_000_000, "auto") == "fast"  # sharded tiers
+    assert resolve_similarity(100_000, "auto", allow_cluster=True) == "fast"
+    assert resolve_similarity(1_000, "auto", allow_cluster=True) == "exact"
+    monkeypatch.setenv("OSCILLINK_CLUSTER_SIM_N", "0")  # kill switch
+    assert resolve_similarity(1_000_000, "auto", allow_cluster=True) == "fast"
+    # concrete modes pass through
+    assert resolve_similarity(1_000_000, "exact", allow_cluster=True) == "exact"
+
+
+def test_lattice_auto_routes_cluster(monkeypatch):
+    """auto -> cluster above the env threshold, with the realized mode (and
+    fallback info when the gates fire) in receipt meta."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+    from oscillink_tpu.ops import ivf as ivf_mod
+
+    Y = _clustered(n_clusters=8, per=64, d=32, seed=31)
+    monkeypatch.setenv("OSCILLINK_CLUSTER_SIM_N", "256")
+    orig = ivf_mod.build_graph_ivf
+
+    def small(Yd, k, **kw):
+        kw.update(n_clusters=8, m_probe=4, min_n=256)
+        return orig(Yd, k, **kw)
+
+    monkeypatch.setattr(ivf_mod, "build_graph_ivf", small)
+    lat = OscillinkLattice(Y, kneighbors=6, similarity="auto")
+    assert lat._similarity == "cluster"
+    lat.set_query(np.zeros(32, dtype=np.float32))
+    lat.settle(max_iters=8, tol=1e-3)
+    rec = lat.receipt()
+    assert rec["meta"]["similarity"] == "cluster"
+    assert rec["meta"]["similarity_info"]["mode"] in {"ivf", "fallback-fast"}
