@@ -33,20 +33,27 @@ D, K = 768, 8
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_tpu.json")
 
 
-def _data(n, seed=0):
+def _data(n, seed=0, corpus="iso"):
     rng = np.random.default_rng(seed)
-    Y = rng.standard_normal((n, D)).astype(np.float32)
+    if corpus == "clustered":
+        # 1024 modes, spread 0.6 — the balanced-IVF study's loose corpus
+        # (benchmarks/ivf_balanced_1m.json): exercises the accepted IVF path
+        centers = rng.standard_normal((1024, D)).astype(np.float32)
+        assign = rng.integers(0, 1024, size=n)
+        Y = centers[assign] + 0.6 * rng.standard_normal((n, D)).astype(np.float32)
+    else:
+        Y = rng.standard_normal((n, D)).astype(np.float32)
     psi = (Y[:64].mean(0) / (np.linalg.norm(Y[:64].mean(0)) + 1e-12)).astype(
         np.float32
     )
     return Y, psi
 
 
-def run_one(n):
+def run_one(n, corpus="iso"):
     from oscillink_tpu import OscillinkLattice
 
-    print(f"# ---- N={n} ----", flush=True)
-    Y, psi = _data(n)
+    print(f"# ---- N={n} corpus={corpus} ----", flush=True)
+    Y, psi = _data(n, corpus=corpus)
 
     t0 = time.perf_counter()
     lat = OscillinkLattice(Y, kneighbors=K, similarity="auto")
@@ -99,6 +106,7 @@ def run_one(n):
         "N": n,
         "D": D,
         "k": K,
+        "corpus": corpus,
         "similarity": sim_label,
         "build_ms": round(build_ms, 1),
         "settle_warm_ms": round(s2["t_ms"], 1),
@@ -116,23 +124,36 @@ def run_one(n):
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [500_000, 1_000_000]
+    specs = []
+    for a in sys.argv[1:]:
+        if ":" in a:
+            n_s, corpus = a.split(":", 1)
+            specs.append((int(n_s), corpus))
+        else:
+            specs.append((int(a), "iso"))
+    specs = specs or [(500_000, "iso"), (1_000_000, "iso"), (1_000_000, "clustered")]
     rows = []
-    for n in sizes:
+    for n, corpus in specs:
         try:
-            rows.append(run_one(n))
+            rows.append(run_one(n, corpus))
         except Exception as e:  # pragma: no cover
             print(f"# N={n} FAILED: {type(e).__name__}: {e}", flush=True)
-            rows.append({"N": n, "error": f"{type(e).__name__}: {e}"})
+            rows.append({"N": n, "corpus": corpus,
+                         "error": f"{type(e).__name__}: {e}"})
 
     data = json.load(open(OUT))
-    # merge: keep previously recorded rows for sizes not re-run, and never
-    # let a failed re-run overwrite a recorded good row with an error row
-    old = {r.get("N"): r for r in data.get("rows_round3", []) if "error" not in r}
+    # merge keyed by (N, corpus): keep rows not re-run, and never let a
+    # failed re-run overwrite a recorded good row with an error row
+    old = {
+        (r.get("N"), r.get("corpus", "iso")): r
+        for r in data.get("rows_round3", [])
+        if "error" not in r
+    }
     for r in rows:
-        if "error" in r and r.get("N") in old:
+        key = (r.get("N"), r.get("corpus", "iso"))
+        if "error" in r and key in old:
             continue
-        old[r.get("N")] = r
+        old[key] = r
     rows = [old[k] for k in sorted(old)]
     data["note_round3"] = (
         "round 3: similarity='auto' routes large-N builds to the recall-0.99 "

@@ -539,8 +539,24 @@ class OscillinkLattice:
             # silent fallback to the fast scan (info records which ran)
             from ..ops.ivf import build_graph_ivf
 
+            def _compiled_fallback(mode: str):
+                # run the fallback as the lattice's single jitted build
+                # program (eager module-level build_graph costs minutes of
+                # per-op RPC latency through tunneled runtimes)
+                g_fb, _ = _jit_build_graph(
+                    self._Y_dev,
+                    None,
+                    self._kneighbors,
+                    self._opts(self._row_cap_val)[0],
+                    similarity=mode,
+                )
+                return g_fb
+
             g, info = build_graph_ivf(
-                self._Y_dev, self._kneighbors, row_cap=self._row_cap_val
+                self._Y_dev,
+                self._kneighbors,
+                row_cap=self._row_cap_val,
+                fallback_builder=_compiled_fallback,
             )
             self._similarity_info = info
             n_edges = jnp.count_nonzero(g.w > 0)

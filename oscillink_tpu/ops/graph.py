@@ -332,7 +332,8 @@ def _kloop_block_rows(n: int, d: int, k: int) -> int:
     raw = os.getenv("OSCILLINK_MATVEC_RB", "").strip()
     if raw:
         try:
-            return max(8, min(n, int(raw)))
+            # clamp to N LAST so a forced rb can never exceed the dim
+            return min(n, max(8, int(raw)))
         except ValueError:
             pass
     rb = _KLOOP_TEMP_BYTES // (k * d * 4)

@@ -39,13 +39,37 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .graph import Graph, build_graph, graph_from_topk, normalize_rows
+from .graph import (
+    Graph,
+    build_graph,
+    graph_from_topk,
+    normalize_rows,
+    resolve_similarity,
+)
 
 __all__ = ["build_graph_ivf", "ivf_topk"]
+
+# the accepted path's epilogue as one compiled program (eager dispatch of
+# its ~15 ops costs seconds of RPC latency on tunneled runtimes)
+_jit_graph_from_topk = jax.jit(
+    lambda vals, idx, row_cap: graph_from_topk(vals, idx, row_cap=row_cap)
+)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _lloyd_update(A: jax.Array, Ys: jax.Array, cent: jax.Array, C: int, d: int):
+    """One Lloyd step given the [M, C] similarity matrix: argmax-assign,
+    mean, keep empty clusters' previous centroids, renormalize.  Shared by
+    the full build (bf16 similarity) and the clusterability probe (f32)."""
+    assign = jnp.argmax(A, axis=1)
+    sums = jnp.zeros((C, d), jnp.float32).at[assign].add(Ys)
+    cnts = jnp.zeros((C,), jnp.float32).at[assign].add(1.0)
+    new = sums / (cnts[:, None] + 1e-6)
+    new = jnp.where(cnts[:, None] > 0, new, cent)
+    return normalize_rows(new)
 
 
 def _rank_in_cluster(cur: jax.Array, sim: jax.Array, C: int, n: int):
@@ -116,20 +140,15 @@ def ivf_topk(
     def lloyd(_, cent):
         A = jnp.dot(Yb, cent.astype(jnp.bfloat16).T,
                     preferred_element_type=jnp.float32)  # [N, C]
-        assign = jnp.argmax(A, axis=1)
-        sums = jnp.zeros((C, d), jnp.float32).at[assign].add(Yn)
-        cnts = jnp.zeros((C,), jnp.float32).at[assign].add(1.0)
-        new = sums / (cnts[:, None] + 1e-6)
-        # empty clusters keep their previous centroid
-        new = jnp.where(cnts[:, None] > 0, new, cent)
-        return normalize_rows(new)
+        return _lloyd_update(A, Yn, cent, C, d)
 
     cent = lax.fori_loop(0, kmeans_iters, lloyd, cent)
     A = jnp.dot(Yb, cent.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32)
-    if balance_rounds > 0:
+    if balance_rounds > 0 and C >= 2:
         # capacity-constrained spillover: rows past a full cluster's cap
         # (least-central first) advance to their next-nearest candidate
-        R = max(2, balance_cands)
+        # (cap candidates at C — top_k cannot exceed the axis size)
+        R = max(2, min(balance_cands, C))
         cvals, cidx = lax.top_k(A, R)  # [N, R]
 
         def bal(_, ptr):
@@ -260,12 +279,7 @@ def _clusterability(Y: jax.Array, n_clusters: int = 256, iters: int = 4,
 
     def lloyd(_, cent):
         A = jnp.dot(Ys, cent.T, preferred_element_type=jnp.float32)
-        assign = jnp.argmax(A, axis=1)
-        sums = jnp.zeros((C, d), jnp.float32).at[assign].add(Ys)
-        cnts = jnp.zeros((C,), jnp.float32).at[assign].add(1.0)
-        new = sums / (cnts[:, None] + 1e-6)
-        new = jnp.where(cnts[:, None] > 0, new, cent)
-        return normalize_rows(new)
+        return _lloyd_update(A, Ys, cent, C, d)
 
     cent = lax.fori_loop(0, iters, lloyd, cent)
     A = jnp.dot(Ys, cent.T, preferred_element_type=jnp.float32)
@@ -321,6 +335,7 @@ def build_graph_ivf(
     balance_rounds: int = 3,
     balance_cands: int = 4,
     min_clusterability: float = 0.45,
+    fallback_builder=None,
 ) -> tuple[Graph, dict]:
     """Clustered approximate graph build with dense-fast-scan fallback.
 
@@ -335,21 +350,35 @@ def build_graph_ivf(
     corpora fail BOTH (measured: id recall 0.27-0.62, gaps well above the
     bar) and correctly fall back."""
     n, d = Y.shape
+    # fallbacks re-resolve auto WITHOUT the cluster tier: below
+    # FAST_SIMILARITY_N that is the exact (recall-1.0) scan — hardcoding
+    # "fast" here would silently downgrade small-N auto builds when a user
+    # lowers OSCILLINK_CLUSTER_SIM_N below the fast threshold
+    fb_mode = resolve_similarity(n, "auto")
+
+    def _fallback(reason, **extra):
+        # callers with a compiled build path (the lattice) supply
+        # fallback_builder(mode) -> Graph so the fallback runs as ONE jitted
+        # program — the module-level build_graph here dispatches eagerly,
+        # which costs minutes of per-op RPC latency on tunneled runtimes
+        if fallback_builder is not None:
+            g = fallback_builder(fb_mode)
+        else:
+            g = build_graph(Y, k, row_cap=row_cap, similarity=fb_mode)
+        return g, {"mode": f"fallback-{fb_mode}", "reason": reason, **extra}
+
     if n < min_n or n_clusters * 4 >= n:
-        g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
-        return g, {"mode": "fallback-fast", "reason": "N below IVF threshold"}
+        return _fallback("N below IVF threshold")
 
     # cheap pre-gate (~0.1 s sampled sub-k-means): skip the expensive
     # cluster scan on corpora that would be gate-rejected anyway
     clus = float(jax.device_get(_clusterability(Y)))
     if clus < min_clusterability:
-        g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
-        return g, {
-            "mode": "fallback-fast",
-            "reason": f"clusterability {clus:.3f} < {min_clusterability} "
+        return _fallback(
+            f"clusterability {clus:.3f} < {min_clusterability} "
             "(sampled mean max centroid similarity)",
-            "clusterability": round(clus, 4),
-        }
+            clusterability=round(clus, 4),
+        )
 
     P = _round_up(int(bucket_factor * n / n_clusters), 128)
     vals, idx, overflow, filled = ivf_topk(
@@ -364,16 +393,14 @@ def build_graph_ivf(
         float(jax.device_get(gap_p99)),
     )
     if ovf > patch_cap or (rec < min_recall and gap > max_sim_gap):
-        g = build_graph(Y, k, row_cap=row_cap, similarity="fast")
         reason = (
             f"bucket overflow ({ovf} rows) exceeds patch capacity {patch_cap}"
             if ovf > patch_cap
             else f"sampled recall {rec:.3f} < {min_recall} and sim-gap p99 "
             f"{gap:.4f} > {max_sim_gap}"
         )
-        return g, {"mode": "fallback-fast", "reason": reason,
-                   "recall_estimate": rec, "sim_gap_p99": gap}
-    g = graph_from_topk(vals, idx, row_cap=row_cap)
+        return _fallback(reason, recall_estimate=rec, sim_gap_p99=gap)
+    g = _jit_graph_from_topk(vals, idx, jnp.float32(row_cap))
     return g, {
         "mode": "ivf",
         "n_clusters": n_clusters,

@@ -55,14 +55,14 @@ def test_recall_gate_falls_back_on_isotropic():
     Y = jnp.asarray(rng.standard_normal((8192, 64)).astype(np.float32))
     # default path: the cheap clusterability pre-gate fires first
     g, info = build_graph_ivf(Y, 8, n_clusters=32, m_probe=4, min_n=1000)
-    assert info["mode"] == "fallback-fast"
+    assert info["mode"].startswith("fallback-")
     assert "clusterability" in info["reason"]
     # with the pre-gate disabled the sampled recall/sim-gap gate still
     # protects quality (the original acceptance bar)
     g, info = build_graph_ivf(
         Y, 8, n_clusters=32, m_probe=4, min_n=1000, min_clusterability=0.0
     )
-    assert info["mode"] == "fallback-fast"
+    assert info["mode"].startswith("fallback-")
     assert "recall" in info["reason"]
 
 
@@ -71,7 +71,7 @@ def test_overflow_gate_falls_back():
     g, info = build_graph_ivf(
         Y, 8, n_clusters=32, m_probe=4, bucket_factor=0.5, min_n=1000
     )
-    assert info["mode"] == "fallback-fast"
+    assert info["mode"].startswith("fallback-")
     assert "overflow" in info["reason"]
 
 
@@ -79,7 +79,7 @@ def test_small_n_falls_back():
     rng = np.random.default_rng(3)
     Y = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
     g, info = build_graph_ivf(Y, 4)
-    assert info["mode"] == "fallback-fast"
+    assert info["mode"].startswith("fallback-")
 
 
 def test_lattice_cluster_mode(monkeypatch):
@@ -103,7 +103,7 @@ def test_lattice_cluster_mode(monkeypatch):
     rec = lat.receipt()
     assert rec["meta"]["similarity"] == "cluster"
     info = rec["meta"]["similarity_info"]
-    assert info["mode"] in {"ivf", "fallback-fast"}
+    assert info["mode"] == "ivf" or info["mode"].startswith("fallback-")
     if info["mode"] == "ivf":
         assert info["recall_estimate"] > 0.9
     assert np.isfinite(rec["deltaH_total"])
@@ -178,7 +178,7 @@ def test_clusterability_pregate_skips_isotropic():
     assert clus_iso < 0.45 < clus_cl, (clus_iso, clus_cl)
 
     g, info = build_graph_ivf(iso, 8, n_clusters=32, m_probe=4, min_n=1000)
-    assert info["mode"] == "fallback-fast"
+    assert info["mode"].startswith("fallback-")
     assert "clusterability" in info["reason"]
 
 
@@ -217,4 +217,26 @@ def test_lattice_auto_routes_cluster(monkeypatch):
     lat.settle(max_iters=8, tol=1e-3)
     rec = lat.receipt()
     assert rec["meta"]["similarity"] == "cluster"
-    assert rec["meta"]["similarity_info"]["mode"] in {"ivf", "fallback-fast"}
+    m = rec["meta"]["similarity_info"]["mode"]
+    assert m == "ivf" or m.startswith("fallback-")
+
+
+def test_small_cluster_count_does_not_crash():
+    """Regression: balance_cands > n_clusters must not crash lax.top_k
+    (R is capped at C), and C=1 skips balancing entirely."""
+    Y = jnp.asarray(_clustered(n_clusters=4, per=64, d=16, seed=41))
+    vals, idx, ovf, filled = ivf_topk(
+        Y, 4, n_clusters=3, bucket_cap=128, m_probe=2, balance_cands=4
+    )
+    assert vals.shape == (Y.shape[0], 4)
+    ivf_topk(Y, 4, n_clusters=1, bucket_cap=256, m_probe=1, balance_cands=4)
+
+
+def test_fallback_honors_exact_contract_at_small_n(monkeypatch):
+    """A lowered OSCILLINK_CLUSTER_SIM_N must not silently downgrade small
+    auto builds: below FAST_SIMILARITY_N the IVF fallback re-resolves to
+    the exact (recall-1.0) scan, not 'fast'."""
+    rng = np.random.default_rng(51)
+    Y = jnp.asarray(rng.standard_normal((512, 32)).astype(np.float32))
+    g, info = build_graph_ivf(Y, 6)  # n < min_n -> fallback
+    assert info["mode"] == "fallback-exact"
