@@ -221,6 +221,41 @@ def sync_is_trustworthy() -> bool:
     return elapsed > 0.05  # 55 TFLOP cannot complete faster than this
 
 
+def _large_n_recorded():
+    """Separately recorded large-N rows, read LIVE from the committed
+    artifacts (a cold 500k-1M pass through this tunnel takes minutes and
+    can wedge; re-measuring inside the bench is not viable)."""
+    rec = {
+        "source": "benchmarks/scale_tpu.json (rows_round3, keyed by "
+        "(N, corpus)) + benchmarks/northstar_125k.json + gather_bf16_125k.json",
+        "shard125k_cg5_ms": {"windowed": 68.8, "gather": 117.0,
+                             "gather_bf16": 108.1},
+        "solver_program_min_ms": {
+            "source": "probe_lowmem3/probe_chunked_1m/probe_settle8_1m "
+            "(min-of-3 warm, raw solve programs)",
+            "500k_settle": 486.5, "500k_ustar": 575.6,
+            "1M_ustar_fresh_c4": 2564.7, "1M_settle_c8": 2885.5,
+        },
+    }
+    try:
+        import json as _json
+        import os
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "scale_tpu.json")) as f:
+            rows = _json.load(f).get("rows_round3", [])
+        for r in rows:
+            if "error" in r:
+                continue
+            key = f"{r['N'] // 1000}k_{r['D']}_{r.get('corpus', 'iso')}"
+            rec.setdefault("settle_warm_ms", {})[key] = r.get("settle_warm_ms")
+            rec.setdefault("ustar_ms", {})[key] = r.get("ustar_ms")
+            rec.setdefault("receipt_full_ms", {})[key] = r.get("receipt_full_ms")
+    except Exception as e:  # artifact missing/malformed: carry the error
+        rec["rows_error"] = f"{type(e).__name__}: {e}"
+    return rec
+
+
 def main() -> None:
     from oscillink_tpu import OscillinkLattice
 
@@ -403,20 +438,7 @@ def main() -> None:
             # NOT this run's measurements: separately recorded large-N rows
             # (a cold 500k-1M pass through this tunnel takes minutes and can
             # wedge; the live sources and dates are in the cited artifact)
-            "large_n_recorded": {
-                "source": "benchmarks/scale_tpu.json (rows_round3) + "
-                "benchmarks/northstar_125k.json + gather_bf16_125k.json",
-                "settle_warm_ms": {"500k_768": 2292.0, "1M_768": 4451.5},
-                "ustar_ms": {"500k_768": 2849.3, "1M_768": 5455.1},
-                "receipt_full_ms": {"500k_768": 3212.2, "1M_768": 5873.1},
-                "shard125k_cg5_ms": {"windowed": 68.8, "gather": 117.0,
-                                     "gather_bf16": 108.1},
-                "round2_for_comparison": {
-                    "500k_settle_ms": 1043.2,
-                    "1M_settle_ms": 5044.9,
-                    "receipt_at_scale": "unmeasured (OOM risk)",
-                },
-            },
+            "large_n_recorded": _large_n_recorded(),
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N5000_source": "reference benchmarks/scale_latest.jsonl (dev CPU)",
             "baseline_N1200_ms": BASELINE_N1200_MS,
