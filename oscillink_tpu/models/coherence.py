@@ -143,6 +143,7 @@ def solve_stationary_chunked(
     tol=1e-4,
     max_iters=64,
     col_chunks: int = 2,
+    x0: Optional[jax.Array] = None,
 ):
     """Stationary solve with the embedding columns split into chunks.
 
@@ -172,7 +173,8 @@ def solve_stationary_chunked(
             # baked-in constants), so the shape-keyed compile cache is
             # shared across calls
             yield c * w, _solve_stationary_chunk(
-                g, pg, Y[:, sl], psi[sl], B, lam, tol, max_iters
+                g, pg, Y[:, sl], psi[sl], B, lam, tol, max_iters,
+                None if x0 is None else x0[:, sl],
             )
 
     return _accumulate_chunks(n, d, chunks())

@@ -155,3 +155,34 @@ def test_settle_routing_prefers_full_width_when_fits(monkeypatch):
     # a second settle with a distinct U still routes (donate-eligible shapes
     # are TPU-scale only; this asserts the small-N path is unchanged)
     lat.settle(max_iters=4)
+
+
+def test_ustar_warmstart_env(monkeypatch):
+    """OSCILLINK_USTAR_WARMSTART=1 starts the U* CG from the settled U:
+    same solution within tol, no more iterations than the x0=Y contract
+    (and typically fewer after a settle), default path unchanged."""
+    Y = _rand(96, 24, seed=13)
+    psi = (Y[:16].mean(0) / (np.linalg.norm(Y[:16].mean(0)) + 1e-12)).astype(
+        np.float32
+    )
+
+    lat_ref = OscillinkLattice(Y, kneighbors=6)
+    lat_ref.set_query(psi)
+    lat_ref.settle(max_iters=12, tol=1e-4)
+    U_ref = np.asarray(lat_ref.solve_Ustar(tol=1e-5, max_iters=64))
+    it_ref = int(lat_ref.last_ustar["iters"])
+
+    monkeypatch.setenv("OSCILLINK_USTAR_WARMSTART", "1")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_query(psi)
+    lat.settle(max_iters=12, tol=1e-4)
+    U_ws = np.asarray(lat.solve_Ustar(tol=1e-5, max_iters=64))
+    it_ws = int(lat.last_ustar["iters"])
+
+    np.testing.assert_allclose(U_ws, U_ref, rtol=5e-4, atol=5e-5)
+    assert it_ws <= it_ref
+    # fresh lattice (U aliases Y): the flag is a no-op, x0 stays Y
+    lat2 = OscillinkLattice(Y, kneighbors=6)
+    lat2.set_query(psi)
+    U2 = np.asarray(lat2.solve_Ustar(tol=1e-5, max_iters=64))
+    np.testing.assert_allclose(U2, U_ref, rtol=5e-4, atol=5e-5)
