@@ -122,12 +122,12 @@ def _jit_solve_ustar(g, pg, Y, psi, B, lam, opts, x0=None):
 
 
 @jax.jit
-def _jit_solve_ustar_windowed(ctx, Y, psi, B, lam, opts):
+def _jit_solve_ustar_windowed(ctx, Y, psi, B, lam, opts, x0=None):
     from ..models.coherence import solve_stationary_windowed
 
     tol, max_iters = opts[0], opts[1].astype(jnp.int32)
     Ustar, iters, res = solve_stationary_windowed(
-        ctx, Y, psi, B, lam, tol=tol, max_iters=max_iters
+        ctx, Y, psi, B, lam, tol=tol, max_iters=max_iters, x0=x0
     )
     return Ustar, iters, res, res <= tol
 
@@ -1134,8 +1134,8 @@ class OscillinkLattice:
         # the stationary point, so the solve converges in fewer iterations;
         # the solution is identical within tol (CG endpoint independence of
         # x0) but the iters/res convergence meta will differ from the
-        # reference contract — hence the env gate.  Gather/chunked/full
-        # paths only (the windowed program has its own x0 handling).
+        # reference contract — hence the env gate.  Plumbed through every
+        # solve path (gather full/chunked and windowed full/chunked).
         ustar_x0 = (
             self._U_dev
             if _env_flag("OSCILLINK_USTAR_WARMSTART")
@@ -1156,6 +1156,7 @@ class OscillinkLattice:
                 tol=self._opts(tol)[0],
                 max_iters=jnp.int32(max_iters),
                 col_chunks=col_chunks,
+                x0=ustar_x0,
             )
             converged = res <= tol
         elif gather_cc > 1 and (self._window_ctx is None or self._path is not None):
@@ -1184,6 +1185,7 @@ class OscillinkLattice:
                 self._B_dev,
                 self._lam(),
                 self._opts(tol, max_iters),
+                ustar_x0,
             )
         else:
             Ustar, iters, res, converged = _jit_solve_ustar(

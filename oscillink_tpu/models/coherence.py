@@ -356,6 +356,7 @@ def solve_stationary_windowed_chunked(
     tol=1e-4,
     max_iters=64,
     col_chunks: int = 2,
+    x0: Optional[jax.Array] = None,
 ):
     """Column-chunked windowed stationary solve for the N=500k-1M single-chip
     regime.  Unlike the XLA-gather chunked solve, the windowed matvec never
@@ -372,7 +373,8 @@ def solve_stationary_windowed_chunked(
         for c in range(col_chunks):
             sl = slice(c * w, (c + 1) * w)
             yield c * w, _solve_windowed_chunk(
-                ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters
+                ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters,
+                None if x0 is None else x0[:, sl],
             )
 
     return _accumulate_chunks(n, d, chunks())

@@ -258,23 +258,9 @@ def ivf_topk(
     return vals, idx, overflow, filled
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "iters", "sample"))
-def _clusterability(Y: jax.Array, n_clusters: int = 256, iters: int = 4,
-                    sample: int = 16384) -> jax.Array:
-    """Mean max centroid similarity of a sampled sub-k-means — a cheap
-    (sub-0.1 s) predictor of whether the IVF scan will pass its quality
-    gate.  Clustered corpora concentrate mass near centroids (measured
-    ~0.86-0.94 at the 1M study's spreads); isotropic high-D corpora cannot
-    exceed ~0.2-0.3 (a centroid of m near-orthogonal unit rows has
-    ||c|| ~ 1/sqrt(m)).  Used by `build_graph_ivf` to skip the expensive
-    cluster scan entirely when the corpus would be gate-rejected anyway —
-    without this, isotropic large-N builds would pay the failed IVF
-    attempt ON TOP of the fallback scan."""
-    n, d = Y.shape
-    stride = max(n // sample, 1)
-    Ys = normalize_rows(Y[::stride][:sample].astype(jnp.float32))
+def _kmeans_maxsim(Ys: jax.Array, C: int, iters: int, d: int) -> jax.Array:
+    """Mean max centroid similarity after a small f32 sub-k-means."""
     m = Ys.shape[0]
-    C = max(2, min(n_clusters, m // 8))
     cent = normalize_rows(Ys[:: max(m // C, 1)][:C])
 
     def lloyd(_, cent):
@@ -284,6 +270,37 @@ def _clusterability(Y: jax.Array, n_clusters: int = 256, iters: int = 4,
     cent = lax.fori_loop(0, iters, lloyd, cent)
     A = jnp.dot(Ys, cent.T, preferred_element_type=jnp.float32)
     return jnp.mean(jnp.max(A, axis=1))
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "iters", "sample"))
+def _clusterability(Y: jax.Array, n_clusters: int = 256, iters: int = 4,
+                    sample: int = 16384):
+    """(observed, null) mean max centroid similarity of a sampled
+    sub-k-means — a cheap (sub-0.1 s) predictor of whether the IVF scan
+    will pass its quality gate, used by `build_graph_ivf` to skip the
+    expensive cluster scan when the corpus would be gate-rejected anyway
+    (without it, isotropic large-N builds would pay the failed IVF attempt
+    ON TOP of the fallback scan).
+
+    The NULL is the same statistic on a per-column shuffle of the sample:
+    it keeps every marginal but destroys cross-dimension structure, so
+    observed/null ~ 1 on isotropic corpora and >> 1 on clustered ones.
+    An absolute bar is dimension-sensitive (the isotropic value measures
+    ~0.43 at d=64 but ~0.17 at d=768 — a centroid of m near-orthogonal
+    unit rows has ||c|| ~ 1/sqrt(m), which scales with C, sample and d);
+    the self-calibrated ratio is not."""
+    n, d = Y.shape
+    stride = max(n // sample, 1)
+    Ys = normalize_rows(Y[::stride][:sample].astype(jnp.float32))
+    C = max(2, min(n_clusters, Ys.shape[0] // 8))
+    obs = _kmeans_maxsim(Ys, C, iters, d)
+    # per-column independent shuffle (argsort of iid uniforms per column)
+    perm = jnp.argsort(
+        jax.random.uniform(jax.random.PRNGKey(0), Ys.shape), axis=0
+    )
+    Ynull = normalize_rows(jnp.take_along_axis(Ys, perm, axis=0))
+    null = _kmeans_maxsim(Ynull, C, iters, d)
+    return obs, null
 
 
 @partial(jax.jit, static_argnames=("k", "sample"))
@@ -334,7 +351,7 @@ def build_graph_ivf(
     patch_cap: int = 2048,
     balance_rounds: int = 3,
     balance_cands: int = 4,
-    min_clusterability: float = 0.45,
+    min_clusterability: float = 1.25,
     fallback_builder=None,
 ) -> tuple[Graph, dict]:
     """Clustered approximate graph build with dense-fast-scan fallback.
@@ -371,13 +388,20 @@ def build_graph_ivf(
         return _fallback("N below IVF threshold")
 
     # cheap pre-gate (~0.1 s sampled sub-k-means): skip the expensive
-    # cluster scan on corpora that would be gate-rejected anyway
-    clus = float(jax.device_get(_clusterability(Y)))
+    # cluster scan on corpora that would be gate-rejected anyway.
+    # ``min_clusterability`` is a RATIO vs the column-shuffled null (1.25
+    # default: isotropic corpora sit at ~1.0 regardless of dimension);
+    # 0 disables the pre-gate.
+    obs, null = (float(v) for v in jax.device_get(_clusterability(Y)))
+    clus = obs / max(null, 1e-6)
     if clus < min_clusterability:
         return _fallback(
-            f"clusterability {clus:.3f} < {min_clusterability} "
-            "(sampled mean max centroid similarity)",
-            clusterability=round(clus, 4),
+            f"clusterability ratio {clus:.2f} < {min_clusterability} "
+            f"(sampled mean max centroid sim {obs:.3f} vs shuffled-null "
+            f"{null:.3f})",
+            clusterability=round(obs, 4),
+            clusterability_null=round(null, 4),
+            clusterability_ratio=round(clus, 3),
         )
 
     P = _round_up(int(bucket_factor * n / n_clusters), 128)
@@ -408,7 +432,9 @@ def build_graph_ivf(
         "m_probe": m_probe,
         "overscan": overscan,
         "balance_rounds": balance_rounds,
-        "clusterability": round(clus, 4),
+        "clusterability": round(obs, 4),
+        "clusterability_null": round(null, 4),
+        "clusterability_ratio": round(clus, 3),
         "overflow_patched": ovf,
         "recall_estimate": rec,
         "sim_gap_p99": gap,

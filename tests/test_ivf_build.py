@@ -167,15 +167,24 @@ def test_balanced_assignment_bounds_overflow():
 
 def test_clusterability_pregate_skips_isotropic():
     """Isotropic corpora must fall back via the cheap sampled pre-gate —
-    without ever paying the cluster scan (which would be gate-rejected)."""
+    without ever paying the cluster scan (which would be gate-rejected).
+    The gate is the RATIO vs a column-shuffled null, so it holds at any
+    dimension (an absolute bar is dimension-sensitive)."""
     from oscillink_tpu.ops.ivf import _clusterability
 
     rng = np.random.default_rng(21)
-    iso = jnp.asarray(rng.standard_normal((8192, 128)).astype(np.float32))
-    clus_iso = float(_clusterability(iso, n_clusters=64, sample=4096))
-    clustered = jnp.asarray(_clustered(n_clusters=16, per=512, d=128, seed=22))
-    clus_cl = float(_clusterability(clustered, n_clusters=64, sample=4096))
-    assert clus_iso < 0.45 < clus_cl, (clus_iso, clus_cl)
+    for d in (64, 128):
+        iso = jnp.asarray(rng.standard_normal((8192, d)).astype(np.float32))
+        obs_i, null_i = (float(v) for v in _clusterability(iso, n_clusters=64,
+                                                           sample=4096))
+        clustered = jnp.asarray(
+            _clustered(n_clusters=16, per=512, d=d, seed=22)
+        )
+        obs_c, null_c = (float(v) for v in _clusterability(
+            clustered, n_clusters=64, sample=4096))
+        assert obs_i / null_i < 1.25 < obs_c / null_c, (
+            d, obs_i, null_i, obs_c, null_c
+        )
 
     g, info = build_graph_ivf(iso, 8, n_clusters=32, m_probe=4, min_n=1000)
     assert info["mode"].startswith("fallback-")

@@ -186,3 +186,27 @@ def test_ustar_warmstart_env(monkeypatch):
     lat2.set_query(psi)
     U2 = np.asarray(lat2.solve_Ustar(tol=1e-5, max_iters=64))
     np.testing.assert_allclose(U2, U_ref, rtol=5e-4, atol=5e-5)
+
+
+def test_ustar_warmstart_windowed_path(monkeypatch):
+    """The warm-start env also covers the windowed solve path (forced via
+    OSCILLINK_WINDOWED_MATVEC=1): same solution as the contract solve."""
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    Y = _rand(128, 32, seed=17)
+    psi = (Y[:16].mean(0) / (np.linalg.norm(Y[:16].mean(0)) + 1e-12)).astype(
+        np.float32
+    )
+    lat_ref = OscillinkLattice(Y, kneighbors=6)
+    lat_ref.set_query(psi)
+    lat_ref.settle(max_iters=10, tol=1e-4)
+    assert lat_ref._window_ctx is not None  # the forced tier engaged
+    U_ref = np.asarray(lat_ref.solve_Ustar(tol=1e-5, max_iters=64))
+    it_ref = int(lat_ref.last_ustar["iters"])
+
+    monkeypatch.setenv("OSCILLINK_USTAR_WARMSTART", "1")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_query(psi)
+    lat.settle(max_iters=10, tol=1e-4)
+    U_ws = np.asarray(lat.solve_Ustar(tol=1e-5, max_iters=64))
+    np.testing.assert_allclose(U_ws, U_ref, rtol=5e-4, atol=5e-5)
+    assert int(lat.last_ustar["iters"]) <= it_ref
