@@ -30,6 +30,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var, so pin the platform
+# through jax.config before anything touches a device.  Default to CPU: this
+# harness runs hundreds of tiny (N<=40) solves whose quality numbers are
+# platform-independent, and per-call dispatch through a remote-TPU tunnel
+# turns a ~2 min eval into a >9 min one.  Set JAX_PLATFORMS explicitly to
+# run it elsewhere.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS") or "cpu")
+
 import argparse
 import json
 
