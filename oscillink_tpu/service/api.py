@@ -155,8 +155,14 @@ def _feature_context(state: ServiceState, req: ApiRequest) -> dict:
     return {"api_key": key, "features": resolve_features(meta)}
 
 
-def _check_diffusion_allowed(gates, feats) -> None:
-    if gates is not None:
+def _diffusion_requested(req) -> bool:
+    """True when the request carries an enabled server-side diffusion block."""
+    d = getattr(req, "diffusion", None)
+    return d is not None and bool(d.enable)
+
+
+def _check_diffusion_allowed(requested, feats) -> None:
+    if requested is not None and requested is not False:
         if os.getenv("OSCILLINK_DIFFUSION_GATES_ENABLED", "1") not in {
             "1",
             "true",
@@ -240,6 +246,25 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
         if gates.shape[0] != N:
             raise ApiError(400, "gates length mismatch")
         lat.set_gates(gates)
+    if _diffusion_requested(req):
+        if req.gates is not None:
+            raise ApiError(
+                422, "provide either explicit gates or a diffusion block, not both"
+            )
+        dopt = req.diffusion
+        if not dopt.gamma > 0:
+            raise ApiError(422, "diffusion.gamma must be > 0 (SPD)")
+        if not (np.isfinite(dopt.beta) and np.isfinite(dopt.gamma)):
+            raise ApiError(422, "diffusion.beta/gamma must be finite")
+        # derived over the lattice's own graph; psi omitted -> uniform gates
+        # (zero sources min-max-normalize to the ones fallback)
+        lat.diffusion_gates(
+            beta=float(dopt.beta),
+            gamma=float(dopt.gamma),
+            tol=float(dopt.tol),
+            max_iters=int(dopt.max_iters),
+            apply=True,
+        )
     if req.chain:
         if len(req.chain) < 2:
             raise ApiError(400, "chain must have >=2 nodes")
@@ -351,7 +376,9 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
 
     ctx = _feature_context(state, req)
     sreq = _parse(SettleRequest, req.json())
-    _check_diffusion_allowed(sreq.gates, ctx["features"])
+    _check_diffusion_allowed(
+        sreq.gates is not None or _diffusion_requested(sreq), ctx["features"]
+    )
 
     Y_req, N, D, k_eff, eff, profile_id = _validate_and_overrides(
         state, sreq, ctx["api_key"]
@@ -445,6 +472,11 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             },
             "profile_id": profile_id,
             "backend": served_by,
+            "diffusion": (
+                {"beta": sreq.diffusion.beta, "gamma": sreq.diffusion.gamma}
+                if _diffusion_requested(sreq)
+                else None
+            ),
             "request_id": req.header(REQUEST_ID_HEADER) or "",
             "usage": {"nodes": N, "node_dim_units": units, "monthly": monthly_block},
             "quota": None
@@ -485,7 +517,9 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
 
     ctx = _feature_context(state, req)
     breq = _parse(BundleRequest, req.json())
-    _check_diffusion_allowed(breq.gates, ctx["features"])
+    _check_diffusion_allowed(
+        breq.gates is not None or _diffusion_requested(breq), ctx["features"]
+    )
 
     if sharded_eligible(breq, len(breq.Y)):
         # large-N bundles run on the mesh tier; the state signature (and
@@ -585,7 +619,9 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     creq = _parse(ChainReceiptRequest, req.json())
     if not creq.chain or len(creq.chain) < 2:
         raise ApiError(400, "chain must have >=2 nodes")
-    _check_diffusion_allowed(creq.gates, ctx["features"])
+    _check_diffusion_allowed(
+        creq.gates is not None or _diffusion_requested(creq), ctx["features"]
+    )
 
     from .sharded_path import eligible as sharded_eligible
     from .sharded_path import request_state_sig
@@ -664,7 +700,7 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     Units charged: N * D * Q (each query is a full solve)."""
     ctx = _feature_context(state, req)
     breq = _parse(BatchSettleRequest, req.json())
-    _check_diffusion_allowed(breq.gates_batch, ctx["features"])
+    _check_diffusion_allowed(breq.gates_batch is not None, ctx["features"])
     Y = np.array(breq.Y, dtype=np.float32)
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")

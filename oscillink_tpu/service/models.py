@@ -29,6 +29,24 @@ class SettleOptions(BaseModel):
     include_receipt: bool = True
 
 
+class DiffusionOptions(BaseModel):
+    """Server-side screened-diffusion gate derivation.
+
+    Implements the reference's draft proposal
+    (docs/cloud/CLOUD_ADVANCED_DIFFUSION_ENDPOINT.md — never shipped
+    upstream): when present and enabled, per-node gates are derived by a
+    screened-Poisson solve over the lattice's OWN graph
+    (`core/lattice.py:diffusion_gates`) before the settle, so the
+    similarity scan is paid once instead of the draft's second build.
+    Tier-gated like explicit gates (`diffusion_gates` feature)."""
+
+    enable: bool = True
+    beta: float = 1.0
+    gamma: float = 0.1
+    tol: float = 1e-4
+    max_iters: int = 256
+
+
 class SettleRequest(BaseModel):
     Y: list[list[float]] = Field(..., description="Matrix N x D (list of rows)")
     psi: Optional[list[float]] = None
@@ -36,6 +54,7 @@ class SettleRequest(BaseModel):
     chain: Optional[list[int]] = None
     params: Params = Params()
     options: SettleOptions = SettleOptions()
+    diffusion: Optional[DiffusionOptions] = None
 
 
 class BundleRequest(SettleRequest):

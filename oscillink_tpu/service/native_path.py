@@ -40,6 +40,9 @@ def eligible(sreq, n: int) -> bool:
         return False
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break is a device-path feature
+    d = getattr(sreq, "diffusion", None)
+    if d is not None and d.enable:
+        return False  # diffusion gates are derived on the device lattice graph
     from ..ops.graph import resolve_similarity
 
     if resolve_similarity(n, getattr(sreq.params, "similarity", "exact")) != "exact":

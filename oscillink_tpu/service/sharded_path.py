@@ -64,6 +64,9 @@ def eligible(sreq, n: int) -> bool:
         return False
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break runs host-side (exact parity path)
+    d = getattr(sreq, "diffusion", None)
+    if d is not None and d.enable:
+        return False  # diffusion gates ride the single-device lattice graph
     return True
 
 

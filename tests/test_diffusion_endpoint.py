@@ -1,0 +1,148 @@
+"""Server-side diffusion block on the compute endpoints.
+
+The reference proposed (but never shipped) a diffusion-settle endpoint
+(docs/cloud/CLOUD_ADVANCED_DIFFUSION_ENDPOINT.md); here the `diffusion`
+request block derives gates over the lattice's own graph before the settle
+(service/models.py:DiffusionOptions, api.py:_build_lattice)."""
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.service import LocalClient
+
+
+def _clustered_payload(n=30, d=16, seed=3, **opts):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    Y[: n // 2] += 2.5 * np.ones(d, dtype=np.float32)  # topical cluster
+    psi = Y[: n // 2].mean(axis=0)
+    psi /= np.linalg.norm(psi) + 1e-12
+    return {
+        "Y": Y.tolist(),
+        "psi": psi.astype(np.float32).tolist(),
+        "options": {"max_iters": 8, "tol": 1e-3, **opts},
+    }
+
+
+@pytest.fixture()
+def client(monkeypatch):
+    for var in (
+        "OSCILLINK_API_KEYS",
+        "OSCILLINK_KEY_TIERS",
+        "OSCILLINK_MONTHLY_CAP",
+        "OSCILLINK_RATE_LIMIT",
+        "OSCILLINK_IP_RATE_LIMIT",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    # open access resolves the free tier; enable the feature via the env
+    # overlay so the compute paths (not the gate) are under test here —
+    # tier gating itself is covered by test_diffusion_block_tier_gated
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    return LocalClient()
+
+
+def test_diffusion_block_applies_gates(client):
+    base = _clustered_payload()
+    r_plain = client.post("/v1/settle", json_body=base)
+    r_diff = client.post(
+        "/v1/settle",
+        json_body={**base, "diffusion": {"beta": 1.0, "gamma": 0.1}},
+    )
+    assert r_plain.status_code == 200 and r_diff.status_code == 200
+    plain, diff = r_plain.json(), r_diff.json()
+    # gates actually moved: meta echo present, receipt stats non-uniform,
+    # and the state signature (which hashes B_diag) differs
+    assert diff["meta"]["diffusion"] == {"beta": 1.0, "gamma": 0.1}
+    assert plain["meta"]["diffusion"] is None
+    m = diff["receipt"]["meta"]
+    assert m["gates_min"] < m["gates_max"]
+    assert diff["state_sig"] != plain["state_sig"]
+    # gates concentrate on the topical cluster psi points at
+    assert m["gates_mean"] < 1.0
+
+
+def test_diffusion_block_matches_sdk(client):
+    from oscillink_tpu import OscillinkLattice
+
+    base = _clustered_payload(seed=11)
+    r = client.post(
+        "/v1/settle", json_body={**base, "diffusion": {"beta": 1.0, "gamma": 0.1}}
+    )
+    assert r.status_code == 200
+
+    Y = np.array(base["Y"], dtype=np.float32)
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_query(np.array(base["psi"], dtype=np.float32))
+    lat.diffusion_gates(beta=1.0, gamma=0.1, apply=True)
+    lat.settle(dt=1.0, max_iters=8, tol=1e-3)
+    rec = lat.receipt()
+    assert r.json()["state_sig"] == rec["meta"]["state_sig"]
+    np.testing.assert_allclose(
+        r.json()["receipt"]["deltaH_total"], rec["deltaH_total"], rtol=1e-5
+    )
+
+
+def test_diffusion_block_tier_gated(client, monkeypatch):
+    monkeypatch.delenv("OSCILLINK_FEAT_DIFFUSION_GATES", raising=False)
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "fk")
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "fk:free")
+    p = {**_clustered_payload(), "diffusion": {"beta": 1.0, "gamma": 0.1}}
+    r = client.post("/v1/settle", json_body=p, headers={"X-API-Key": "fk"})
+    assert r.status_code == 403
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "fk:pro")
+    assert (
+        client.post("/v1/settle", json_body=p, headers={"X-API-Key": "fk"}).status_code
+        == 200
+    )
+    # disabled block does not trip the gate
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "fk:free")
+    p_off = {**_clustered_payload(), "diffusion": {"enable": False}}
+    assert (
+        client.post(
+            "/v1/settle", json_body=p_off, headers={"X-API-Key": "fk"}
+        ).status_code
+        == 200
+    )
+
+
+def test_diffusion_block_validation(client):
+    p = {**_clustered_payload(), "diffusion": {"gamma": 0.0}}
+    assert client.post("/v1/settle", json_body=p).status_code == 422
+    p2 = {
+        **_clustered_payload(),
+        "gates": [1.0] * 30,
+        "diffusion": {"gamma": 0.1},
+    }
+    assert client.post("/v1/settle", json_body=p2).status_code == 422
+
+
+def test_diffusion_routes_off_native_and_sharded(monkeypatch):
+    from oscillink_tpu.service.models import DiffusionOptions, SettleRequest
+    from oscillink_tpu.service import native_path, sharded_path
+
+    sreq = SettleRequest(
+        Y=[[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+        diffusion=DiffusionOptions(),
+    )
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "2048")
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "2")
+    assert native_path.eligible(sreq, 3) is False
+    assert sharded_path.eligible(sreq, 3) is False
+    sreq_off = SettleRequest(
+        Y=sreq.Y, diffusion=DiffusionOptions(enable=False)
+    )
+    assert sharded_path.eligible(sreq_off, 3) is True
+
+
+def test_diffusion_block_on_bundle_changes_cache_key(client):
+    base = _clustered_payload(seed=7)
+    p_plain = {**base, "bundle_k": 4}
+    p_diff = {**base, "bundle_k": 4, "diffusion": {"beta": 1.0, "gamma": 0.1}}
+    r1 = client.post("/v1/bundle", json_body=p_plain)
+    r2 = client.post("/v1/bundle", json_body=p_diff)
+    assert r1.status_code == 200 and r2.status_code == 200
+    assert r1.json()["state_sig"] != r2.json()["state_sig"]
+    # diffusion request caches under its own key
+    r3 = client.post("/v1/bundle", json_body=p_diff)
+    assert r3.json()["meta"]["cache"] == "HIT"
+    assert r3.json()["state_sig"] == r2.json()["state_sig"]
