@@ -286,11 +286,18 @@ def _jit_chain_stats(g, pg, Ustar, Y, lamC, ci, cj):
     return chain_edge_stats(g, pg, Ustar, Y, lamC, ci, cj)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _jit_bundle(g, Y, Ustar, psi, lamC, alpha, k):
+@partial(jax.jit, static_argnames=("k", "diversify"))
+def _jit_bundle(g, Y, Ustar, psi, lamC, alpha, k, diversify=True):
     score, align = bundle_scores(g, Y, Ustar, psi, lamC, alpha)
-    Yn = normalize_rows(Y)
-    picks = mmr_select(Yn, score, k, lambda_div=0.5)
+    if diversify:
+        Yn = normalize_rows(Y)
+        picks = mmr_select(Yn, score, k, lambda_div=0.5)
+    else:
+        # pure-relevance rerank mode: top-k by score, no MMR redundancy
+        # penalty (measured on the real-text corpus: MMR costs ~0.25
+        # nDCG@10 when the consumer wants ranking, not diverse coverage)
+        _, picks = jax.lax.top_k(score, k)
+        picks = picks.astype(jnp.int32)
     return picks, score, align
 
 
@@ -1607,9 +1614,18 @@ class OscillinkLattice:
             )
         return out
 
-    def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
-        """Top-k MMR-diversified bundle scored by
-        alpha * z(coherence_drop) + (1 - alpha) * cos(U*, psi)."""
+    def bundle(
+        self, k: int = 8, alpha: float = 0.5, *, diversify: bool = True
+    ) -> list[dict]:
+        """Top-k bundle scored by
+        alpha * z(coherence_drop) + (1 - alpha) * cos(U*, psi).
+
+        ``diversify=True`` (the reference contract, lattice.py:530-568)
+        MMR-diversifies the picks; ``diversify=False`` returns the pure
+        score ranking — the rerank mode, which on the real-text corpus
+        ties raw cosine nDCG@10 and beats its recall@5
+        (benchmarks/quality_real_lsa_latest.json) where the MMR bundle
+        trades ~0.25 nDCG for diversity."""
         Ustar_dev = self._solve_ustar_device()
         k_eff = min(max(int(k), 0), self.N)
         if k_eff == 0:
@@ -1622,6 +1638,7 @@ class OscillinkLattice:
             self._lam().lamC,
             self._opts(alpha)[0],
             k_eff,
+            diversify,
         )
         picks, score, align = jax.device_get(outs)
         return [

@@ -521,7 +521,9 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         breq.gates is not None or _diffusion_requested(breq), ctx["features"]
     )
 
-    if sharded_eligible(breq, len(breq.Y)):
+    # the sharded serve pipeline implements the MMR contract only; the
+    # rerank mode (diversify=False) runs on the device lattice path
+    if breq.diversify and sharded_eligible(breq, len(breq.Y)):
         # large-N bundles run on the mesh tier; the state signature (and
         # bundle-cache key) is computed without building a lattice and
         # matches the single-device path by construction
@@ -574,7 +576,10 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     state_sig = lat._signature()
-    cached = state.bundle_cache.get(ctx["api_key"], state_sig)
+    # diversify changes the picks but not the lattice state; key the cache
+    # on both so the two modes never serve each other's entries
+    cache_sig = state_sig if breq.diversify else state_sig + ":nodiv"
+    cached = state.bundle_cache.get(ctx["api_key"], cache_sig)
     if cached is not None:
         bundle = cached["bundle"]
         cache_status = "HIT"
@@ -584,11 +589,13 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         stats = lat.settle(
             dt=breq.options.dt, max_iters=breq.options.max_iters, tol=breq.options.tol
         )
-        bundle = lat.bundle(k=breq.bundle_k, alpha=breq.alpha)
+        bundle = lat.bundle(
+            k=breq.bundle_k, alpha=breq.alpha, diversify=breq.diversify
+        )
         t_ms = 1000.0 * (time.perf_counter() - t0)
         state.metrics.settle_counter.labels(status="ok").inc()
         state.metrics.settle_latency.observe(t_ms / 1000.0)
-        state.bundle_cache.put(ctx["api_key"], state_sig, bundle)
+        state.bundle_cache.put(ctx["api_key"], cache_sig, bundle)
         cache_status = "MISS"
         state.learners.record_observation(
             ctx["api_key"],

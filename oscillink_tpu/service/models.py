@@ -60,6 +60,8 @@ class SettleRequest(BaseModel):
 class BundleRequest(SettleRequest):
     bundle_k: int = 8
     alpha: float = 0.5
+    # False = pure score ranking (rerank mode), no MMR diversification
+    diversify: bool = True
 
 
 class ChainReceiptRequest(SettleRequest):

@@ -30,6 +30,28 @@ def test_bundle_k_larger_than_n():
     assert len(out) == 6
 
 
+def test_bundle_rerank_mode_is_pure_score_order():
+    lat = _lat(3)
+    out = lat.bundle(k=40, alpha=0.3, diversify=False)
+    assert len(out) == 40
+    scores = [e["score"] for e in out]
+    assert scores == sorted(scores, reverse=True)
+    assert len({e["id"] for e in out}) == 40
+    # MMR and rerank agree on the score vector but generally not on order
+    mmr = lat.bundle(k=40, alpha=0.3, diversify=True)
+    assert {e["id"]: round(e["score"], 6) for e in mmr} == {
+        e["id"]: round(e["score"], 6) for e in out
+    }
+
+
+def test_bundle_rerank_top1_matches_mmr_top1():
+    # MMR's first pick is the raw argmax, so the two modes share it
+    lat = _lat(4)
+    a = lat.bundle(k=5, alpha=0.5, diversify=False)
+    b = lat.bundle(k=5, alpha=0.5, diversify=True)
+    assert a[0]["id"] == b[0]["id"]
+
+
 def test_chain_receipt_fields():
     lat = _lat(2)
     chain = [0, 3, 5, 9]

@@ -95,3 +95,7 @@ def test_quality_harness_end_to_end(tmp_path):
     assert g["lattice"]["f1_mean"] > 0.5
     rr = data["ungated_rerank"]
     assert 0 < rr["oscillink"]["ndcg10"] <= 1
+    # the rerank mode (bundle(diversify=False)) holds relevance parity with
+    # cosine — within 2 points of nDCG@10 and at/above its recall@5
+    assert rr["oscillink_rerank"]["ndcg10"] >= rr["cosine"]["ndcg10"] - 0.02
+    assert rr["oscillink_rerank"]["recall5"] >= rr["cosine"]["recall5"]

@@ -75,6 +75,21 @@ def test_bundle_cache_hit(client):
     assert r2.json()["bundle"] == r1.json()["bundle"]
 
 
+def test_bundle_rerank_mode_distinct_cache(client):
+    p = {**_payload(seed=2), "bundle_k": 3}
+    r_mmr = client.post("/v1/bundle", json_body=p)
+    assert r_mmr.status_code == 200
+    # rerank mode must not serve the MMR cache entry (or vice versa)
+    r_rr = client.post("/v1/bundle", json_body={**p, "diversify": False})
+    assert r_rr.status_code == 200
+    assert r_rr.headers["X-Cache"] == "MISS"
+    scores = [e["score"] for e in r_rr.json()["bundle"]]
+    assert scores == sorted(scores, reverse=True)
+    r_rr2 = client.post("/v1/bundle", json_body={**p, "diversify": False})
+    assert r_rr2.headers["X-Cache"] == "HIT"
+    assert r_rr2.json()["bundle"] == r_rr.json()["bundle"]
+
+
 def test_chain_receipt_endpoint(client):
     p = {**_payload(seed=3), "chain": [0, 1, 2, 3]}
     r = client.post("/v1/chain/receipt", json_body=p)
