@@ -43,17 +43,22 @@ def recall_at_k(ranked_ids, qrels, k=50):
 
 
 def rerank_with_lattice(doc_vecs, qvec, candidates, top_k, kneighbors=8):
-    """Rerank candidate rows with the coherence lattice bundle."""
+    """Rerank candidate rows by settled alignment (the rerank mode).
+
+    `bundle(diversify=False)` returns the pure score ordering; the MMR
+    bundle is a diversity contract and costs ~0.25 nDCG@10 when consumed
+    as a relevance ranking (benchmarks/quality_real_lsa_latest.json)."""
     from oscillink_tpu import OscillinkLattice
 
     Y = doc_vecs[candidates].astype(np.float32)
     lat = OscillinkLattice(Y, kneighbors=min(kneighbors, len(candidates) - 1))
     lat.set_query(qvec.astype(np.float32))
     lat.settle(max_iters=12, tol=1e-3)
-    order = [int(e["id"]) for e in lat.bundle(k=min(top_k, len(candidates)))]
-    # bundle returns a diversified subset; extend with remaining candidates by score order
-    rest = [i for i in range(len(candidates)) if i not in order]
-    return [candidates[i] for i in order + rest]
+    order = [
+        int(e["id"])
+        for e in lat.bundle(k=len(candidates), alpha=0.0, diversify=False)
+    ]
+    return [candidates[i] for i in order]
 
 
 def run_synthetic(args):
@@ -129,6 +134,14 @@ def run_beir(args):  # pragma: no cover — requires beir package + dataset
 
 
 def main(argv=None):
+    # retrieval-quality numbers are platform-independent and the per-query
+    # solves tiny — default to CPU (utils/platform.py explains why the pin
+    # must set env + config together on this image); pinned here, not at
+    # import, so library importers (bench_quality_real) choose their own
+    from oscillink_tpu.utils.platform import pin_platform
+
+    pin_platform(os.environ.get("OSCILLINK_QUALITY_PLATFORM", "cpu"))
+
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="scifact")
     p.add_argument("--data-dir", default="./beir_data")

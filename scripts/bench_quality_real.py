@@ -30,18 +30,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Force CPU BOTH ways (env var + config) before anything touches a device.
-# The env var must be overwritten, not defaulted: this image's profile
-# exports JAX_PLATFORMS=axon (the remote-TPU tunnel), and with it set the
-# first jit blocks forever whenever the tunnel is wedged.  CPU is right
-# for this harness regardless: hundreds of tiny (N<=40) solves whose
-# quality numbers are platform-independent are latency-bound through a
-# tunnel (~2 min eval becomes >9 min).  Set OSCILLINK_QUALITY_PLATFORM to
-# run it elsewhere deliberately.
-os.environ["JAX_PLATFORMS"] = os.environ.get("OSCILLINK_QUALITY_PLATFORM", "cpu")
-import jax  # noqa: E402
+# CPU by default: hundreds of tiny (N<=40) solves whose quality numbers
+# are platform-independent are latency-bound through a remote-TPU tunnel
+# (~2 min eval becomes >9 min).  Set OSCILLINK_QUALITY_PLATFORM to run it
+# elsewhere deliberately.  pin_platform sets env + config together — see
+# its docstring for why both are required on this image.
+from oscillink_tpu.utils.platform import pin_platform  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+pin_platform(os.environ.get("OSCILLINK_QUALITY_PLATFORM", "cpu"))
 
 import argparse
 import json
