@@ -56,7 +56,10 @@ def _oscillink(Y, psi, k, params):
     )
     lat.set_query(psi)
     lat.settle(max_iters=12, tol=1e-3)
-    pred = [int(e["id"]) for e in lat.bundle(k=k)]
+    pred = [
+        int(e["id"])
+        for e in lat.bundle(k=k, diversify=params.get("diversify", True))
+    ]
     return pred, 1000 * (time.perf_counter() - t0)
 
 
@@ -112,6 +115,10 @@ def run(args):
         rows["cosine"] = (pred, ms)
         pred, ms = _oscillink(Y, psi, args.k, {})
         rows["oscillink"] = (pred, ms)
+        pred, ms = _oscillink(
+            Y, psi, args.k, {"lamQ": 1.0, "diversify": False}
+        )
+        rows["oscillink_rerank"] = (pred, ms)
         if args.tune:
             best = None
             for cs in (0.6, 1.0, 1.4):
