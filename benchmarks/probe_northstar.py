@@ -59,13 +59,12 @@ def main():
     wn = (rng.random((N, K)) * 0.1).astype(np.float32)
 
     cache = "/tmp/ns125_plan.npz"
-    if os.path.exists(cache):
+    if os.path.exists(cache) and all(
+        f in np.load(cache) for f in ws.WindowPlan._fields
+    ):
         z = np.load(cache)
         plan = ws.WindowPlan(
-            cs=jnp.asarray(z["cs"]), idxl=jnp.asarray(z["idxl"]),
-            wnl=jnp.asarray(z["wnl"]), strag_dst=jnp.asarray(z["strag_dst"]),
-            strag_src=jnp.asarray(z["strag_src"]), strag_w=jnp.asarray(z["strag_w"]),
-            strag_off=jnp.asarray(z["strag_off"]),
+            **{f: jnp.asarray(z[f]) for f in ws.WindowPlan._fields}
         )
         cov = float(z["cov"])
         plan_ms = float(z["plan_ms"])

@@ -81,6 +81,7 @@ class WindowPlan(NamedTuple):
     strag_src: jax.Array  # [S] int32 — straggler source rows
     strag_w: jax.Array  # [S] f32 — straggler weights (0 on padding)
     strag_off: jax.Array  # [B] int32 — block i's segment start (multiple of 8)
+    strag_cnt: jax.Array  # [B] int32 — block i's padded count (0 = kernel skips)
 
     @property
     def n_pad(self) -> int:
@@ -215,6 +216,7 @@ def build_window_plan(
         strag_src=jnp.asarray(strag_src),
         strag_w=jnp.asarray(strag_w),
         strag_off=jnp.asarray(off[:b].astype(np.int32)),
+        strag_cnt=jnp.asarray(padded.astype(np.int32)),
     )
     return plan, float(coverage)
 
@@ -347,10 +349,11 @@ def _matmul_kernel3(W: int, n_win: int, S_max: int, precision):
     straggler count."""
 
     def kern(*refs):
-        # refs: c_0..c_{n_win-1}, off | xblk, win_0.., oh, oh3, c_hbm |
+        # refs: c_0..c_{n_win-1}, off, cnt | xblk, win_0.., oh, oh3, c_hbm |
         #       out | c_vmem, sem
         off_ref = refs[n_win]
-        base = n_win + 1
+        cnt_ref = refs[n_win + 1]
+        base = n_win + 2
         xblk = refs[base]
         wins = refs[base + 1 : base + 1 + n_win]
         oh = refs[base + 1 + n_win]
@@ -361,22 +364,44 @@ def _matmul_kernel3(W: int, n_win: int, S_max: int, precision):
         sem = refs[base + 6 + n_win]
 
         i = pl.program_id(0)
+        # on locality-ordered corpora most blocks have NO stragglers
+        # (measured at 125k x k8: p50 = 0, 17x DMA overfetch from the
+        # unconditional [s_max, D] fetch) — predicate the DMA and the
+        # correction matmuls on the prefetched per-block count
+        has = cnt_ref[i] > 0
         # offsets are 8-aligned by plan construction; Mosaic needs the hint
         # to tile the HBM slice
         off = pl.multiple_of(off_ref[i], _LANE)
-        dma = pltpu.make_async_copy(c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem)
-        dma.start()
+
+        @pl.when(has)
+        def _start_dma():
+            pltpu.make_async_copy(
+                c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
+            ).start()
+
         acc = xblk[:]
         for w in range(n_win):
             acc = acc - _window_dot(oh[:, w * W : (w + 1) * W], wins[w][:], precision)
-        dma.wait()
-        c = c_vmem[:]
-        # oh3 is exact in bf16 (0/1); split c so the product is f32-accurate
-        c_hi = c.astype(jnp.bfloat16)
-        c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
-        corr = corr + jnp.dot(oh3[:], c_lo, preferred_element_type=jnp.float32)
-        out[:] = acc - corr
+
+        @pl.when(has)
+        def _correct():
+            pltpu.make_async_copy(
+                c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
+            ).wait()
+            c = c_vmem[:]
+            # oh3 is exact in bf16 (0/1); split c so the product is
+            # f32-accurate
+            c_hi = c.astype(jnp.bfloat16)
+            c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
+            corr = corr + jnp.dot(
+                oh3[:], c_lo, preferred_element_type=jnp.float32
+            )
+            out[:] = acc - corr
+
+        @pl.when(jnp.logical_not(has))
+        def _passthrough():
+            out[:] = acc
 
     return kern
 
@@ -401,7 +426,7 @@ def _window_spmv3(
         return pl.BlockSpec((W, d), lambda i, *pre, w=w: (pre[w][i], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_win + 1,  # elected ids + strag_off
+        num_scalar_prefetch=n_win + 2,  # elected ids + strag_off + strag_cnt
         grid=(b,),
         in_specs=[
             pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),  # xblk
@@ -426,6 +451,7 @@ def _window_spmv3(
     )(
         *[plan.cs[w] for w in range(n_win)],
         plan.strag_off,
+        plan.strag_cnt,
         Xpad,
         *([Xpad] * n_win),
         oh,
@@ -595,5 +621,6 @@ def build_window_plan_device(
         strag_src=s_src,
         strag_w=s_w,
         strag_off=off,
+        strag_cnt=padded.astype(jnp.int32),
     )
     return plan, coverage, n_strag, fits

@@ -40,6 +40,21 @@ def test_plan_partitions_every_live_edge():
     for w in range(plan.n_windows):
         il, wl = np.asarray(plan.idxl[w]), np.asarray(plan.wnl[w])
         assert il[wl != 0].min() >= 0 and il[wl != 0].max() < 256
+    # strag_cnt drives the kernel's skip predicate: it must cover every
+    # live entry of the block's segment (cnt==0 <=> segment empty)
+    cnt = np.asarray(plan.strag_cnt)
+    off = np.asarray(plan.strag_off)
+    w_arr = np.asarray(plan.strag_w)
+    b = plan.n_blocks
+    r = plan.n_pad // b
+    live_blocks = np.bincount(dst[w_arr != 0] // r, minlength=b)
+    assert ((cnt > 0) == (live_blocks > 0)).all()
+    assert (cnt % 8 == 0).all() and (cnt >= live_blocks).all()
+    for i in range(b):  # every live entry within [off[i], off[i]+cnt[i])
+        seg = np.nonzero(w_arr != 0)[0]
+        seg = seg[(dst[seg] // r) == i]
+        if len(seg):
+            assert seg.min() >= off[i] and seg.max() < off[i] + cnt[i]
 
 
 @pytest.mark.parametrize("seed,gen", [(0, "clustered"), (1, "random")])
@@ -190,6 +205,49 @@ def test_windowed_matvec_n_windows(n_windows):
         assert cov > cov2
 
 
+def test_kernel3_strag_skip_parity_interpret():
+    """The in-kernel straggler path (TPU-only in production) in interpret
+    mode: predicated DMA/correction must match the gather matvec with a
+    mix of empty and straggler-heavy blocks."""
+    from unittest import mock
+
+    from oscillink_tpu.ops.graph import Graph, lap_matvec
+
+    rng = np.random.default_rng(1)
+    n, d, k = 4096, 256, 6
+    idx = (np.arange(n)[:, None] + rng.integers(-200, 200, size=(n, k))) % n
+    idx[1500:1800] = rng.integers(0, n, size=(300, k))  # far-jump band
+    idx = idx.astype(np.int32)
+    wn = (rng.random((n, k)) * 0.1).astype(np.float32)
+    plan, _ = ws.build_window_plan(idx, wn, W=384, n_windows=3)
+    cnt = np.asarray(plan.strag_cnt)
+    assert (cnt == 0).any() and (cnt > 0).any()  # both kernel arms exercised
+    oh = ws.build_onehot(plan, 384, ws.plan_s_max(plan))
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+
+    orig = ws.pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(ws.pl, "pallas_call", interp):
+        out = np.asarray(
+            ws._window_spmv3(
+                plan, oh.main, oh.strag, Xp, 384,
+                plan.n_pad // plan.n_blocks, oh.strag.shape[1], "bf16x3",
+            )
+        )[:n]
+    g = Graph(
+        idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),
+        sqrt_deg=jnp.ones(n),
+    )
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 5e-5, rel
+
+
 def test_device_plan_matches_host_plan_3w():
     """Device and host builders agree on the 3-window partition."""
     rng = np.random.default_rng(6)
@@ -212,6 +270,7 @@ def test_device_plan_matches_host_plan_3w():
     assert np.array_equal(np.asarray(plan_d.wnl), np.asarray(plan_h.wnl))
     assert np.array_equal(np.asarray(plan_d.idxl), np.asarray(plan_h.idxl))
     assert np.array_equal(np.asarray(plan_d.strag_off), np.asarray(plan_h.strag_off))
+    assert np.array_equal(np.asarray(plan_d.strag_cnt), np.asarray(plan_h.strag_cnt))
 
 
 def test_lattice_windowed_chunked_settle(monkeypatch):
