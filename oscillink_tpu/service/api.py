@@ -155,14 +155,43 @@ def _feature_context(state: ServiceState, req: ApiRequest) -> dict:
     return {"api_key": key, "features": resolve_features(meta)}
 
 
+def _bundle_cache_sig(state_sig: str, breq) -> str:
+    """Bundle-cache key: the lattice state signature alone is NOT enough —
+    bundle_k, alpha, and diversify all change the served picks without
+    changing the lattice state (review finding: an alpha=1.0 request was
+    served the cached alpha=0.0 ranking)."""
+    mode = "mmr" if breq.diversify else "nodiv"
+    return f"{state_sig}:{int(breq.bundle_k)}:{float(breq.alpha):.6g}:{mode}"
+
+
 def _diffusion_requested(req) -> bool:
     """True when the request carries an enabled server-side diffusion block."""
     d = getattr(req, "diffusion", None)
     return d is not None and bool(d.enable)
 
 
+def _validate_diffusion(req) -> None:
+    """422 on a degenerate diffusion block — BEFORE quota is charged (the
+    charge happens between parse and lattice build in _settle_core)."""
+    if not _diffusion_requested(req):
+        return
+    if getattr(req, "gates", None) is not None:
+        raise ApiError(
+            422, "provide either explicit gates or a diffusion block, not both"
+        )
+    d = req.diffusion
+    if not (np.isfinite(d.gamma) and d.gamma > 0):
+        raise ApiError(422, "diffusion.gamma must be finite and > 0 (SPD)")
+    if not np.isfinite(d.beta):
+        raise ApiError(422, "diffusion.beta must be finite")
+    if not (np.isfinite(d.tol) and d.tol > 0):
+        raise ApiError(422, "diffusion.tol must be finite and > 0")
+    if not 1 <= int(d.max_iters) <= 4096:
+        raise ApiError(422, "diffusion.max_iters must be in [1, 4096]")
+
+
 def _check_diffusion_allowed(requested, feats) -> None:
-    if requested is not None and requested is not False:
+    if requested:
         if os.getenv("OSCILLINK_DIFFUSION_GATES_ENABLED", "1") not in {
             "1",
             "true",
@@ -247,15 +276,8 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
             raise ApiError(400, "gates length mismatch")
         lat.set_gates(gates)
     if _diffusion_requested(req):
-        if req.gates is not None:
-            raise ApiError(
-                422, "provide either explicit gates or a diffusion block, not both"
-            )
+        _validate_diffusion(req)  # backstop; handlers validate pre-charge
         dopt = req.diffusion
-        if not dopt.gamma > 0:
-            raise ApiError(422, "diffusion.gamma must be > 0 (SPD)")
-        if not (np.isfinite(dopt.beta) and np.isfinite(dopt.gamma)):
-            raise ApiError(422, "diffusion.beta/gamma must be finite")
         # derived over the lattice's own graph; psi omitted -> uniform gates
         # (zero sources min-max-normalize to the ones fallback)
         lat.diffusion_gates(
@@ -379,6 +401,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     _check_diffusion_allowed(
         sreq.gates is not None or _diffusion_requested(sreq), ctx["features"]
     )
+    _validate_diffusion(sreq)
 
     Y_req, N, D, k_eff, eff, profile_id = _validate_and_overrides(
         state, sreq, ctx["api_key"]
@@ -520,6 +543,7 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     _check_diffusion_allowed(
         breq.gates is not None or _diffusion_requested(breq), ctx["features"]
     )
+    _validate_diffusion(breq)
 
     # the sharded serve pipeline implements the MMR contract only; the
     # rerank mode (diversify=False) runs on the device lattice path
@@ -535,7 +559,8 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             state, ctx["api_key"], units
         )
         state_sig, k_eff = request_state_sig(breq, eff, Y)
-        cached = state.bundle_cache.get(ctx["api_key"], state_sig)
+        cache_sig = _bundle_cache_sig(state_sig, breq)
+        cached = state.bundle_cache.get(ctx["api_key"], cache_sig)
         if cached is not None:
             bundle = cached["bundle"]
             cache_status = "HIT"
@@ -549,7 +574,7 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             t_ms = out["t_ms"]
             state.metrics.settle_counter.labels(status="ok").inc()
             state.metrics.settle_latency.observe(t_ms / 1000.0)
-            state.bundle_cache.put(ctx["api_key"], state_sig, bundle)
+            state.bundle_cache.put(ctx["api_key"], cache_sig, bundle)
             cache_status = "MISS"
         resp = ApiResponse(
             body={
@@ -576,9 +601,7 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     state_sig = lat._signature()
-    # diversify changes the picks but not the lattice state; key the cache
-    # on both so the two modes never serve each other's entries
-    cache_sig = state_sig if breq.diversify else state_sig + ":nodiv"
+    cache_sig = _bundle_cache_sig(state_sig, breq)
     cached = state.bundle_cache.get(ctx["api_key"], cache_sig)
     if cached is not None:
         bundle = cached["bundle"]
@@ -629,6 +652,7 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     _check_diffusion_allowed(
         creq.gates is not None or _diffusion_requested(creq), ctx["features"]
     )
+    _validate_diffusion(creq)
 
     from .sharded_path import eligible as sharded_eligible
     from .sharded_path import request_state_sig
@@ -708,6 +732,12 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     ctx = _feature_context(state, req)
     breq = _parse(BatchSettleRequest, req.json())
     _check_diffusion_allowed(breq.gates_batch is not None, ctx["features"])
+    if _diffusion_requested(breq):
+        raise ApiError(
+            422,
+            "diffusion block not supported on the batch endpoint; "
+            "precompute gates and pass gates_batch",
+        )
     Y = np.array(breq.Y, dtype=np.float32)
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")

@@ -42,7 +42,7 @@ def recall_at_k(ranked_ids, qrels, k=50):
     return len(set(ranked_ids[:k]) & rel) / len(rel)
 
 
-def rerank_with_lattice(doc_vecs, qvec, candidates, top_k, kneighbors=8):
+def rerank_with_lattice(doc_vecs, qvec, candidates, kneighbors=8):
     """Rerank candidate rows by settled alignment (the rerank mode).
 
     `bundle(diversify=False)` returns the pure score ordering; the MMR
@@ -83,7 +83,7 @@ def run_synthetic(args):
         cand = np.argsort(-sims)[: args.candidates].tolist()
         cos_ranked = [doc_ids[i] for i in cand]
         cos_scores.append(ndcg_at_k(cos_ranked, qrels, 10))
-        rr = rerank_with_lattice(docs, qvec, cand, args.candidates)
+        rr = rerank_with_lattice(docs, qvec, cand)
         lat_ranked = [doc_ids[i] for i in rr]
         lat_scores.append(ndcg_at_k(lat_ranked, qrels, 10))
 
@@ -119,7 +119,7 @@ def run_beir(args):  # pragma: no cover — requires beir package + dataset
         cand = np.argsort(-sims)[: args.candidates].tolist()
         rel = {d: int(r) for d, r in qrels.get(qid, {}).items()}
         cos_ranked = [doc_ids[i] for i in cand]
-        rr = rerank_with_lattice(doc_vecs, qvec, cand, args.candidates)
+        rr = rerank_with_lattice(doc_vecs, qvec, cand)
         lat_ranked = [doc_ids[i] for i in rr]
         results["cosine"].append(ndcg_at_k(cos_ranked, rel, 10))
         results["oscillink"].append(ndcg_at_k(lat_ranked, rel, 10))

@@ -114,6 +114,48 @@ def test_diffusion_block_validation(client):
         "diffusion": {"gamma": 0.1},
     }
     assert client.post("/v1/settle", json_body=p2).status_code == 422
+    # degenerate solver knobs are rejected, not served (review finding:
+    # max_iters=0 used to 200 with gates = the normalized initial guess)
+    for bad in (
+        {"max_iters": 0},
+        {"max_iters": 1 << 20},
+        {"tol": 0.0},
+        {"tol": float("nan")},
+        {"beta": float("inf")},
+    ):
+        p3 = {**_clustered_payload(), "diffusion": {"gamma": 0.1, **bad}}
+        assert client.post("/v1/settle", json_body=p3).status_code == 422, bad
+
+
+def test_diffusion_rejected_before_quota_charge(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "qk")
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "qk:pro")
+    monkeypatch.setenv("OSCILLINK_KEY_NODE_UNITS_LIMIT", "2000")
+    hdr = {"X-API-Key": "qk"}
+    bad = {**_clustered_payload(n=30, d=16), "diffusion": {"gamma": 0.0}}
+    for _ in range(3):  # would exhaust a 2000-unit window if charged
+        assert client.post("/v1/settle", json_body=bad, headers=hdr).status_code == 422
+    ok = _clustered_payload(n=30, d=16)
+    r = client.post("/v1/settle", json_body=ok, headers=hdr)
+    assert r.status_code == 200
+    # full window minus this request's N*D=480: nothing was charged for 422s
+    assert int(r.headers["X-Quota-Remaining"]) == 2000 - 480
+
+
+def test_diffusion_on_batch_is_explicit_422(client):
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    psis = rng.standard_normal((3, 8)).astype(np.float32)
+    r = client.post(
+        "/v1/settle/batch",
+        json_body={
+            "Y": Y.tolist(),
+            "psis": psis.tolist(),
+            "diffusion": {"beta": 1.0, "gamma": 0.1},
+        },
+    )
+    assert r.status_code == 422
+    assert "not supported on the batch endpoint" in r.json()["detail"]
 
 
 def test_diffusion_routes_off_native_and_sharded(monkeypatch):

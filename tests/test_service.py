@@ -90,6 +90,21 @@ def test_bundle_rerank_mode_distinct_cache(client):
     assert r_rr2.json()["bundle"] == r_rr.json()["bundle"]
 
 
+def test_bundle_cache_keyed_on_alpha_and_k(client):
+    """alpha and bundle_k change the served picks without changing the
+    lattice state — each combination must cache separately (review finding:
+    an alpha=1.0 request was served the cached alpha=0.0 ranking)."""
+    p = {**_payload(seed=9), "bundle_k": 5, "alpha": 0.0}
+    r_a0 = client.post("/v1/bundle", json_body=p)
+    assert r_a0.headers["X-Cache"] == "MISS"
+    r_a1 = client.post("/v1/bundle", json_body={**p, "alpha": 1.0})
+    assert r_a1.headers["X-Cache"] == "MISS"
+    r_k9 = client.post("/v1/bundle", json_body={**p, "bundle_k": 9})
+    assert r_k9.headers["X-Cache"] == "MISS"
+    assert len(r_k9.json()["bundle"]) == 9 and len(r_a0.json()["bundle"]) == 5
+    assert client.post("/v1/bundle", json_body=p).headers["X-Cache"] == "HIT"
+
+
 def test_chain_receipt_endpoint(client):
     p = {**_payload(seed=3), "chain": [0, 1, 2, 3]}
     r = client.post("/v1/chain/receipt", json_body=p)
