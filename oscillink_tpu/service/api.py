@@ -869,6 +869,13 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         raise ApiError(403, "async jobs not enabled for this tier")
     payload = req.json()
     sreq = _parse(SettleRequest, payload)
+    # the same gate/validation the sync settle applies — otherwise a job is
+    # a tier-gate bypass for diffusion, and malformed blocks would burn
+    # execution-time quota before failing
+    _check_diffusion_allowed(
+        sreq.gates is not None or _diffusion_requested(sreq), ctx["features"]
+    )
+    _validate_diffusion(sreq)
     api_key = ctx["api_key"]
 
     def run() -> dict:

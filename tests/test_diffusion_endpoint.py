@@ -142,6 +142,19 @@ def test_diffusion_rejected_before_quota_charge(client, monkeypatch):
     assert int(r.headers["X-Quota-Remaining"]) == 2000 - 480
 
 
+def test_diffusion_gate_applies_to_jobs(client, monkeypatch):
+    monkeypatch.delenv("OSCILLINK_FEAT_DIFFUSION_GATES", raising=False)
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "jk")
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "jk:free")
+    p = {**_clustered_payload(), "diffusion": {"beta": 1.0, "gamma": 0.1}}
+    r = client.post("/v1/jobs/settle", json_body=p, headers={"X-API-Key": "jk"})
+    assert r.status_code == 403  # jobs are not a diffusion tier-gate bypass
+    bad = {**_clustered_payload(), "diffusion": {"gamma": 0.0}}
+    monkeypatch.setenv("OSCILLINK_KEY_TIERS", "jk:pro")
+    r2 = client.post("/v1/jobs/settle", json_body=bad, headers={"X-API-Key": "jk"})
+    assert r2.status_code == 422  # rejected at submit, not at execution
+
+
 def test_diffusion_on_batch_is_explicit_422(client):
     rng = np.random.default_rng(0)
     Y = rng.standard_normal((24, 8)).astype(np.float32)
