@@ -78,6 +78,13 @@ def main() -> None:
 
     base = cosine_topk(emb, q, k)
     out = lattice_bundle(emb, q, k)
+    # pure-relevance rerank mode: no MMR diversity trade — use this when
+    # you want a ranking, not diverse coverage (holds cosine-parity nDCG;
+    # see benchmarks/quality_real_lsa_latest.json)
+    lat_rr = Oscillink(emb, kneighbors=4, deterministic_k=True)
+    lat_rr.set_query(q.astype(np.float32))
+    lat_rr.settle(max_iters=12, tol=1e-3)
+    rerank = [p["id"] for p in lat_rr.bundle(k=k, alpha=0.0, diversify=False)]
 
     def fmt(ids):
         return ", ".join(f"{i}{'*' if i in TRAPS else ''}" for i in ids)
@@ -85,6 +92,11 @@ def main() -> None:
     print(f"query: {QUERY!r}")
     print(f"cosine top-{k}:   [{fmt(base)}]  (* = trap)")
     print(f"lattice bundle:  [{fmt(out['ids'])}]")
+    print(f"lattice rerank:  [{fmt(rerank)}]")
+    print(
+        "   (bundle = coherence + diversity, suppresses traps; rerank = "
+        "pure relevance order, tracks cosine — pick per consumer)"
+    )
     base_traps = sum(i in TRAPS for i in base)
     latt_traps = sum(i in TRAPS for i in out["ids"])
     print(f"traps retrieved: cosine={base_traps}  lattice={latt_traps}")
