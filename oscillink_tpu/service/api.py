@@ -796,6 +796,12 @@ def h_bundle_ragged(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
 
     ctx = _feature_context(state, req)
     rreq = _parse(RaggedBundleRequest, req.json())
+    if _diffusion_requested(rreq):
+        raise ApiError(
+            422,
+            "diffusion block not supported on the ragged endpoint; "
+            "precompute gates and pass them per corpus",
+        )
     if not rreq.corpora:
         raise ApiError(400, "corpora must be non-empty")
     if len(rreq.corpora) > 64:

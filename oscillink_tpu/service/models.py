@@ -95,6 +95,9 @@ class RaggedBundleRequest(BaseModel):
     bundle_k: int = 8
     alpha: float = 0.5
     options: SettleOptions = SettleOptions()
+    # declared so a request carrying it gets an explicit 422 (see
+    # BatchSettleRequest) instead of a silent drop
+    diffusion: Optional[DiffusionOptions] = None
 
 
 class AutoCorrectRequest(BaseModel):

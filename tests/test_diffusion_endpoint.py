@@ -169,6 +169,16 @@ def test_diffusion_on_batch_is_explicit_422(client):
     )
     assert r.status_code == 422
     assert "not supported on the batch endpoint" in r.json()["detail"]
+    r2 = client.post(
+        "/v1/bundle/ragged",
+        json_body={
+            "corpora": [Y.tolist()],
+            "psis": [psis[0].tolist()],
+            "diffusion": {"beta": 1.0, "gamma": 0.1},
+        },
+    )
+    assert r2.status_code == 422
+    assert "ragged" in r2.json()["detail"]
 
 
 def test_diffusion_routes_off_native_and_sharded(monkeypatch):
