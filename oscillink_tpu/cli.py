@@ -186,6 +186,13 @@ def cmd_settle(args: argparse.Namespace) -> int:
     lat = OscillinkLattice(Y, kneighbors=args.kneighbors)
     if psi is not None:
         lat.set_query(psi)
+    if args.diffusion:
+        if psi is None:
+            print("warning: --diffusion without psi yields uniform gates",
+                  file=sys.stderr)
+        lat.diffusion_gates(
+            beta=args.diffusion_beta, gamma=args.diffusion_gamma, apply=True
+        )
     lat.set_receipt_detail("light" if args.light else "full")
     stats = lat.settle(max_iters=args.max_iters, tol=args.tol)
     rec = lat.receipt()
@@ -195,6 +202,11 @@ def cmd_settle(args: argparse.Namespace) -> int:
         "state_sig": rec["meta"]["state_sig"],
         "null_points": len(rec["null_points"]),
     }
+    if args.bundle_k:
+        out["bundle"] = [
+            e["id"]
+            for e in lat.bundle(k=args.bundle_k, diversify=not args.rerank)
+        ]
     print(json.dumps(out, indent=2))
     return 0
 
@@ -239,6 +251,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--max-iters", type=int, default=12)
     p.add_argument("--tol", type=float, default=1e-3)
     p.add_argument("--light", action="store_true")
+    p.add_argument("--bundle-k", type=int, default=0,
+                   help="also print the top-k bundle ids")
+    p.add_argument("--rerank", action="store_true",
+                   help="bundle in rerank mode (pure score order, no MMR)")
+    p.add_argument("--diffusion", action="store_true",
+                   help="derive gates by screened diffusion before settling")
+    p.add_argument("--diffusion-beta", type=float, default=1.0)
+    p.add_argument("--diffusion-gamma", type=float, default=0.1)
     p.set_defaults(fn=cmd_settle)
 
     p = sub.add_parser("serve", help="run the cloud service")

@@ -77,6 +77,20 @@ def test_cli_settle_local(config_dir, tmp_path, capsys):
     assert "deltaH_total" in out and out["settle"]["iters"] >= 1
 
 
+def test_cli_settle_diffusion_and_rerank(config_dir, tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    Y = rng.standard_normal((20, 8)).astype(np.float32)
+    psi = rng.standard_normal(8).astype(np.float32)
+    p = tmp_path / "emb.npz"
+    np.savez(p, Y=Y, psi=psi)
+    assert cli.main([
+        "settle", str(p), "--kneighbors", "3", "--light",
+        "--diffusion", "--bundle-k", "5", "--rerank",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["bundle"]) == 5 and len(set(out["bundle"])) == 5
+
+
 def test_license_roundtrip():
     iss = LicenseIssuer()
     token = iss.issue(
