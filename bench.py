@@ -256,6 +256,116 @@ def _large_n_recorded():
     return rec
 
 
+def _native_1200(log):
+    """Host C++ engine at the reference's small headline config — the
+    deploy-default serving path below OSCILLINK_NATIVE_SMALL_N, measured
+    without touching the (possibly wedged) TPU tunnel."""
+    try:
+        from oscillink_tpu.native import NativeEngine, native_available
+
+        if not native_available():
+            return None
+        Yn, psin = _data(1200, 128)
+
+        def native_pass():
+            t0 = time.perf_counter()
+            eng = NativeEngine(Yn, kneighbors=6)
+            eng.set_query(psin)
+            eng.settle(max_iters=12, tol=1e-3)
+            Ustar, _, _ = eng.solve_ustar(tol=1e-4, max_iters=64)
+            eng.deltaH(eng.U, Ustar)
+            return 1000.0 * (time.perf_counter() - t0)
+
+        native_pass()
+        med_native = float(np.median([native_pass() for _ in range(REPEATS)]))
+        log("# native N=1200 done")
+        return {
+            "e2e_ms": round(med_native, 3),
+            "vs_baseline": round(BASELINE_N1200_MS / med_native, 3),
+            "backend": "native-host",
+        }
+    except Exception as e:  # pragma: no cover
+        log(f"# native path unavailable: {e}")
+        return None
+
+
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Enumerate devices in a SUBPROCESS under a timeout.  When the tunnel
+    is wedged even jax.devices() blocks forever (observed 2026-08-17, hours);
+    probing in-process would leave the driver with no JSON line at all."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        return p.returncode == 0 and bool(p.stdout.strip())
+    except Exception:
+        return False
+
+
+def _tunnel_down_exit() -> None:
+    """Print the honest-null headline when no device is reachable; the
+    native-host N=1200 number (TPU-free) is still measured live."""
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    log("# device enumeration timed out: tunnel down, emitting null headline")
+    cached_detail = None
+    try:
+        import os as _os
+
+        cached_path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "benchmarks",
+            "bench_latest.json",
+        )
+        cached_detail = {
+            "value": json.load(open(cached_path))["value"],
+            "note": "previous committed run; NOT this run's measurement",
+        }
+    except Exception:
+        pass
+    r1200_native = _native_1200(log)
+    out = {
+        "metric": "e2e_build_settle_receipt_ms_N5000_D128_k6",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "detail": {
+            "measurement_quality": (
+                "tunnel down: device enumeration timed out — no TPU "
+                "measurement this run"
+            ),
+            "includes_readback": False,
+            "cached_last_good": cached_detail,
+            "N1200_native": r1200_native,
+            "N1200_serving_default": (
+                {
+                    "backend": "native-host (deploy default: "
+                    "OSCILLINK_NATIVE_SMALL_N=2048)",
+                    "e2e_ms": r1200_native["e2e_ms"],
+                    "vs_baseline": r1200_native["vs_baseline"],
+                }
+                if r1200_native
+                else None
+            ),
+            "large_n_recorded": _large_n_recorded(),
+            "baseline_N5000_ms": BASELINE_N5000_MS,
+            "baseline_N1200_ms": BASELINE_N1200_MS,
+            "backend": "unreachable",
+            "repeats": REPEATS,
+        },
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    sys.stderr.flush()
+
+
 def main() -> None:
     from oscillink_tpu import OscillinkLattice
 
@@ -343,32 +453,7 @@ def main() -> None:
         log(f"# matvec compare failed: {e}")
 
     # native host engine at the reference's small headline config
-    r1200_native = None
-    try:
-        from oscillink_tpu.native import NativeEngine, native_available
-
-        if native_available():
-            Yn, psin = _data(1200, 128)
-
-            def native_pass():
-                t0 = time.perf_counter()
-                eng = NativeEngine(Yn, kneighbors=6)
-                eng.set_query(psin)
-                eng.settle(max_iters=12, tol=1e-3)
-                Ustar, _, _ = eng.solve_ustar(tol=1e-4, max_iters=64)
-                eng.deltaH(eng.U, Ustar)
-                return 1000.0 * (time.perf_counter() - t0)
-
-            native_pass()
-            med_native = float(np.median([native_pass() for _ in range(REPEATS)]))
-            r1200_native = {
-                "e2e_ms": round(med_native, 3),
-                "vs_baseline": round(BASELINE_N1200_MS / med_native, 3),
-                "backend": "native-host",
-            }
-            log("# native N=1200 done")
-    except Exception as e:  # pragma: no cover
-        log(f"# native path unavailable: {e}")
+    r1200_native = _native_1200(log)
 
     import jax
 
@@ -464,4 +549,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if _device_reachable():
+        main()
+    else:
+        _tunnel_down_exit()
