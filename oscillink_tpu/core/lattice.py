@@ -1679,6 +1679,30 @@ class OscillinkLattice:
             self.set_gates(h)
         return h
 
+    def diffusion_gates_batch(
+        self,
+        psis: np.ndarray,
+        *,
+        beta: float = 1.0,
+        gamma: float = 0.1,
+        tol: float = 1e-4,
+        max_iters: int = 256,
+    ) -> np.ndarray:
+        """[Q, N] screened-diffusion gates for Q queries over THIS lattice's
+        graph — one vmapped program, per-query semantics identical to
+        `diffusion_gates` (the batch serving path's gate derivation)."""
+        from ..preprocess.diffusion import compute_diffusion_gates_from_graph_batch
+
+        return compute_diffusion_gates_from_graph_batch(
+            self._graph,
+            self._Y_dev,
+            np.asarray(psis, dtype=np.float32),
+            beta=beta,
+            gamma=gamma,
+            tol=tol,
+            max_iters=max_iters,
+        )
+
     # -- callbacks --------------------------------------------------------
 
     def add_settle_callback(self, fn) -> None:

@@ -28,7 +28,11 @@ import numpy as np
 from ..ops.graph import Graph, build_graph, lap_matvec, normalize_rows
 from ..ops.solver import cg_solve
 
-__all__ = ["compute_diffusion_gates", "compute_diffusion_gates_from_graph"]
+__all__ = [
+    "compute_diffusion_gates",
+    "compute_diffusion_gates_from_graph",
+    "compute_diffusion_gates_from_graph_batch",
+]
 
 _DENSE_DIRECT_LIMIT = 4096
 
@@ -73,6 +77,70 @@ def _diffusion_from_graph_jit(g, Y, psi, beta, gamma, tol, max_iters):
 
     h, _, _ = cg_solve(A_mul, s, x0=None, M_diag=M_diag, tol=tol, max_iters=max_iters)
     return h
+
+
+@jax.jit
+def _diffusion_from_graph_batch_jit(g, Y, psis, beta, gamma, tol, max_iters):
+    """Q screened-Poisson solves over ONE shared graph, vmapped — the batch
+    counterpart of `_diffusion_from_graph_jit` with the host-side
+    normalize/fallback logic replicated functionally per lane."""
+    Yn = normalize_rows(Y)
+    M_diag = jnp.ones(Y.shape[0], dtype=jnp.float32) + gamma
+
+    def A_mul(x):
+        return lap_matvec(g, x) + gamma * x
+
+    def one(psi):
+        psi_n = psi / (jnp.linalg.norm(psi) + 1e-12)
+        s = beta * jnp.maximum(0.0, Yn @ psi_n)
+        h, _, _ = cg_solve(
+            A_mul, s, x0=None, M_diag=M_diag, tol=tol, max_iters=max_iters
+        )
+        finite = jnp.all(jnp.isfinite(h))
+        h_min, h_max = jnp.min(h), jnp.max(h)
+        spread = h_max - h_min
+        hn = jnp.where(
+            spread < 1e-12,
+            jnp.ones_like(h),
+            (h - h_min) / jnp.maximum(spread, 1e-12),
+        )
+        return jnp.where(finite, jnp.clip(hn, 0.0, 1.0), jnp.ones_like(h))
+
+    return jax.vmap(one)(psis)
+
+
+def compute_diffusion_gates_from_graph_batch(
+    g: Graph,
+    Y_dev: jax.Array,
+    psis: np.ndarray,  # [Q, D]
+    *,
+    beta: float = 1.0,
+    gamma: float = 0.1,
+    tol: float = 1e-4,
+    max_iters: int = 256,
+) -> np.ndarray:
+    """[Q, N] gates for Q queries over an already-built graph; per-query
+    semantics identical to `compute_diffusion_gates_from_graph` (same
+    normalize + uniform-ones fallback, applied per lane)."""
+    if gamma <= 0:
+        raise ValueError("gamma must be > 0 for SPD")
+    q = int(np.asarray(psis).shape[0])
+    n = int(Y_dev.shape[0])
+    try:
+        h = np.asarray(
+            _diffusion_from_graph_batch_jit(
+                g,
+                Y_dev,
+                jnp.asarray(np.asarray(psis, dtype=np.float32)),
+                jnp.float32(beta),
+                jnp.float32(gamma),
+                jnp.float32(tol),
+                jnp.int32(max_iters),
+            )
+        )
+    except Exception:
+        return np.ones((q, n), dtype=np.float32)
+    return h.astype(np.float32)
 
 
 def compute_diffusion_gates_from_graph(

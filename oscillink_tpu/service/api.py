@@ -731,13 +731,17 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     Units charged: N * D * Q (each query is a full solve)."""
     ctx = _feature_context(state, req)
     breq = _parse(BatchSettleRequest, req.json())
-    _check_diffusion_allowed(breq.gates_batch is not None, ctx["features"])
+    _check_diffusion_allowed(
+        breq.gates_batch is not None or _diffusion_requested(breq),
+        ctx["features"],
+    )
     if _diffusion_requested(breq):
-        raise ApiError(
-            422,
-            "diffusion block not supported on the batch endpoint; "
-            "precompute gates and pass gates_batch",
-        )
+        if breq.gates_batch is not None:
+            raise ApiError(
+                422,
+                "provide either gates_batch or a diffusion block, not both",
+            )
+        _validate_diffusion(breq)
     Y = np.array(breq.Y, dtype=np.float32)
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")
@@ -773,6 +777,17 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         deterministic_k=breq.params.deterministic_k,
         neighbor_seed=breq.params.neighbor_seed,
     )
+    if _diffusion_requested(breq):
+        # Q screened-Poisson solves over the one shared graph, vmapped —
+        # the per-query semantics of the single-settle diffusion block
+        dopt = breq.diffusion
+        gates = lat.diffusion_gates_batch(
+            psis,
+            beta=float(dopt.beta),
+            gamma=float(dopt.gamma),
+            tol=float(dopt.tol),
+            max_iters=int(dopt.max_iters),
+        )
     bundles = lat.bundle_batch(psis, gates=gates, k=breq.bundle_k, alpha=breq.alpha)
     t_ms = 1000.0 * (time.perf_counter() - t0)
     state.metrics.usage_units.inc(units)
@@ -781,7 +796,16 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             "queries": Q,
             "bundles": bundles,
             "timings_ms": {"total_ms": t_ms, "per_query_ms": t_ms / Q},
-            "meta": {"N": N, "D": D, "kneighbors_effective": k_eff},
+            "meta": {
+                "N": N,
+                "D": D,
+                "kneighbors_effective": k_eff,
+                "diffusion": (
+                    {"beta": breq.diffusion.beta, "gamma": breq.diffusion.gamma}
+                    if _diffusion_requested(breq)
+                    else None
+                ),
+            },
         }
     )
     _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, "baseline")

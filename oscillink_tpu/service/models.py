@@ -77,9 +77,8 @@ class BatchSettleRequest(BaseModel):
     params: Params = Params()
     bundle_k: int = 8
     alpha: float = 0.5
-    # declared so a request carrying it gets an explicit 422 instead of
-    # pydantic silently dropping the unknown field (per-query diffusion
-    # solves are not implemented on the batch path)
+    # Q screened-Poisson solves over the shared graph, vmapped
+    # (lattice.diffusion_gates_batch); mutually exclusive with gates_batch
     diffusion: Optional[DiffusionOptions] = None
 
 

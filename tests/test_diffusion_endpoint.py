@@ -155,25 +155,64 @@ def test_diffusion_gate_applies_to_jobs(client, monkeypatch):
     assert r2.status_code == 422  # rejected at submit, not at execution
 
 
-def test_diffusion_on_batch_is_explicit_422(client):
-    rng = np.random.default_rng(0)
-    Y = rng.standard_normal((24, 8)).astype(np.float32)
-    psis = rng.standard_normal((3, 8)).astype(np.float32)
+def test_diffusion_on_batch_matches_single_settles(client):
+    """The batch endpoint's diffusion block = Q vmapped screened-Poisson
+    solves over the shared graph; per-query results must match the
+    single-settle diffusion block."""
+    base = _clustered_payload(n=30, d=16, seed=21)
+    Y = base["Y"]
+    rng = np.random.default_rng(3)
+    psis = rng.standard_normal((3, 16)).astype(np.float32)
+    psis /= np.linalg.norm(psis, axis=1, keepdims=True)
+    diff = {"beta": 1.0, "gamma": 0.1}
     r = client.post(
         "/v1/settle/batch",
         json_body={
-            "Y": Y.tolist(),
+            "Y": Y,
             "psis": psis.tolist(),
-            "diffusion": {"beta": 1.0, "gamma": 0.1},
+            "bundle_k": 4,
+            "diffusion": diff,
         },
     )
-    assert r.status_code == 422
-    assert "not supported on the batch endpoint" in r.json()["detail"]
+    assert r.status_code == 200
+    body = r.json()
+    assert body["meta"]["diffusion"] == diff
+    for qi in range(3):
+        rs = client.post(
+            "/v1/settle",
+            json_body={
+                "Y": Y,
+                "psi": psis[qi].tolist(),
+                "diffusion": diff,
+                "options": {"bundle_k": 4, "include_receipt": False},
+            },
+        )
+        assert rs.status_code == 200
+        assert [e["id"] for e in body["bundles"][qi]] == [
+            e["id"] for e in rs.json()["bundle"]
+        ]
+    # mutual exclusion with explicit per-query gates
+    r2 = client.post(
+        "/v1/settle/batch",
+        json_body={
+            "Y": Y,
+            "psis": psis.tolist(),
+            "gates_batch": [[1.0] * 30] * 3,
+            "diffusion": diff,
+        },
+    )
+    assert r2.status_code == 422
+
+
+def test_diffusion_on_ragged_is_explicit_422(client):
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    psi = rng.standard_normal(8).astype(np.float32)
     r2 = client.post(
         "/v1/bundle/ragged",
         json_body={
             "corpora": [Y.tolist()],
-            "psis": [psis[0].tolist()],
+            "psis": [psi.tolist()],
             "diffusion": {"beta": 1.0, "gamma": 0.1},
         },
     )
