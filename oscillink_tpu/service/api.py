@@ -966,7 +966,11 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             out["bundle"] = o["bundle"]
         return out
 
-    rec = state.jobs.submit(run, meta={"api_key": api_key})
+    rec = state.jobs.submit(
+        run,
+        meta={"api_key": api_key},
+        priority=bool(ctx["features"].get("priority_queue")),
+    )
     state.metrics.job_queue_depth.set(state.jobs.depth())
     return ApiResponse(status=202, body={"job_id": rec["id"], "status": rec["status"]})
 

@@ -28,7 +28,14 @@ def _job_ttl() -> float:
 class JobStore:
     def __init__(self) -> None:
         self._jobs: Dict[str, dict] = {}
-        self._queue: "queue.Queue[tuple[str, Callable[[], dict]]]" = queue.Queue()
+        # (priority, seq): priority-tier jobs (enterprise `priority_queue`
+        # feature) dequeue ahead of normal ones; seq keeps FIFO within a
+        # class.  The reference defines the flag but never consumes it —
+        # here it actually reorders the queue.
+        self._queue: "queue.PriorityQueue[tuple[int, int, str, Callable[[], dict]]]" = (
+            queue.PriorityQueue()
+        )
+        self._seq = 0
         self._worker: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
@@ -44,7 +51,7 @@ class JobStore:
 
     def _run_loop(self) -> None:
         while True:
-            job_id, fn = self._queue.get()
+            _, _, job_id, fn = self._queue.get()
             job = self._jobs.get(job_id)
             if job is None or job.get("status") == "cancelled":
                 continue
@@ -62,20 +69,30 @@ class JobStore:
 
     # -- public API ----------------------------------------------------------
 
-    def submit(self, fn: Callable[[], dict], meta: Optional[dict] = None) -> dict:
+    def submit(
+        self,
+        fn: Callable[[], dict],
+        meta: Optional[dict] = None,
+        *,
+        priority: bool = False,
+    ) -> dict:
         self.purge()
         job_id = uuid.uuid4().hex
         rec: dict[str, Any] = {
             "id": job_id,
             "status": "queued",
             "submitted_at": time.time(),
+            "priority": bool(priority),
             "result": None,
             "error": None,
             **(meta or {}),
         }
         self._jobs[job_id] = rec
         self._ensure_worker()
-        self._queue.put((job_id, fn))
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        self._queue.put((0 if priority else 1, seq, job_id, fn))
         return rec
 
     def get(self, job_id: str) -> Optional[dict]:

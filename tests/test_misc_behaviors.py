@@ -58,6 +58,41 @@ def test_job_cancel_queued():
     gate.set()
 
 
+def test_job_priority_queue_reorders():
+    """priority=True jobs dequeue ahead of earlier-submitted normal jobs
+    (the enterprise priority_queue feature, a dead flag in the reference)."""
+    import threading
+
+    store = JobStore()
+    gate = threading.Event()
+    order: list[str] = []
+
+    def job(tag, block=False):
+        def run():
+            if block:
+                gate.wait(10)
+            order.append(tag)
+            return {"tag": tag}
+
+        return run
+
+    first = store.submit(job("blocker", block=True))
+    deadline = time.time() + 10  # wait until the worker is occupied
+    while time.time() < deadline and store.get(first["id"])["status"] != "running":
+        time.sleep(0.01)
+    assert store.get(first["id"])["status"] == "running"
+    store.submit(job("normal-1"))
+    store.submit(job("normal-2"))
+    prio = store.submit(job("prio"), priority=True)
+    assert prio["priority"] is True
+    gate.set()
+    deadline = time.time() + 10
+    while time.time() < deadline and len(order) < 4:
+        time.sleep(0.02)
+    assert order == ["blocker", "prio", "normal-1", "normal-2"]
+    assert store.get(first["id"])["status"] == "done"
+
+
 def test_job_store_concurrent_submissions():
     """JobStore stays consistent under concurrent submitters."""
     import threading
