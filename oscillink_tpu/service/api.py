@@ -436,7 +436,12 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             )
             receipt = lat.receipt() if want_receipt else None
             bundle = (
-                lat.bundle(k=sreq.options.bundle_k) if sreq.options.bundle_k else None
+                lat.bundle(
+                    k=sreq.options.bundle_k,
+                    diversify=sreq.options.bundle_diversify,
+                )
+                if sreq.options.bundle_k
+                else None
             )
             state_sig = (
                 receipt.get("meta", {}).get("state_sig") if receipt else None
@@ -946,7 +951,10 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
                 "state_sig": lat._signature(),
                 "settle_stats": stats,
                 "receipt": lat.receipt() if sreq.options.include_receipt else None,
-                "bundle": lat.bundle(k=sreq.options.bundle_k)
+                "bundle": lat.bundle(
+                    k=sreq.options.bundle_k,
+                    diversify=sreq.options.bundle_diversify,
+                )
                 if sreq.options.bundle_k
                 else None,
             }

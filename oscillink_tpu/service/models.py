@@ -26,6 +26,8 @@ class SettleOptions(BaseModel):
     tol: float = 1e-3
     dt: float = 1.0
     bundle_k: Optional[int] = None
+    # False = pure score ranking for the inline bundle (rerank mode)
+    bundle_diversify: bool = True
     include_receipt: bool = True
 
 
