@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Author notebooks 02/03/05 (energy landscape, constraint query, scaling tiers) as JSON.
+"""Author notebooks 02/03/05/06 (energy landscape, constraint query, scaling tiers, rerank modes) as JSON.
 
 Kept as a script so the notebook sources stay reviewable in diffs and can be
 regenerated; reference analogs: notebooks/02_energy_landscape.ipynb,
@@ -360,11 +360,96 @@ response shape and HMAC-signed receipt (docs/SCALING.md).  Sizing for the
 ]
 
 
+RERANK_CELLS = [
+    _cell(
+        "markdown",
+        """
+# 06 — Two bundle modes: diversity contract vs pure-relevance rerank
+
+`bundle()` serves two different consumers:
+
+- **`diversify=True`** (default, the reference contract): scores are
+  MMR-diversified — built for *coverage*, e.g. feeding an LLM a varied
+  context window. Combined with gating it suppresses trap passages.
+- **`diversify=False`** (rerank mode): the raw score ordering
+  `alpha*z(coherence_drop) + (1-alpha)*cos(U*, psi)` — built for
+  *ranking*. On the vendored real-text corpus it holds cosine-parity
+  nDCG@10 (0.859 vs 0.868) and beats cosine recall@5 (0.731 vs 0.723),
+  where the MMR mode loses ~0.25 nDCG if misused as a ranking
+  (`benchmarks/quality_real_lsa_latest.json`).
+
+This notebook reproduces the comparison on a synthetic topical corpus.
+""",
+    ),
+    _cell(
+        "code",
+        """
+import numpy as np
+
+from oscillink_tpu import OscillinkLattice
+
+rng = np.random.default_rng(0)
+n_topics, per_topic, d = 8, 12, 64
+topics = rng.standard_normal((n_topics, d)).astype(np.float32)
+Y = np.concatenate(
+    [t + 0.55 * rng.standard_normal((per_topic, d)).astype(np.float32) for t in topics]
+)
+Y /= np.linalg.norm(Y, axis=1, keepdims=True) + 1e-12
+topic_of = np.repeat(np.arange(n_topics), per_topic)
+
+def ndcg10(ranked, rel):
+    dcg = sum((ranked[i] in rel) / np.log2(i + 2) for i in range(10))
+    idcg = sum(1 / np.log2(i + 2) for i in range(min(10, len(rel))))
+    return dcg / idcg
+
+scores = {"cosine": [], "bundle (MMR)": [], "rerank": []}
+for t in range(n_topics):
+    q = topics[t] + 0.3 * rng.standard_normal(d).astype(np.float32)
+    q /= np.linalg.norm(q) + 1e-12
+    rel = set(np.nonzero(topic_of == t)[0].tolist())
+    order = np.argsort(-(Y @ q))
+    scores["cosine"].append(ndcg10(list(order), rel))
+
+    lat = OscillinkLattice(Y, kneighbors=6, lamQ=1.0)
+    lat.set_query(q)
+    lat.settle(max_iters=12, tol=1e-3)
+    mmr = [e["id"] for e in lat.bundle(k=Y.shape[0], alpha=0.0)]
+    rr = [e["id"] for e in lat.bundle(k=Y.shape[0], alpha=0.0, diversify=False)]
+    scores["bundle (MMR)"].append(ndcg10(mmr, rel))
+    scores["rerank"].append(ndcg10(rr, rel))
+
+for k, v in scores.items():
+    print(f"{k:14s} nDCG@10 = {np.mean(v):.3f}")
+""",
+    ),
+    _cell(
+        "markdown",
+        """
+The rerank mode tracks (or beats) cosine; the MMR bundle deliberately
+trades nDCG for diversity. Serving equivalents:
+
+```jsonc
+POST /v1/bundle  {"Y": ..., "psi": ..., "bundle_k": 10, "diversify": false}
+POST /v1/settle  {"Y": ..., "psi": ...,
+                   "options": {"bundle_k": 10, "bundle_diversify": false},
+                   "diffusion": {"beta": 1.0, "gamma": 0.1}}  // optional gates
+```
+
+Each (bundle_k, alpha, diversify) combination caches separately; the
+`diffusion` block derives gates server-side over the lattice's own graph
+(docs/DIFFUSION.md). For trap suppression, keep the gated MMR bundle —
+`notebooks/04_hallucination_gating.ipynb`.
+""",
+    ),
+]
+
+
 def main() -> None:
     out = {
         "02_energy_landscape.ipynb": ENERGY_CELLS,
         "03_constraint_query.ipynb": CONSTRAINT_CELLS,
         "05_scaling_tiers.ipynb": SCALING_CELLS,
+        "06_rerank_modes.ipynb": RERANK_CELLS,
     }
     for name, cells in out.items():
         path = os.path.join(ROOT, "notebooks", name)

@@ -42,6 +42,7 @@ NOTEBOOKS = os.path.join(os.path.dirname(EXAMPLES), "notebooks")
         "03_constraint_query.ipynb",
         "04_hallucination_gating.ipynb",
         "05_scaling_tiers.ipynb",
+        "06_rerank_modes.ipynb",
     ],
 )
 def test_notebook_code_cells_run(name, tmp_path, monkeypatch):
