@@ -53,7 +53,11 @@ class FirestoreKeyStore(KeyStore):  # pragma: no cover — external dependency
         )
 
     def update(
-        self, api_key: str, create: bool = False, **fields
+        self,
+        api_key: str,
+        create: bool = False,
+        clear: Optional[list] = None,
+        **fields,
     ) -> Optional[KeyMetadata]:
         meta = self.get(api_key)
         if meta is None:
@@ -63,6 +67,9 @@ class FirestoreKeyStore(KeyStore):  # pragma: no cover — external dependency
         for k, v in fields.items():
             if hasattr(meta, k) and v is not None:
                 setattr(meta, k, v)
+        for k in clear or []:
+            if k in ("quota_limit_units", "quota_window_seconds", "features"):
+                setattr(meta, k, {} if k == "features" else None)
         meta.updated_at = time.time()
         payload = meta.to_dict()
         payload.pop("api_key", None)

@@ -300,10 +300,14 @@ def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[st
 
 
 def _charge(state: ServiceState, api_key: Optional[str], units: int):
-    monthly_ctx = state.monthly.check_and_consume(api_key, units, state.keystore)
+    # peek-then-consume: a windowed-quota 429 must not permanently burn
+    # monthly units (a client honoring Retry-After would otherwise drain
+    # its whole month on rejected retries)
+    state.monthly.peek(api_key, units, state.keystore)
     remaining, limit, reset_at = state.quota.check_and_consume(
         api_key, units, state.keystore
     )
+    monthly_ctx = state.monthly.check_and_consume(api_key, units, state.keystore)
     return monthly_ctx, remaining, limit, reset_at
 
 
@@ -926,8 +930,7 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             state, sreq, api_key
         )
         units = N * D
-        state.monthly.check_and_consume(api_key, units, state.keystore)
-        state.quota.check_and_consume(api_key, units, state.keystore)
+        _charge(state, api_key, units)
         if native_eligible(sreq, N):
             o = native_settle(
                 sreq, eff, include_receipt=sreq.options.include_receipt
@@ -1174,9 +1177,17 @@ def h_admin_get_key(state: ServiceState, req: ApiRequest, api_key: str = "", **_
 def h_admin_put_key(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
     _admin_guard(req)
     upd = _parse(AdminKeyUpdate, req.json())
+    # explicit JSON null = clear the override back to the global default
+    # (None-omitted fields stay unchanged; keystore.update skips Nones)
+    clear = [
+        f
+        for f in ("quota_limit_units", "quota_window_seconds", "features")
+        if f in upd.model_fields_set and getattr(upd, f) is None
+    ]
     meta = state.keystore.update(
         api_key,
         create=True,
+        clear=clear,
         tier=upd.tier,
         status=upd.status,
         quota_limit_units=upd.quota_limit_units,

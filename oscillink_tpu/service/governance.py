@@ -1,13 +1,17 @@
 """Quotas, monthly caps, and rate limits (reference cloud/app/main.py:186-383,
 576-699).
 
-All counters are in-process by default with a pluggable window-counter
-backend (`WindowCounter`) so a Redis implementation can slot in for
-multi-instance deployments (reference redis_backend.py:33-51).
+All counters are in-process by default; when OSCILLINK_STATE_BACKEND=redis
+the rate limiters ride Redis fixed-window counters (reference
+main.py:512,588,652 via redis_backend.incr_with_window) so limits are
+shared across instances, falling back to the in-memory buckets when the
+server is unreachable.  Thread-safe: the sync request handlers and the
+async-jobs worker thread charge the same objects concurrently.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 from typing import Dict, Optional
@@ -53,6 +57,7 @@ class QuotaState:
 
     def __init__(self) -> None:
         self._usage: Dict[str, _Window] = {}
+        self._lock = threading.Lock()
 
     def check_and_consume(
         self, key: Optional[str], units: int, keystore: KeyStore
@@ -69,33 +74,36 @@ class QuotaState:
                     q_window = int(meta.quota_window_seconds)
         if q_limit <= 0 or key is None:
             return -1, 0, 0
-        now = time.time()
-        rec = self._usage.get(key)
-        if (
-            rec is None
-            or now - rec.window_start >= q_window
-            or rec.limit != q_limit
-            or rec.window != q_window
-        ):
-            rec = _Window(window_start=now, used=0.0, limit=q_limit, window=q_window)
-            self._usage[key] = rec
         if units > q_limit:
             raise ApiError(413, f"request units {units} exceed per-key limit {q_limit}")
-        if rec.used + units > q_limit:
-            reset_at = rec.window_start + q_window
-            raise ApiError(
-                429,
-                "quota exceeded",
-                headers={
-                    "Retry-After": str(int(reset_at - now) + 1),
-                    "X-Quota-Limit": str(q_limit),
-                    "X-Quota-Remaining": "0",
-                    "X-Quota-Reset": str(int(reset_at)),
-                },
-            )
-        rec.used += units
-        remaining = q_limit - int(rec.used)
-        return remaining, q_limit, rec.window_start + q_window
+        with self._lock:
+            now = time.time()
+            rec = self._usage.get(key)
+            if rec is None or now - rec.window_start >= rec.window:
+                rec = _Window(
+                    window_start=now, used=0.0, limit=q_limit, window=q_window
+                )
+                self._usage[key] = rec
+            elif rec.limit != q_limit or rec.window != q_window:
+                # config/override change mid-window: adopt the new limits but
+                # KEEP consumption — resetting used=0 would grant a full
+                # fresh window exactly when an operator tries to tighten
+                rec.limit, rec.window = q_limit, q_window
+            if rec.used + units > q_limit:
+                reset_at = rec.window_start + q_window
+                raise ApiError(
+                    429,
+                    "quota exceeded",
+                    headers={
+                        "Retry-After": str(int(reset_at - now) + 1),
+                        "X-Quota-Limit": str(q_limit),
+                        "X-Quota-Remaining": "0",
+                        "X-Quota-Reset": str(int(reset_at)),
+                    },
+                )
+            rec.used += units
+            remaining = q_limit - int(rec.used)
+            return remaining, q_limit, rec.window_start + q_window
 
     @staticmethod
     def headers(remaining: int, limit: int, reset_epoch: float) -> dict[str, str]:
@@ -128,6 +136,7 @@ class MonthlyUsage:
 
     def __init__(self, persistence=None) -> None:
         self._records: Dict[str, dict] = {}
+        self._lock = threading.Lock()
         if persistence is None:
             from ._firestore_stores import make_monthly_persistence
 
@@ -148,15 +157,7 @@ class MonthlyUsage:
             return cap_env
         return int(tier_info(meta.tier).monthly_unit_cap)
 
-    def check_and_consume(
-        self, key: Optional[str], units: int, keystore: KeyStore
-    ) -> Optional[dict]:
-        if key is None:
-            return None
-        cap = self._cap_for(keystore.get(key))
-        if cap <= 0:
-            return None
-        period = current_period()
+    def _record(self, key: str, period: str) -> dict:
         rec = self._records.get(key)
         if rec is None or rec.get("period") != period:
             seed = 0
@@ -164,7 +165,9 @@ class MonthlyUsage:
                 seed = int(self.persistence.load(key, period) or 0)
             rec = {"period": period, "used": seed}
             self._records[key] = rec
-        used = int(rec["used"])
+        return rec
+
+    def _raise_if_over(self, cap: int, used: int, units: int) -> None:
         if units > cap:
             raise ApiError(413, f"request units {units} exceed monthly cap {cap}")
         if used + units > cap:
@@ -176,19 +179,47 @@ class MonthlyUsage:
                     "X-MonthCap-Remaining": str(max(cap - used, 0)),
                 },
             )
-        rec["used"] = used + units
-        if self.persistence is not None:
-            # transactional cross-replica increment; adopt the global total
-            # when another replica has consumed more than we have seen
-            total = self.persistence.add(key, period, units)
-            if total is not None and int(total) > int(rec["used"]):
-                rec["used"] = int(total)
-        return {
-            "limit": cap,
-            "used": int(rec["used"]),
-            "remaining": cap - int(rec["used"]),
-            "period": period,
-        }
+
+    def peek(self, key: Optional[str], units: int, keystore: KeyStore) -> None:
+        """Raise 413/429 if the request WOULD exceed the cap, consuming
+        nothing — run before the windowed quota so a window 429 doesn't
+        permanently burn monthly units (the reference consumes on check,
+        main.py:286-320, so rejected retries drain the month there)."""
+        if key is None:
+            return
+        cap = self._cap_for(keystore.get(key))
+        if cap <= 0:
+            return
+        with self._lock:
+            rec = self._record(key, current_period())
+            self._raise_if_over(cap, int(rec["used"]), units)
+
+    def check_and_consume(
+        self, key: Optional[str], units: int, keystore: KeyStore
+    ) -> Optional[dict]:
+        if key is None:
+            return None
+        cap = self._cap_for(keystore.get(key))
+        if cap <= 0:
+            return None
+        period = current_period()
+        with self._lock:
+            rec = self._record(key, period)
+            used = int(rec["used"])
+            self._raise_if_over(cap, used, units)
+            rec["used"] = used + units
+            if self.persistence is not None:
+                # transactional cross-replica increment; adopt the global
+                # total when another replica has consumed more than we saw
+                total = self.persistence.add(key, period, units)
+                if total is not None and int(total) > int(rec["used"]):
+                    rec["used"] = int(total)
+            return {
+                "limit": cap,
+                "used": int(rec["used"]),
+                "remaining": cap - int(rec["used"]),
+                "period": period,
+            }
 
     def snapshot(self, key: str) -> Optional[dict]:
         return self._records.get(key)
@@ -201,12 +232,19 @@ class _Bucket:
 
 
 class RateLimiter:
-    """Fixed-window request rate limit, global and per-IP
-    (main.py:576-699)."""
+    """Fixed-window request rate limit, global and per-IP (main.py:576-699).
+
+    With OSCILLINK_STATE_BACKEND=redis the windows are shared Redis
+    counters (reference main.py:512,588,652); Redis unreachable falls back
+    to the in-memory buckets, mirroring the reference's (0, -2) fallback."""
+
+    _PURGE_EVERY = 1024  # check_ip calls between expired-bucket sweeps
 
     def __init__(self) -> None:
         self._global = _Bucket()
         self._per_ip: Dict[str, _Bucket] = {}
+        self._lock = threading.Lock()
+        self._ip_calls = 0
 
     def _check(self, bucket: _Bucket, limit: int, window: int) -> Optional[float]:
         now = time.time()
@@ -218,27 +256,56 @@ class RateLimiter:
         bucket.count += 1
         return None
 
+    def _check_redis(self, scope: str, limit: int, window: int):
+        """Returns None (allowed), retry seconds (limited), or "memory"
+        (Redis not configured/unreachable — use the local bucket)."""
+        from .redis_backend import get_redis_state
+
+        rs = get_redis_state()
+        if rs is None:
+            return "memory"
+        count = rs.incr_with_window(f"oscillink:rl:{scope}", window)
+        if count is None:
+            return "memory"
+        if int(count) > limit:
+            return float(window)  # conservative: full window as Retry-After
+        return None
+
+    def _enforce(self, scope: str, bucket: _Bucket, limit: int, window: int,
+                 detail: str) -> None:
+        retry = self._check_redis(scope, limit, window)
+        if retry == "memory":
+            with self._lock:
+                retry = self._check(bucket, limit, window)
+        if retry is not None:
+            raise ApiError(
+                429, detail, headers={"Retry-After": str(int(retry) + 1)}
+            )
+
     def check_global(self) -> None:
         rl = get_rate_limit()
         if rl.limit <= 0:
             return
-        retry = self._check(self._global, rl.limit, rl.window)
-        if retry is not None:
-            raise ApiError(
-                429,
-                "rate limit exceeded",
-                headers={"Retry-After": str(int(retry) + 1)},
-            )
+        self._enforce("global", self._global, rl.limit, rl.window,
+                      "rate limit exceeded")
 
     def check_ip(self, ip: str) -> None:
         rl = get_ip_rate_limit()
         if rl.limit <= 0:
             return
-        bucket = self._per_ip.setdefault(ip, _Bucket())
-        retry = self._check(bucket, rl.limit, rl.window)
-        if retry is not None:
-            raise ApiError(
-                429,
-                "per-ip rate limit exceeded",
-                headers={"Retry-After": str(int(retry) + 1)},
-            )
+        with self._lock:
+            self._ip_calls += 1
+            if self._ip_calls % self._PURGE_EVERY == 0:
+                # expired buckets never self-delete; a botnet / large NAT
+                # pool would otherwise grow this map without bound
+                now = time.time()
+                dead = [
+                    k
+                    for k, b in self._per_ip.items()
+                    if now - b.window_start >= rl.window
+                ]
+                for k in dead:
+                    del self._per_ip[k]
+            bucket = self._per_ip.setdefault(ip, _Bucket())
+        self._enforce(f"ip:{ip}", bucket, rl.limit, rl.window,
+                      "per-ip rate limit exceeded")

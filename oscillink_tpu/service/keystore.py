@@ -47,7 +47,11 @@ class KeyStore:
         raise NotImplementedError
 
     def update(
-        self, api_key: str, create: bool = False, **fields
+        self,
+        api_key: str,
+        create: bool = False,
+        clear: Optional[list[str]] = None,
+        **fields,
     ) -> Optional[KeyMetadata]:
         raise NotImplementedError
 
@@ -61,6 +65,7 @@ class InMemoryKeyStore(KeyStore):
 
     def __init__(self) -> None:
         self._keys: Dict[str, KeyMetadata] = {}
+        self._env_origin: set[str] = set()  # keys owned by the env lists
         self._env_fingerprint = self._fingerprint()
         self._seed_from_env()
 
@@ -77,6 +82,7 @@ class InMemoryKeyStore(KeyStore):
             for k in (x.strip() for x in raw.split(",")):
                 if k and k not in self._keys:
                     self._keys[k] = KeyMetadata(api_key=k)
+                    self._env_origin.add(k)
         tiers = os.getenv("OSCILLINK_KEY_TIERS", "").strip()
         if tiers:
             for part in (x.strip() for x in tiers.split(";")):
@@ -88,12 +94,20 @@ class InMemoryKeyStore(KeyStore):
                         meta.updated_at = time.time()
                     else:
                         self._keys[k] = KeyMetadata(api_key=k, tier=t)
+                        self._env_origin.add(k)
 
     def maybe_hot_reload(self) -> None:
-        """Re-seed when the env key lists change (dev / test rotation)."""
+        """Re-seed when the env key lists change (dev / test rotation).
+
+        Only env-owned entries are replaced: clearing the whole dict would
+        destroy every Stripe-webhook-provisioned key and admin update the
+        moment an operator edits OSCILLINK_API_KEYS (all paying customers
+        401 until their subscription events replay)."""
         fp = self._fingerprint()
         if fp != self._env_fingerprint:
-            self._keys.clear()
+            for k in self._env_origin:
+                self._keys.pop(k, None)
+            self._env_origin.clear()
             self._env_fingerprint = fp
             self._seed_from_env()
 
@@ -101,7 +115,11 @@ class InMemoryKeyStore(KeyStore):
         return self._keys.get(api_key)
 
     def update(
-        self, api_key: str, create: bool = False, **fields
+        self,
+        api_key: str,
+        create: bool = False,
+        clear: Optional[list[str]] = None,
+        **fields,
     ) -> Optional[KeyMetadata]:
         meta = self._keys.get(api_key)
         if meta is None:
@@ -112,6 +130,11 @@ class InMemoryKeyStore(KeyStore):
         for k, v in fields.items():
             if hasattr(meta, k) and v is not None:
                 setattr(meta, k, v)
+        # None means "leave unchanged" above, so clearing an override back
+        # to the global default needs the explicit clear list
+        for k in clear or []:
+            if k in ("quota_limit_units", "quota_window_seconds", "features"):
+                setattr(meta, k, {} if k == "features" else None)
         meta.updated_at = time.time()
         return meta
 

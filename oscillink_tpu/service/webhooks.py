@@ -37,22 +37,28 @@ def _freshness_sec() -> float:
 
 def verify_stripe_signature(payload: bytes, header: Optional[str], secret: str) -> bool:
     """Stripe v1 scheme: header 't=<ts>,v1=<hex>,...'; signed value is
-    '{t}.{payload}'."""
+    '{t}.{payload}'.  During endpoint-secret rotation Stripe sends MULTIPLE
+    v1 entries (old + new secret) — any match accepts."""
     if not header:
         return False
     try:
-        parts = dict(
-            p.split("=", 1) for p in header.split(",") if "=" in p
-        )
-        ts = parts.get("t")
-        v1 = parts.get("v1")
-        if not ts or not v1:
+        ts = None
+        v1s: list[str] = []
+        for p in header.split(","):
+            if "=" not in p:
+                continue
+            k, v = p.strip().split("=", 1)
+            if k == "t":
+                ts = v
+            elif k == "v1":
+                v1s.append(v)
+        if not ts or not v1s:
             return False
         if abs(time.time() - float(ts)) > _freshness_sec():
             return False
         signed = f"{ts}.".encode() + payload
         expected = hmac.new(secret.encode(), signed, hashlib.sha256).hexdigest()
-        return hmac.compare_digest(expected, v1)
+        return any(hmac.compare_digest(expected, v1) for v1 in v1s)
     except Exception:
         return False
 
@@ -62,6 +68,7 @@ class WebhookProcessor:
         self.keystore = keystore
         self.cli_sessions = cli_sessions
         self._events: Dict[str, dict] = {}  # idempotency store
+        self._sub_event_ts: Dict[str, float] = {}  # per-key newest sub event
         from ._firestore_stores import make_event_store
 
         self._fs_events = make_event_store()
@@ -129,6 +136,8 @@ class WebhookProcessor:
             event = json.loads(payload.decode("utf-8"))
         except Exception:
             raise ApiError(400, "invalid webhook payload") from None
+        if not isinstance(event, dict):
+            raise ApiError(400, "invalid webhook payload (not an object)")
 
         event_id = str(event.get("id") or hashlib.sha256(payload).hexdigest())
         prior = self.seen(event_id)
@@ -137,14 +146,15 @@ class WebhookProcessor:
 
         etype = str(event.get("type", ""))
         obj = (event.get("data") or {}).get("object") or {}
+        created = float(event.get("created") or 0.0)
         outcome: dict[str, Any] = {"type": etype, "processed_at": time.time()}
 
         if etype == "checkout.session.completed":
             outcome.update(self._handle_checkout_completed(obj))
         elif etype in ("customer.subscription.updated", "customer.subscription.created"):
-            outcome.update(self._handle_subscription_update(obj))
+            outcome.update(self._handle_subscription_update(obj, created))
         elif etype == "customer.subscription.deleted":
-            outcome.update(self._handle_subscription_deleted(obj))
+            outcome.update(self._handle_subscription_deleted(obj, created))
         else:
             outcome["action"] = "ignored"
 
@@ -180,17 +190,51 @@ class WebhookProcessor:
             "cli_session_completed": cli_done,
         }
 
-    def _handle_subscription_update(self, subscription: dict) -> dict:
+    # Stripe does not guarantee event ordering: a late `updated` arriving
+    # after `deleted` must not resurrect the key.  Each handler checks the
+    # event's `created` timestamp against the newest one applied per key.
+    # (The reference unconditionally sets status="active" on update —
+    # billing_webhook.py:167-183 — which both resurrects revoked keys and
+    # activates past_due subscriptions; fixed here.)
+
+    def _stale(self, api_key: str, created: float) -> bool:
+        last = self._sub_event_ts.get(api_key, 0.0)
+        if created and created < last:
+            return True
+        if created:
+            self._sub_event_ts[api_key] = created
+        return False
+
+    @staticmethod
+    def _status_for_subscription(subscription: dict) -> str:
+        sstat = str(subscription.get("status") or "active")
+        if sstat in ("active", "trialing"):
+            return "active"
+        if sstat == "canceled":
+            return "revoked"
+        return "suspended"  # past_due / unpaid / incomplete / paused
+
+    def _handle_subscription_update(self, subscription: dict, created: float) -> dict:
         tier = resolve_tier_from_subscription(subscription)
         api_key = (subscription.get("metadata") or {}).get("api_key")
-        if api_key:
-            self.keystore.update(api_key, create=True, tier=tier, status="active")
-            return {"action": "retiered", "api_key": api_key, "tier": tier}
-        return {"action": "no_key_metadata", "tier": tier}
+        if not api_key:
+            return {"action": "no_key_metadata", "tier": tier}
+        if self._stale(api_key, created):
+            return {"action": "stale_event_ignored", "api_key": api_key}
+        status = self._status_for_subscription(subscription)
+        self.keystore.update(api_key, create=True, tier=tier, status=status)
+        return {
+            "action": "retiered",
+            "api_key": api_key,
+            "tier": tier,
+            "key_status": status,
+        }
 
-    def _handle_subscription_deleted(self, subscription: dict) -> dict:
+    def _handle_subscription_deleted(self, subscription: dict, created: float) -> dict:
         api_key = (subscription.get("metadata") or {}).get("api_key")
         if api_key and self.keystore.get(api_key):
+            if self._stale(api_key, created):
+                return {"action": "stale_event_ignored", "api_key": api_key}
             self.keystore.update(api_key, status="revoked")
             return {"action": "revoked", "api_key": api_key}
         return {"action": "no_key_metadata"}
