@@ -289,10 +289,8 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
     shard over the mesh's leading axis.  Returns
     (stacked_plan_fields, stacked_onehot_fields, min_coverage, s_max).
     """
-    from ..ops.graph import Graph as _G  # noqa: F401  (doc cross-ref)
     from ..ops.pallas.window_spmv import (
         DEFAULT_R,
-        DEFAULT_W,
         build_onehot,
         build_window_plan,
         plan_s_max,
@@ -312,7 +310,15 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
         plans.append(p_s)
         covs.append(cov_s)
     s_max = max(plan_s_max(p) for p in plans)
-    s_len = max(p.strag_w.shape[0] for p in plans)
+    # the kernel DMAs [strag_off[b-1], strag_off[b-1] + s_max) with the
+    # SHARED s_max; each shard's own tail slack only covers its OWN
+    # plan_s_max, so pad every shard to the worst-case end-of-DMA bound —
+    # otherwise a shard with small per-block segments but a large offset
+    # tail reads past its contribution buffer in the Pallas async copy
+    s_len = max(
+        max(int(np.asarray(p.strag_off)[-1]) + s_max for p in plans),
+        max(p.strag_w.shape[0] for p in plans),
+    )
 
     def pad_strag(p):
         cur = p.strag_w.shape[0]

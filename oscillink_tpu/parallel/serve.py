@@ -141,6 +141,13 @@ def sharded_chain_receipt(
     n_dev = mesh.devices.size
     if n % n_dev != 0:
         raise ValueError(f"N={n} must divide mesh size {n_dev}")
+    if chain and (min(chain) < 0 or max(chain) >= n):
+        raise ValueError("chain indices out of bounds")
+    from ..ops.graph import resolve_similarity
+
+    if resolve_similarity(n, similarity) == "cluster":
+        similarity = "fast"  # IVF is single-device; same realization as
+        # sharded_settle (service/sharded_path.py) and the state signature
 
     g = build_graph_sharded(mesh, Y, k, similarity=similarity, axis_name=axis_name)
     row = NamedSharding(mesh, P(axis_name, None))
@@ -320,10 +327,14 @@ def sharded_serve(
         float(scalars[7]),
         int(scalars[8]),
     )
+    # index only the flagged rows: a Python zip over all N rows costs
+    # tens-to-hundreds of ms at this tier's N even with zero nulls
+    flagged = np.flatnonzero(np.asarray(nflag))
+    nj_a, nz_a, nr_a = (np.asarray(a) for a in (nj, nz, nr))
     nulls = [
-        {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
-        for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
-        if f
+        {"edge": [int(i), int(nj_a[i])], "z": float(nz_a[i]),
+         "residual": float(nr_a[i])}
+        for i in flagged
     ]
     bundle = (
         [

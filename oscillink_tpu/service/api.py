@@ -674,6 +674,12 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
             state, creq, ctx["api_key"]
         )
+        if min(creq.chain) < 0 or max(creq.chain) >= N:
+            raise ApiError(400, "chain indices out of bounds")
+        if creq.psi is not None and len(creq.psi) != D:
+            raise ApiError(400, "psi dimension mismatch")
+        if creq.gates is not None and len(creq.gates) != N:
+            raise ApiError(400, "gates length mismatch")
         units = N * D
         monthly_ctx, remaining, limit, reset_at = _charge(
             state, ctx["api_key"], units

@@ -30,6 +30,7 @@ import numpy as np
 
 from .. import __version__
 from ..core.lattice import OscillinkLattice, compute_graph_token, compute_state_sig
+from .governance import ApiError
 from ..core.receipts import sign_payload
 from .config import get_settings
 
@@ -67,6 +68,13 @@ def eligible(sreq, n: int) -> bool:
     d = getattr(sreq, "diffusion", None)
     if d is not None and d.enable:
         return False  # diffusion gates ride the single-device lattice graph
+    opts = getattr(sreq, "options", None)
+    if (
+        opts is not None
+        and getattr(opts, "bundle_k", None)
+        and getattr(opts, "bundle_diversify", True) is False
+    ):
+        return False  # the sharded serve pipeline implements MMR only
     return True
 
 
@@ -137,6 +145,17 @@ def sharded_settle(
     k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
     psi = np.array(sreq.psi, dtype=np.float32) if sreq.psi is not None else None
     gates = np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
+    # the same 400s the device path raises from _build_lattice — without
+    # them a bad shape becomes a jit-time 500 after quota was charged
+    if psi is not None and psi.shape != (d,):
+        raise ApiError(400, "psi dimension mismatch")
+    if gates is not None and gates.shape != (n,):
+        raise ApiError(400, "gates length mismatch")
+    if sreq.chain:
+        if len(sreq.chain) < 2:
+            raise ApiError(400, "chain must have >=2 nodes")
+        if min(sreq.chain) < 0 or max(sreq.chain) >= n:
+            raise ApiError(400, "chain indices out of bounds")
     from ..ops.graph import resolve_similarity
 
     similarity = resolve_similarity(n, getattr(sreq.params, "similarity", "exact"))
@@ -177,6 +196,20 @@ def sharded_settle(
     receipt = None
     if want_receipt:
         dH = out["deltaH"]
+        # honor OSCILLINK_RECEIPT_NULL_CAP exactly like the device path
+        # (core/lattice.py null-cap block): keep the highest-z entries —
+        # this tier's N is where uncapped null lists are megabytes of JSON
+        nulls = out["null_points"]
+        total_nulls = len(nulls)
+        cap = 0
+        try:
+            cap = int(os.getenv("OSCILLINK_RECEIPT_NULL_CAP", "0").strip())
+        except ValueError:
+            cap = 0
+        cap_applied = 0 < cap < total_nulls
+        if cap_applied:
+            nulls = sorted(nulls, key=lambda e: -e["z"])[:cap]
+            out["null_points"] = nulls
         meta: dict[str, Any] = {
             "ustar_cached": False,
             "ustar_solves": 1,
@@ -199,9 +232,9 @@ def sharded_settle(
             "backend": "sharded",
             "mesh_devices": out["mesh_devices"],
             "null_points_summary": {
-                "total_null_points": len(out["null_points"]),
-                "returned_null_points": len(out["null_points"]),
-                "null_cap_applied": False,
+                "total_null_points": total_nulls,
+                "returned_null_points": len(nulls),
+                "null_cap_applied": cap_applied,
             },
         }
         s = get_settings()

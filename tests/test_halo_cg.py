@@ -134,6 +134,11 @@ def test_halo_solve_windowed_matches_halo_solve():
         plan, np.asarray(g.wn), n_dev
     )
     assert 0.0 <= cov <= 1.0 and s_max >= 128
+    # DMA bound with the SHARED s_max: every shard's straggler arrays must
+    # cover [strag_off[b-1], strag_off[b-1] + s_max) — each shard's own
+    # tail slack only guarantees its own plan_s_max (review finding)
+    off_last = np.asarray(wplan.strag_off)[:, -1]
+    assert (off_last + s_max <= wplan.strag_w.shape[1]).all()
 
     mesh = lattice_mesh(n_dev)
     U_ref, it_ref, res_ref = halo_solve(

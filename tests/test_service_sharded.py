@@ -207,3 +207,72 @@ def test_chain_receipt_endpoint_routes_sharded(client, monkeypatch):
     for es, ed in zip(cs["edges"], cd["edges"]):
         assert es["z_struct"] == pytest.approx(ed["z_struct"], rel=1e-2, abs=1e-3)
         assert es["z_path"] == pytest.approx(ed["z_path"], rel=1e-2, abs=1e-3)
+
+
+def test_sharded_validation_mirrors_device_400s(client, monkeypatch):
+    """Shape/bounds errors must 400 on the sharded tier exactly like the
+    device path, not become jit-time 500s after quota is charged."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")  # open access=free
+    p = _payload(128, 8, seed=4)
+    bad_gates = {**p, "gates": [1.0] * 127}
+    assert client.post("/v1/settle", json_body=bad_gates).status_code == 400
+    bad_psi = dict(p)
+    bad_psi["psi"] = [0.0] * 9
+    assert client.post("/v1/settle", json_body=bad_psi).status_code == 400
+    bad_chain = {**p, "chain": [0, 500]}
+    assert client.post("/v1/settle", json_body=bad_chain).status_code == 400
+    r = client.post(
+        "/v1/chain/receipt", json_body={**p, "chain": [0, 500], "z_th": 2.5}
+    )
+    assert r.status_code == 400
+
+
+def test_sharded_chain_receipt_accepts_cluster_similarity(client, monkeypatch):
+    """similarity='cluster' realizes as the fast scan on the sharded chain
+    path (it used to raise the IVF-is-single-device ValueError -> 500)."""
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = {**_payload(128, 8, seed=5), "chain": [0, 3, 7], "z_th": 2.5}
+    p["params"] = {"similarity": "cluster"}
+    r = client.post("/v1/chain/receipt", json_body=p)
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "sharded"
+
+
+def test_sharded_receipt_honors_null_cap(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    monkeypatch.setenv("OSCILLINK_RECEIPT_NULL_CAP", "2")
+    rng = np.random.default_rng(9)
+    n, d = 128, 8
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    Y[5] += 25.0  # anomalous rows force null points
+    Y[60] -= 25.0
+    p = {
+        "Y": Y.tolist(),
+        "psi": rng.standard_normal(d).astype(np.float32).tolist(),
+        "options": {"max_iters": 8, "tol": 1e-3},
+    }
+    r = client.post("/v1/receipt", json_body=p)
+    assert r.status_code == 200
+    rec = r.json()["receipt"]
+    summary = rec["meta"]["null_points_summary"]
+    if summary["total_null_points"] > 2:
+        assert summary["null_cap_applied"] is True
+        assert len(rec["null_points"]) == 2
+        zs = [e["z"] for e in rec["null_points"]]
+        assert zs == sorted(zs, reverse=True) or len(set(zs)) < 2
+
+
+def test_rerank_bundle_routes_off_sharded(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "64")
+    p = _payload(128, 8, seed=6, bundle_k=5)
+    p["options"]["bundle_diversify"] = False
+    r = client.post("/v1/settle", json_body=p)
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "device"
+    scores = [e["score"] for e in r.json()["bundle"]]
+    assert scores == sorted(scores, reverse=True)
+    # MMR requests still ride the sharded tier
+    p2 = _payload(128, 8, seed=6, bundle_k=5)
+    r2 = client.post("/v1/settle", json_body=p2)
+    assert r2.json()["meta"]["backend"] == "sharded"
