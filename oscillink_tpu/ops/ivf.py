@@ -21,12 +21,14 @@ FLOPs: N * (m_probe * P) * D * 2 ≈ 25 TFLOP at 1M/C=1024/m=8 — ~60x less
 than the full scan.
 
 Failure containment (the coverage-gate pattern used throughout this repo):
-rows past a bucket's cap are PATCHED with an exact dense scan (cheap for
-the hundreds of rows k-means imbalance produces; `patch_cap` bounds it),
-and `build_graph_ivf` falls back to the dense fast scan when overflow
-exceeds the patch capacity or the sampled quality gate fails (id recall
-AND per-slot sim-gap — see `_sample_quality`).  The `info` dict carries
-the realized mode and quality estimates for receipts.
+capacity-constrained spillover assignment (`balance_rounds`) hard-bounds
+bucket occupancy so overflow is normally ZERO; rows that still overflow
+get exact patched neighbor LISTS (`patch_cap` bounds the scan), but a
+patched row is absent from every bucket, so the mutual test would isolate
+it — `build_graph_ivf` therefore falls back to the dense fast scan
+whenever ANY row overflows, or when the sampled quality gate fails (id
+recall AND per-slot sim-gap — see `_sample_quality`).  The `info` dict
+carries the realized mode and quality estimates for receipts.
 """
 
 from __future__ import annotations
@@ -128,7 +130,15 @@ def ivf_topk(
     to the 2nd..Rth candidate).  Cost: 2 stable argsorts over N per round.
     """
     n, d = Y.shape
-    C, P, m = n_clusters, bucket_cap, m_probe
+    # clamp the probe fanout to the cluster count (lax.top_k(CC, m) traces
+    # with m > C otherwise) and guarantee the candidate pool covers k
+    C, P = n_clusters, bucket_cap
+    m = min(m_probe, n_clusters)
+    if m * P < k:
+        raise ValueError(
+            f"m_probe*bucket_cap = {m * P} must be >= k = {k} "
+            "(candidate pool smaller than the requested neighbor count)"
+        )
     Yn = normalize_rows(Y.astype(jnp.float32))
     Yb = Yn.astype(jnp.bfloat16)
 
@@ -328,9 +338,10 @@ def _sample_quality(Y: jax.Array, vals: jax.Array, idx: jax.Array, k: int,
     got = idx[rows]
     hit = (exact[:, :, None] == got[:, None, :]).any(-1)
     recall = jnp.mean(hit.astype(jnp.float32))
-    ex_sorted = jnp.sort(ex_vals, axis=1)[:, ::-1]
+    # ex_vals is already descending (lax.top_k); only the scattered side
+    # needs the sort
     got_sorted = jnp.sort(vals[rows], axis=1)[:, ::-1]
-    gap = (ex_sorted - got_sorted).reshape(-1)
+    gap = (ex_vals - got_sorted).reshape(-1)
     p99 = jnp.quantile(gap, 0.99)
     return recall, p99
 
@@ -392,17 +403,19 @@ def build_graph_ivf(
     # ``min_clusterability`` is a RATIO vs the column-shuffled null (1.25
     # default: isotropic corpora sit at ~1.0 regardless of dimension);
     # 0 disables the pre-gate.
-    obs, null = (float(v) for v in jax.device_get(_clusterability(Y)))
-    clus = obs / max(null, 1e-6)
-    if clus < min_clusterability:
-        return _fallback(
-            f"clusterability ratio {clus:.2f} < {min_clusterability} "
-            f"(sampled mean max centroid sim {obs:.3f} vs shuffled-null "
-            f"{null:.3f})",
-            clusterability=round(obs, 4),
-            clusterability_null=round(null, 4),
-            clusterability_ratio=round(clus, 3),
-        )
+    obs = null = clus = None
+    if min_clusterability > 0:  # 0 disables the pre-gate AND its probe cost
+        obs, null = (float(v) for v in jax.device_get(_clusterability(Y)))
+        clus = obs / max(null, 1e-6)
+        if clus < min_clusterability:
+            return _fallback(
+                f"clusterability ratio {clus:.2f} < {min_clusterability} "
+                f"(sampled mean max centroid sim {obs:.3f} vs shuffled-null "
+                f"{null:.3f})",
+                clusterability=round(obs, 4),
+                clusterability_null=round(null, 4),
+                clusterability_ratio=round(clus, 3),
+            )
 
     P = _round_up(int(bucket_factor * n / n_clusters), 128)
     vals, idx, overflow, filled = ivf_topk(
@@ -416,10 +429,17 @@ def build_graph_ivf(
         float(jax.device_get(recall_est)),
         float(jax.device_get(gap_p99)),
     )
-    if ovf > patch_cap or (rec < min_recall and gap > max_sim_gap):
+    if ovf > 0 or (rec < min_recall and gap > max_sim_gap):
+        # ANY patched row forces the fallback: patched rows are absent from
+        # every bucket, so no bucketed row's candidate list can contain
+        # them and graph_from_topk's mutual test isolates them entirely —
+        # their exact patched neighbor lists notwithstanding.  Spillover
+        # assignment (balance_rounds) makes ovf=0 the normal case; a
+        # corpus that still overflows is one IVF serves badly anyway.
         reason = (
-            f"bucket overflow ({ovf} rows) exceeds patch capacity {patch_cap}"
-            if ovf > patch_cap
+            f"{ovf} bucket-overflow rows would be isolated by the mutual "
+            "test (patched rows are in no bucket)"
+            if ovf > 0
             else f"sampled recall {rec:.3f} < {min_recall} and sim-gap p99 "
             f"{gap:.4f} > {max_sim_gap}"
         )
@@ -432,9 +452,9 @@ def build_graph_ivf(
         "m_probe": m_probe,
         "overscan": overscan,
         "balance_rounds": balance_rounds,
-        "clusterability": round(obs, 4),
-        "clusterability_null": round(null, 4),
-        "clusterability_ratio": round(clus, 3),
+        "clusterability": round(obs, 4) if obs is not None else None,
+        "clusterability_null": round(null, 4) if null is not None else None,
+        "clusterability_ratio": round(clus, 3) if clus is not None else None,
         "overflow_patched": ovf,
         "recall_estimate": rec,
         "sim_gap_p99": gap,

@@ -79,7 +79,7 @@ def _edge_sq_dists(
     if 4 * n * k * d <= _EDGE_TEMP_BUDGET_BYTES or n <= _EDGE_BLOCK_ROWS:
         Xn = X if inv_row_scale is None else X * inv_row_scale[:, None]
         diff = Xn[:, None, :] - jnp.take(Xn, g.idx, axis=0)
-        return jnp.sum(diff * diff, axis=-1)
+        return jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
 
     B = _EDGE_BLOCK_ROWS
     n_steps = -(-n // B)
@@ -94,10 +94,14 @@ def _edge_sq_dists(
             xb = xb * sb[:, None]
             xg = xg * jnp.take(inv_row_scale, ib, axis=0)[:, :, None]
         diff = xb[:, None, :] - xg
-        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
         return jax.lax.dynamic_update_slice(out, d2, (start, 0))
 
-    out = jnp.zeros((n, k), dtype=X.dtype)
+    # f32 accumulator regardless of X's dtype: the in-step arithmetic
+    # promotes to f32 (row scaling), and dynamic_update_slice requires the
+    # operand dtypes to match — a bf16 X would otherwise crash exactly and
+    # only on the blocked (large-N) path
+    out = jnp.zeros((n, k), dtype=jnp.float32)
     return jax.lax.fori_loop(0, n_steps, step, out)
 
 
@@ -171,12 +175,13 @@ def null_points_sparse(
     with flag set when r > 0 and z > z_th.
     """
     st = structural_residuals(g, Ustar, lamC)
-    Z = (st.R - st.mu[:, None]) / st.sigma[:, None]
     # argmax over the dense row == edge with max residual (zeros have minimal z)
     slot = jnp.argmax(st.R, axis=1)
     rows = jnp.arange(g.n_nodes)
     r_best = st.R[rows, slot]
-    z_best = Z[rows, slot]
+    # z is monotone in R per row (sigma > 0): derive the best z from the
+    # best residual instead of materializing the full [N, K] z matrix
+    z_best = (r_best - st.mu) / st.sigma
     j_best = g.idx[rows, slot]
     flag = (r_best > 0) & (z_best > z_th)
     return flag, j_best, z_best, r_best
@@ -345,6 +350,14 @@ def deltaH_trace_deterministic(
     B: jax.Array,
 ) -> jax.Array:
     """deltaH = tr((U-U*)^T M (U-U*)) with fixed-order f64 accumulation."""
+    if not jax.config.jax_enable_x64:
+        # without x64, astype(float64) silently computes in f32 and the
+        # bit-reproducibility contract is void — fail loudly; the lattice
+        # wraps this call in `with jax.enable_x64(True)` (core/lattice.py)
+        raise RuntimeError(
+            "deltaH_trace_deterministic requires x64: call inside "
+            "`with jax.experimental.enable_x64():` (jax_enable_x64)"
+        )
     diff = U.astype(jnp.float64) - Ustar.astype(jnp.float64)
     wn = g.wn.astype(jnp.float64)
     acc = diff
