@@ -64,10 +64,14 @@ def _super_solve(summaries, psi, lam, k, tol, max_iters):
     Ustar, iters, res = solve_stationary(
         g, None, summaries, psi, B, lam, tol=tol, max_iters=max_iters
     )
+    # super-level energy drop, same proxy convention as the shard level
+    # (the composed receipt contract promises it — module header)
+    diff = Ustar - summaries
+    dH = jnp.sum(diff * (lam.lamG * diff))
     u_n = Ustar / (jnp.linalg.norm(Ustar, axis=1, keepdims=True) + 1e-12)
     psi_n = psi / (jnp.linalg.norm(psi) + 1e-12)
     align = u_n @ psi_n
-    return Ustar, align, iters, res
+    return Ustar, align, dH, iters, res
 
 
 def hierarchical_settle(
@@ -95,8 +99,11 @@ def hierarchical_settle(
     if n % n_shards != 0:
         raise ValueError(f"N={n} not divisible by n_shards={n_shards}")
     ns = n // n_shards
-    if gates is None:
-        gates = np.ones(n, dtype=np.float32)
+    gates = (
+        np.ones(n, dtype=np.float32)
+        if gates is None
+        else np.asarray(gates, dtype=np.float32)
+    )
 
     lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
     Y_shards = jnp.asarray(Y.reshape(n_shards, ns, d))
@@ -109,12 +116,14 @@ def hierarchical_settle(
     )
 
     k_super = min(super_k, max(1, n_shards - 1))
-    super_U, super_align, s_iters, s_res = _super_solve(
+    super_U, super_align, super_dH, s_iters, s_res = _super_solve(
         summaries, psi_dev, lam, k_super, jnp.float32(tol), jnp.int32(max_iters)
     )
 
-    (dHs, aligns, iters_s, res_s, super_align, s_iters, s_res) = jax.device_get(
-        (dHs, aligns, iters_s, res_s, super_align, s_iters, s_res)
+    (dHs, aligns, iters_s, res_s, super_align, super_dH, s_iters, s_res) = (
+        jax.device_get(
+            (dHs, aligns, iters_s, res_s, super_align, super_dH, s_iters, s_res)
+        )
     )
 
     shard_receipts = [
@@ -137,6 +146,7 @@ def hierarchical_settle(
             {
                 "shards": n_shards,
                 "deltaH": [round(float(x), 6) for x in dHs],
+                "super_deltaH": round(float(super_dH), 6),
                 "super_align": [round(float(x), 6) for x in super_align],
             },
             sort_keys=True,
@@ -146,8 +156,9 @@ def hierarchical_settle(
     return {
         "n_shards": n_shards,
         "shard_receipts": shard_receipts,
-        "deltaH_composed": float(np.sum(dHs)),
+        "deltaH_composed": float(np.sum(dHs)) + float(super_dH),
         "super": {
+            "deltaH": float(super_dH),
             "align": [float(a) for a in super_align],
             "ranking": [int(i) for i in order],
             "iters": int(s_iters),

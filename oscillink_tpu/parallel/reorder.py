@@ -9,8 +9,9 @@ neighbors get nearby indices shrinks the halo; this module provides
   * `pca_bisection_order(Y, levels)` — recursive principal-direction
     bisection (a cheap KD-style spatial sort that runs entirely on device:
     power-iteration PC per level, median split, recurse), and
-  * `halo_stats(idx, n_shards)` — per-shard unique-remote-row counts, the
-    decision metric for all-gather vs halo-exchange.
+  * `halo_stats(idx, w, n_shards)` — per-shard unique-remote-row counts,
+    the decision metric for all-gather vs halo-exchange (``w`` filters the
+    padding edges).
 
 Measured effect (see tests + ROADMAP): on clustered data the halo collapses
 by an order of magnitude; on isotropic random data high-D neighbors have no
@@ -29,16 +30,30 @@ import numpy as np
 __all__ = ["pca_bisection_order", "halo_stats", "apply_order"]
 
 
-def _leading_direction(Y: jax.Array, iters: int = 8) -> jax.Array:
-    """Principal direction by power iteration on Y^T Y (device-side)."""
-    d = Y.shape[1]
+def _leading_direction(Yc: jax.Array, iters: int = 8) -> jax.Array:
+    """Principal direction by power iteration on the CENTERED Gram matrix.
+
+    ``Yc`` must be mean-subtracted: on uncentered data the leading
+    eigenvector of Y^T Y is ~the corpus mean, every row projects to
+    ~||mean||^2, and the median split orders rows by noise — exactly the
+    clustered-but-offset geometry this module exists to serve."""
+    d = Yc.shape[1]
     v = jnp.ones((d,), dtype=jnp.float32) / jnp.sqrt(d)
 
     def body(_, v):
-        w = Y.T @ (Y @ v)
+        w = Yc.T @ (Yc @ v)
         return w / (jnp.linalg.norm(w) + 1e-12)
 
     return jax.lax.fori_loop(0, iters, body, v)
+
+
+@jax.jit
+def _segment_projection(Ys: jax.Array) -> jax.Array:
+    """Projection of a segment onto its own centered principal direction.
+    Module-level jit: per-call closures would re-trace/compile every
+    segment shape on every request."""
+    Yc = Ys - jnp.mean(Ys, axis=0, keepdims=True)
+    return Yc @ _leading_direction(Yc)
 
 
 def pca_bisection_order(Y: np.ndarray, levels: int = 3) -> np.ndarray:
@@ -52,12 +67,10 @@ def pca_bisection_order(Y: np.ndarray, levels: int = 3) -> np.ndarray:
     n = Y.shape[0]
     order = np.arange(n)
 
-    proj_fn = jax.jit(lambda Ys: Ys @ _leading_direction(Ys))
-
     def rec(ids: np.ndarray, depth: int) -> np.ndarray:
         if len(ids) <= 2:
             return ids
-        proj = np.asarray(proj_fn(jnp.asarray(Y[ids])))
+        proj = np.asarray(_segment_projection(jnp.asarray(Y[ids])))
         sorted_ids = ids[np.argsort(proj, kind="stable")]
         if depth >= levels:
             return sorted_ids
@@ -85,7 +98,7 @@ def halo_stats(idx: np.ndarray, w: np.ndarray, n_shards: int) -> dict:
     """
     n = idx.shape[0]
     if n % n_shards != 0:
-        raise ValueError(f"N={n} must divide n_shards={n_shards}")
+        raise ValueError(f"N={n} is not divisible by n_shards={n_shards}")
     rows_per = n // n_shards
     halos = []
     for s in range(n_shards):

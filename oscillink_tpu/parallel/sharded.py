@@ -91,6 +91,7 @@ def sharded_build_and_settle(
         raise ValueError(f"N={n} must be divisible by mesh size {n_dev}")
 
     lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
+    k = min(int(k), max(1, n - 1))  # build_graph precondition (graph.py)
     fn = sharded_settle_fn(mesh, k, axis_name)
     U, Ustar, dH, it_s, res_s, it_u, res_u = fn(
         Y, psi, B, lam, jnp.float32(dt), jnp.float32(tol), jnp.int32(max_iters)

@@ -62,7 +62,7 @@ def shardmap_solve(
     n = Y.shape[0]
     n_dev = mesh.devices.size
     if n % n_dev != 0:
-        raise ValueError(f"N={n} must divide mesh size {n_dev}")
+        raise ValueError(f"N={n} is not divisible by mesh size {n_dev}")
 
     row = NamedSharding(mesh, P(axis_name, None))
     vec = NamedSharding(mesh, P(axis_name))
@@ -74,8 +74,20 @@ def shardmap_solve(
     idx = jax.device_put(g.idx, row)
     wn = jax.device_put(g.wn, row)
 
-    tol_a = jnp.float32(tol)
-    max_iters_a = jnp.int32(max_iters)
+    return _shardmap_solve_fn(mesh, axis_name)(
+        Y, B, psi, idx, wn, lam, jnp.float32(tol), jnp.int32(max_iters)
+    )
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _shardmap_solve_fn(mesh: Mesh, axis_name: str):
+    """Jitted multi-device solve, cached per (mesh, axis_name): building the
+    closure inside every shardmap_solve call re-traced and re-compiled the
+    whole multi-device CG per request.  lam/tol/max_iters are traced
+    arguments so parameter retuning never recompiles (the repo contract)."""
 
     @partial(
         jax.shard_map,
@@ -86,10 +98,13 @@ def shardmap_solve(
             P(),  # psi
             P(axis_name, None),  # idx
             P(axis_name, None),  # wn
+            P(),  # lam (pytree prefix: every leaf replicated)
+            P(),  # tol
+            P(),  # max_iters
         ),
         out_specs=(P(axis_name, None), P(), P()),
     )
-    def solve(Y_l, B_l, psi_r, idx_l, wn_l):
+    def solve(Y_l, B_l, psi_r, idx_l, wn_l, lam, tol_a, max_iters_a):
         def M_mul(p_l):
             # all-gather the direction so the neighbor gather sees all rows
             p_full = lax.all_gather(p_l, axis_name, axis=0, tiled=True)
@@ -129,4 +144,4 @@ def shardmap_solve(
         x, _, _, _, it, res = lax.while_loop(cond, body, init)
         return x, it, res
 
-    return jax.jit(solve)(Y, B, psi, idx, wn)
+    return jax.jit(solve)
