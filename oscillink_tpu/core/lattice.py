@@ -222,12 +222,15 @@ def _jit_receipt_full_chunked(g, pg, U, Ustar, lam, B, Y, psi, col_chunks):
     def lap_seq(X):
         """Pair-sequenced Laplacian matvec: 2 gather temps in flight instead
         of k (the unrolled form's k live [N, w] temps tipped the 1M receipt
-        over HBM by ~0.6 GB on top of the resident Y/U/U* arguments)."""
-        if k_max % 2 != 0:
-            acc = X
-            for a in range(k_max):
-                acc = acc - g.wn[:, a][:, None] * jnp.take(X, g.idx[:, a], axis=0)
-            return acc
+        over HBM by ~0.6 GB on top of the resident Y/U/U* arguments).
+        Odd k runs the leftover slot as a single sequenced step — full
+        unrolling would reintroduce the k-live-temps blow-up exactly when
+        k is odd."""
+
+        def one(a, acc):
+            i0 = jax.lax.dynamic_index_in_dim(g.idx, a, 1, keepdims=False)
+            w0 = jax.lax.dynamic_index_in_dim(g.wn, a, 1, keepdims=False)
+            return acc - w0[:, None] * jnp.take(X, i0, axis=0)
 
         def body(j, acc):
             a = 2 * j
@@ -241,7 +244,10 @@ def _jit_receipt_full_chunked(g, pg, U, Ustar, lam, B, Y, psi, col_chunks):
                 - w1[:, None] * jnp.take(X, i1, axis=0)
             )
 
-        return jax.lax.fori_loop(0, k_max // 2, body, X)
+        acc = jax.lax.fori_loop(0, k_max // 2, body, X)
+        if k_max % 2 != 0:
+            acc = one(k_max - 1, acc)
+        return acc
 
     def chunk_step(c, carry):
         # fori_loop (not a Python unroll): XLA's scheduler otherwise keeps
@@ -284,6 +290,19 @@ def _jit_receipt_full_chunked(g, pg, U, Ustar, lam, B, Y, psi, col_chunks):
 @jax.jit
 def _jit_chain_stats(g, pg, Ustar, Y, lamC, ci, cj):
     return chain_edge_stats(g, pg, Ustar, Y, lamC, ci, cj)
+
+
+@partial(jax.jit, static_argnames=("kk",))
+def _jit_bundle_batch_scores(g, Y, Ustars, psis, lamC, alpha, kk):
+    """Vmapped MMR bundle scoring (module-level: a per-call closure would
+    re-trace and recompile on every bundle_batch request)."""
+
+    def one(Ustar, psi):
+        score, align = bundle_scores(g, Y, Ustar, psi, lamC, alpha)
+        picks = mmr_select(normalize_rows(Y), score, kk, lambda_div=0.5)
+        return picks, score, align
+
+    return jax.vmap(one)(Ustars, psis)
 
 
 @partial(jax.jit, static_argnames=("k", "diversify"))
@@ -435,6 +454,7 @@ class OscillinkLattice:
         deterministic_k: bool = False,
         neighbor_seed: Optional[int] = None,
         similarity: str = "exact",
+        _defer_graph: bool = False,
     ):
         if similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
             raise ValueError(
@@ -474,7 +494,17 @@ class OscillinkLattice:
         self._logger: Optional[Callable[[str, dict], None]] = None
 
         t0 = time.perf_counter()
-        self._build_graph_device()
+        if _defer_graph:
+            # import path (from_state/from_npz with a stored adjacency):
+            # the caller installs the graph via _set_adjacency_dense —
+            # building one from Y here would pay the full similarity scan
+            # only to be discarded, and its similarity-mode info would
+            # leak into receipt meta describing a graph no longer installed
+            self._graph = None  # type: ignore[assignment]
+            self._similarity_info = {"mode": "imported"}
+            self._similarity = "imported"
+        else:
+            self._build_graph_device()
         self._graph_build_ms = 1000.0 * (time.perf_counter() - t0)
 
         self.B_diag = np.ones(self.N, dtype=np.float32)
@@ -592,6 +622,7 @@ class OscillinkLattice:
                 f"{token}:{self._similarity}".encode()
             ).hexdigest()
         self._graph_token = token
+        self._sig_memo = None
         # host mirrors are fetched lazily (one batched transfer) on demand
         self._host_idx: Optional[np.ndarray] = None
         self._host_w: Optional[np.ndarray] = None
@@ -733,6 +764,7 @@ class OscillinkLattice:
         # token derived from the actual adjacency (seeded builds are
         # data-dependent in a way the input-token scheme can't capture)
         self._graph_token = hashlib.sha256(b"seeded:" + A.tobytes()).hexdigest()
+        self._sig_memo = None
 
     def _build_graph_seeded_host_blocked(self) -> None:
         """Row-blocked seeded selection for N > _DENSE_LIMIT.
@@ -777,8 +809,11 @@ class OscillinkLattice:
         )
         _maybe_sync(g.w)
         self._graph = g
+        # DIRECTED slot count, like every other build path — halving here
+        # made avg_degree/edge_density 2x smaller on the seeded-blocked
+        # path than on the identical graph built without a seed
         self._edge_count_handle = self._fetch.defer(
-            jnp.sum((g.w > 0).astype(jnp.int32)) // 2
+            jnp.sum((g.w > 0).astype(jnp.int32))
         )
         self._host_idx = None
         self._host_w = None
@@ -787,6 +822,7 @@ class OscillinkLattice:
         self._graph_token = hashlib.sha256(
             b"seeded-blocked:" + idx.tobytes() + vals.tobytes()
         ).hexdigest()
+        self._sig_memo = None
         self._maybe_build_window_ctx()
 
     def _mirrors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -922,7 +958,12 @@ class OscillinkLattice:
         return lat
 
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
-        self.psi = np.asarray(psi, dtype=np.float32).copy()
+        psi = np.asarray(psi, dtype=np.float32)
+        if psi.shape != (self.D,):
+            # a (1, D) slip (forgot [0] on an embedder result) would raise
+            # deep in the solver; a (1,) one would broadcast silently wrong
+            raise ValueError(f"psi must have shape ({self.D},), got {psi.shape}")
+        self.psi = psi.copy()
         if gates is not None:
             if gates.shape[0] != self.N:
                 raise ValueError("gates length mismatch N")
@@ -1126,8 +1167,10 @@ class OscillinkLattice:
         sig = self._signature()
         if use_cache and self._Ustar_cache_dev is not None and self._Ustar_sig == sig:
             self.stats["ustar_cache_hits"] += 1
+            self._last_ustar_from_cache = True
             self._log("ustar_cache_hit", {"signature": sig})
             return self._Ustar_cache_dev
+        self._last_ustar_from_cache = False
 
         t0 = time.perf_counter()
         col_chunks = self._auto_col_chunks()
@@ -1316,7 +1359,9 @@ class OscillinkLattice:
                 )
                 nulls_h = [self._fetch.defer(a) for a in (cnt_d, ni_d, nj_d, nz_d, nr_d)]
                 self._fetch.flush()
-                cnt, ni, njv, nzv, nrv = (self._fetch.get(h) for h in nulls_h)
+                cnt, ni, njv, nzv, nrv = (
+                    self._fetch.get(h, pop=True) for h in nulls_h
+                )
                 device_capped = int(cnt)
                 nulls_full = [
                     {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
@@ -1327,15 +1372,17 @@ class OscillinkLattice:
                 nulls_h = [self._fetch.defer(a) for a in (nflag, nj, nz, nr)]
                 # one batched flush materializes everything registered so far
                 self._fetch.flush()
-                nflag, nj, nz, nr = (self._fetch.get(h) for h in nulls_h)
+                nflag, nj, nz, nr = (
+                    self._fetch.get(h, pop=True) for h in nulls_h
+                )
                 nulls_full = [
                     {"edge": [int(i), int(j)], "z": float(z), "residual": float(r)}
                     for i, (j, z, r, f) in enumerate(zip(nj, nz, nr, nflag))
                     if f
                 ]
-            coh_sum = float(self._fetch.get(coh_h))
-            anchor_sum = float(self._fetch.get(anchor_h))
-            query_sum = float(self._fetch.get(query_h))
+            coh_sum = float(self._fetch.get(coh_h, pop=True))
+            anchor_sum = float(self._fetch.get(anchor_h, pop=True))
+            query_sum = float(self._fetch.get(query_h, pop=True))
         deltaH_mode = "standard"
         if _env_flag("OSCILLINK_DETERMINISTIC_RECEIPTS"):
             dH_det = _deltaH_deterministic(
@@ -1343,7 +1390,7 @@ class OscillinkLattice:
             )
             dH_h = self._fetch.defer(dH_det)
             deltaH_mode = "deterministic-f64-tree"
-        dH = float(self._fetch.get(dH_h))
+        dH = float(self._fetch.get(dH_h, pop=True))
 
         # null-point capping (observability control, lattice.py:334-356)
         cap_val = _null_cap_env()
@@ -1375,9 +1422,10 @@ class OscillinkLattice:
         last_ustar = getattr(self, "last_ustar", None)
         n_edges = self._edge_count()
         meta: dict[str, Any] = {
-            "ustar_cached": bool(
-                self._Ustar_cache_dev is not None and self._Ustar_sig == self._signature()
-            ),
+            # whether THIS receipt's solve hit the cache — recomputing the
+            # membership test here was always True (the solve above had
+            # just populated the cache with the current signature)
+            "ustar_cached": bool(getattr(self, "_last_ustar_from_cache", False)),
             "ustar_solves": int(self.stats["ustar_solves"]),
             "ustar_cache_hits": int(self.stats["ustar_cache_hits"]),
             "ustar_converged": bool(last_ustar["converged"]) if last_ustar else True,
@@ -1469,6 +1517,12 @@ class OscillinkLattice:
         return verify_receipt(rec, secret)
 
     def chain_receipt(self, chain: list[int], z_th: float = 2.5) -> dict[str, Any]:
+        if len(chain) < 2:
+            raise ValueError("chain must contain at least two indices")
+        if min(chain) < 0 or max(chain) >= self.N:
+            # JAX's in-jit gather clamps out-of-bounds indices, which would
+            # return confident z-scores for the wrong edge instead of failing
+            raise ValueError("chain indices out of bounds")
         Ustar_dev = self._solve_ustar_device()
         pg = self._path if self._path is not None else build_path_graph(self.N, chain)
         ci, cj = jax.device_put(
@@ -1563,7 +1617,6 @@ class OscillinkLattice:
     ) -> list[list[dict]]:
         """MMR bundles for a batch of queries over the shared graph."""
         from ..models.batched import solve_stationary_batch
-        from ..ops.graph import mmr_select, normalize_rows
 
         psis = np.asarray(psis, dtype=np.float32)
         q = psis.shape[0]
@@ -1576,21 +1629,9 @@ class OscillinkLattice:
             self._graph, self._Y_dev, psis_d, gates_d, self._lam(),
             tol=self._opts(1e-4)[0], max_iters=jnp.int32(64),
         )
-        from ..ops.receipts import bundle_scores
-
         k_eff = min(max(int(k), 1), self.N)
-
-        @partial(jax.jit, static_argnames=("kk",))
-        def batch_scores(g, Y, Ustars, psis, lamC, alpha, kk):
-            def one(Ustar, psi):
-                score, align = bundle_scores(g, Y, Ustar, psi, lamC, alpha)
-                picks = mmr_select(normalize_rows(Y), score, kk, lambda_div=0.5)
-                return picks, score, align
-
-            return jax.vmap(one)(Ustars, psis)
-
         picks, scores, aligns = jax.device_get(
-            batch_scores(
+            _jit_bundle_batch_scores(
                 self._graph,
                 self._Y_dev,
                 Ustars,
@@ -1893,6 +1934,7 @@ class OscillinkLattice:
     def from_state(cls, state: dict[str, Any]) -> "OscillinkLattice":
         Y = np.array(state["Y"], dtype=np.float32)
         params = state.get("params", {})
+        has_adjacency = "A" in state or "A_sparse" in state
         lat = cls(
             Y,
             kneighbors=state.get("kneighbors", 6),
@@ -1901,6 +1943,9 @@ class OscillinkLattice:
             lamQ=params.get("lamQ", 4.0),
             deterministic_k=state.get("deterministic_k", False),
             neighbor_seed=state.get("neighbor_seed"),
+            # a stored adjacency replaces the graph anyway — don't pay the
+            # full similarity scan for a build that is discarded
+            _defer_graph=has_adjacency,
         )
         psi = np.array(
             state.get("psi", np.zeros(Y.shape[1], dtype=np.float32)), dtype=np.float32
@@ -1924,10 +1969,33 @@ class OscillinkLattice:
             if "chain_nodes" in state:
                 lat.add_chain(list(map(int, state["chain_nodes"])), lamP=lamP)
             elif "chain_edges" in state:
-                edges = state["chain_edges"]
+                edges = [tuple(map(int, e[:2])) for e in state["chain_edges"]]
                 if edges:
-                    flat = sorted({i for e in edges for i in e})
-                    lat.add_chain(flat, lamP=lamP)
+                    # reconstruct the PATH ORDER by walking the edge chain:
+                    # sorted-unique node ids would build a different
+                    # topology (edges [[2,5],[2,9]] from chain [5,2,9]
+                    # must not become the path 2-5-9).  Orientation is
+                    # irrelevant (L_path is orientation-invariant).
+                    adj: dict[int, list[int]] = {}
+                    for a_e, b_e in edges:
+                        adj.setdefault(a_e, []).append(b_e)
+                        adj.setdefault(b_e, []).append(a_e)
+                    ends = [v for v, ns in adj.items() if len(ns) == 1]
+                    if ends and all(len(ns) <= 2 for ns in adj.values()):
+                        walk = [min(ends)]
+                        prev = None
+                        while len(walk) <= len(edges):
+                            nxt = [
+                                x for x in adj[walk[-1]] if x != prev
+                            ]
+                            if not nxt:
+                                break
+                            prev = walk[-1]
+                            walk.append(nxt[0])
+                        chain_nodes = walk
+                    else:  # branching/cyclic edge set: best-effort order
+                        chain_nodes = sorted({i for e in edges for i in e})
+                    lat.add_chain(chain_nodes, lamP=lamP)
         if "provenance" in state:
             lat._imported_provenance = state["provenance"]
         return lat
@@ -1969,7 +2037,13 @@ class OscillinkLattice:
     # -- internal helpers -------------------------------------------------
 
     def _signature(self) -> str:
-        return compute_state_sig(
+        # memoized until the next state mutation: compute_state_sig
+        # JSON-serializes the full [N] gates vector (~100 ms at 1M), and a
+        # single receipt() consults the signature several times
+        memo = getattr(self, "_sig_memo", None)
+        if memo is not None:
+            return memo
+        sig = compute_state_sig(
             self.psi,
             self.B_diag,
             [self.lamG, self.lamC, self.lamQ, self.lamP],
@@ -1979,6 +2053,8 @@ class OscillinkLattice:
             self._deterministic_k,
             self._graph_token,
         )
+        self._sig_memo = sig
+        return sig
 
     def _auto_col_chunks(self) -> int:
         """Column-chunk the stationary solve when its working set approaches
@@ -2072,6 +2148,7 @@ class OscillinkLattice:
         self._Ustar_cache_dev = None
         self._Ustar_cache_host = None
         self._Ustar_sig = None
+        self._sig_memo = None
         self._log("invalidate_cache", {})
 
     def _choose_start_x0(self, *, warm_start: bool, inertia: float) -> jax.Array:

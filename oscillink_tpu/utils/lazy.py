@@ -39,11 +39,16 @@ class DeferredFetchGroup:
         self._pending[h] = device_value
         return h
 
-    def get(self, handle: int):
-        """Materialize (batched) and return the value for ``handle``."""
+    def get(self, handle: int, *, pop: bool = False):
+        """Materialize (batched) and return the value for ``handle``.
+
+        ``pop=True`` evicts the result afterwards — one-shot consumers
+        (receipt diagnostics register four [N]-sized arrays per call) must
+        use it, or the registry grows without bound on long-lived
+        lattices (~13 MB/receipt at N=1M)."""
         if handle not in self._results:
             self.flush()
-        return self._results[handle]
+        return self._results.pop(handle) if pop else self._results[handle]
 
     def flush(self) -> None:
         """Fetch every pending value in a single device_get."""
@@ -81,9 +86,13 @@ class LazyStats(Mapping):
         if key in self._imm:
             return self._imm[key]
         if key in self._handles:
-            v = self._group.get(self._handles[key])
+            # cache locally and evict from the shared group so the group's
+            # registry doesn't accumulate an entry per stats object forever
+            v = self._group.get(self._handles.pop(key), pop=True)
             cast = self._casts.get(key)
-            return cast(v) if cast is not None else v
+            v = cast(v) if cast is not None else v
+            self._imm[key] = v
+            return v
         raise KeyError(key)
 
     def __setitem__(self, key: str, value) -> None:
@@ -91,10 +100,11 @@ class LazyStats(Mapping):
         self._handles.pop(key, None)
 
     def __iter__(self) -> Iterator[str]:
-        yield from self._imm
-        for k in self._handles:
-            if k not in self._imm:
-                yield k
+        # snapshot: accessing an item during iteration (to_dict/repr) moves
+        # it from _handles to _imm
+        yield from list(self._imm) + [
+            k for k in self._handles if k not in self._imm
+        ]
 
     def __len__(self) -> int:
         return len(set(self._imm) | set(self._handles))
