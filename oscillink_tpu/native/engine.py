@@ -32,6 +32,12 @@ def _build() -> Optional[ctypes.CDLL]:
     global _BUILD_FAILED
     lib = _lib_path()
     if not lib.exists():
+        # compile to a temp path and rename: an interrupted/timed-out g++
+        # otherwise leaves a truncated .so at the final path that every
+        # later process "finds" and fails to CDLL-load forever; the rename
+        # also makes concurrent builders race-safe (last writer wins with
+        # a complete artifact)
+        tmp = lib.with_suffix(f".tmp{os.getpid()}.so")
         cmd = [
             os.getenv("CXX", "g++"),
             "-O3",
@@ -41,15 +47,26 @@ def _build() -> Optional[ctypes.CDLL]:
             "-funroll-loops",
             str(_SRC),
             "-o",
-            str(lib),
+            str(tmp),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, lib)
         except Exception as e:  # pragma: no cover — toolchain missing
             _BUILD_FAILED = True
+            tmp.unlink(missing_ok=True)
             print(f"oscillink_tpu: native build failed: {e}", file=sys.stderr)
             return None
-    dll = ctypes.CDLL(str(lib))
+    try:
+        dll = ctypes.CDLL(str(lib))
+    except OSError as e:  # pragma: no cover — corrupt cached artifact
+        # a pre-fix truncated artifact: delete it so the NEXT process
+        # rebuilds; mark this one failed rather than retrying every request
+        _BUILD_FAILED = True
+        lib.unlink(missing_ok=True)
+        print(f"oscillink_tpu: cached native lib unloadable, removed: {e}",
+              file=sys.stderr)
+        return None
 
     i32 = ctypes.c_int32
     f32 = ctypes.c_float
@@ -161,9 +178,19 @@ class NativeEngine:
         self._path_wn = np.zeros(0, dtype=np.float32)
 
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
-        self.psi = np.ascontiguousarray(psi, dtype=np.float32)
+        psi = np.ascontiguousarray(psi, dtype=np.float32)
+        if psi.shape != (self.D,):
+            # the C engine reads psi[0..D): a short buffer is an
+            # out-of-bounds heap read, not a wrong answer
+            raise ValueError(f"psi must have shape ({self.D},), got {psi.shape}")
+        self.psi = psi
         if gates is not None:
-            self.B = np.ascontiguousarray(gates, dtype=np.float32)
+            gates = np.ascontiguousarray(gates, dtype=np.float32)
+            if gates.shape != (self.N,):
+                raise ValueError(
+                    f"gates must have shape ({self.N},), got {gates.shape}"
+                )
+            self.B = gates
 
     def add_chain(self, chain, lamP: float = 0.2, weights=None) -> None:
         """Chain prior (reference add_chain semantics; ops/path.py build)."""

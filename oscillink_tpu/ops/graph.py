@@ -260,6 +260,16 @@ def build_graph(
     """
     n = Y.shape[0]
     similarity = resolve_similarity(n, similarity)
+    if similarity == "cluster":
+        raise ValueError(
+            "similarity='cluster' (IVF) is served by ops.ivf.build_graph_ivf "
+            "(or OscillinkLattice, which routes it); build_graph has no "
+            "cluster path"
+        )
+    if similarity not in ("exact", "fast", "fastest"):
+        # a typo would otherwise silently run the exact scan — at 1M that
+        # is a 9.9 s full pass standing in for the requested approximation
+        raise ValueError(f"unknown similarity mode {similarity!r}")
     Yn = normalize_rows(Y.astype(jnp.float32))
     if jitter is not None or n <= dense_limit:
         vals, idx = _topk_dense(Yn, k, jitter)

@@ -243,7 +243,12 @@ def _validate_and_overrides(
     lamQ = float(overrides.get("lamQ", req.params.lamQ))
     k_req = int(overrides.get("kneighbors", req.params.kneighbors))
     k_eff = min(k_req, max(1, N - 1))
-    eff = {"lamG": lamG, "lamC": lamC, "lamQ": lamQ, "kneighbors": k_eff}
+    # eff carries the REQUESTED k: it feeds the adaptive learner, and
+    # recording the per-request N-clamped value would let one tiny-N
+    # request promote kneighbors=2 into the key's profile permanently.
+    # Every consumer (lattice init, native/sharded paths) re-clamps to
+    # its own N.
+    eff = {"lamG": lamG, "lamC": lamC, "lamQ": lamQ, "kneighbors": k_req}
     return Y, N, D, k_eff, eff, profile_id
 
 

@@ -52,18 +52,25 @@ class JobStore:
     def _run_loop(self) -> None:
         while True:
             _, _, job_id, fn = self._queue.get()
-            job = self._jobs.get(job_id)
-            if job is None or job.get("status") == "cancelled":
-                continue
-            job["status"] = "running"
-            job["started_at"] = time.time()
+            with self._lock:
+                # the status check and the running transition are one
+                # atomic step vs cancel(): otherwise a DELETE landing
+                # between them confirms cancellation yet the job still
+                # runs (and charges quota)
+                job = self._jobs.get(job_id)
+                if job is None or job.get("status") == "cancelled":
+                    continue
+                job["status"] = "running"
+                job["started_at"] = time.time()
             try:
                 result = fn()
                 job["status"] = "done"
                 job["result"] = result
-            except Exception as e:  # error captured in the record (jobs.py:193)
+            except BaseException as e:  # noqa: BLE001 — a SystemExit from
+                # job code must not kill the worker thread and strand every
+                # queued job in 'running'/'queued' forever
                 job["status"] = "error"
-                job["error"] = str(e)
+                job["error"] = str(e) or type(e).__name__
             finally:
                 job["finished_at"] = time.time()
 
@@ -87,11 +94,11 @@ class JobStore:
             "error": None,
             **(meta or {}),
         }
-        self._jobs[job_id] = rec
-        self._ensure_worker()
         with self._lock:
+            self._jobs[job_id] = rec
             self._seq += 1
             seq = self._seq
+        self._ensure_worker()
         self._queue.put((0 if priority else 1, seq, job_id, fn))
         return rec
 
@@ -99,24 +106,31 @@ class JobStore:
         return self._jobs.get(job_id)
 
     def cancel(self, job_id: str) -> Optional[dict]:
-        job = self._jobs.get(job_id)
-        if job is None:
-            return None
-        if job["status"] == "queued":
-            job["status"] = "cancelled"
-        return job
+        with self._lock:  # atomic vs the worker's queued->running step
+            job = self._jobs.get(job_id)
+            if job is None:
+                return None
+            if job["status"] == "queued":
+                job["status"] = "cancelled"
+            return job
 
     def depth(self) -> int:
-        return sum(1 for j in self._jobs.values() if j["status"] in ("queued", "running"))
+        with self._lock:
+            return sum(
+                1
+                for j in list(self._jobs.values())
+                if j["status"] in ("queued", "running")
+            )
 
     def purge(self) -> None:
         now = time.time()
         ttl = _job_ttl()
-        stale = [
-            jid
-            for jid, j in self._jobs.items()
-            if j["status"] in ("done", "error", "cancelled")
-            and now - (j.get("finished_at") or j["submitted_at"]) > ttl
-        ]
-        for jid in stale:
-            self._jobs.pop(jid, None)
+        with self._lock:
+            stale = [
+                jid
+                for jid, j in list(self._jobs.items())
+                if j["status"] in ("done", "error", "cancelled")
+                and now - (j.get("finished_at") or j["submitted_at"]) > ttl
+            ]
+            for jid in stale:
+                self._jobs.pop(jid, None)

@@ -112,7 +112,10 @@ class Learners:
         self, api_key: Optional[str], base: Optional[Dict[str, Any]] = None
     ) -> Tuple[str, Dict[str, Any]]:
         prof_id, overrides = self.get_active_profile(api_key)
-        if not self.learn_enabled() or not api_key:
+        # exploration requires BOTH flags, like record_observation —
+        # otherwise requests get randomly jittered (eps floor >= 2%)
+        # while the write path never learns from it
+        if not (self.enabled() and self.learn_enabled()) or not api_key:
             return prof_id, overrides
         working = {
             "lamG": overrides.get("lamG", (base or {}).get("lamG", 1.0)),
@@ -152,7 +155,10 @@ class Learners:
             return
         try:
             alpha = _fenv("OSCILLINK_ADAPTIVE_ALPHA", 0.2, 0.0, 1.0)
-            margin = float(os.getenv("OSCILLINK_ADAPTIVE_MARGIN", "0.0"))
+            # _fenv falls back on a malformed value; a bare float() here
+            # raised into the blanket except and silently disabled ALL
+            # learning when e.g. OSCILLINK_ADAPTIVE_MARGIN='5%'
+            margin = _fenv("OSCILLINK_ADAPTIVE_MARGIN", 0.0, -1e18)
             min_obs = int(_fenv("OSCILLINK_ADAPTIVE_MIN_OBS", 500, 1))
             heavy_min_obs = int(
                 _fenv("OSCILLINK_ADAPTIVE_HEAVY_PROMOTE_MIN_OBS", 5000, 1)
@@ -180,10 +186,15 @@ class Learners:
             doc["ema_score"] = ema
 
             # promotion: exploratory params adopted only when the observation
-            # beats the EMA by `margin` AND guardrails pass
-            heavy = "kneighbors" in overrides and overrides.get("kneighbors") != (
-                doc.get("learned_params") or {}
-            ).get("kneighbors")
+            # beats the EMA by `margin` AND guardrails pass.  "Heavy" means
+            # the proposal CHANGES the effective k — comparing against
+            # learned_params alone misfires for fresh profiles (k absent ->
+            # every promotion counted heavy and min_obs was unreachable)
+            current_k = (doc.get("learned_params") or {}).get("kneighbors", 6)
+            heavy = (
+                "kneighbors" in overrides
+                and overrides.get("kneighbors") != current_k
+            )
             need_obs = heavy_min_obs if heavy else min_obs
             can_promote = (
                 profile_id == "explore"

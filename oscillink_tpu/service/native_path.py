@@ -81,6 +81,19 @@ def native_settle(
     gates = (
         np.array(sreq.gates, dtype=np.float32) if sreq.gates is not None else None
     )
+    # the native path routes BEFORE _build_lattice's shape validation; a
+    # short psi/gates buffer would be an out-of-bounds read in the C engine
+    from .governance import ApiError
+
+    if psi.shape != (d,):
+        raise ApiError(400, "psi dimension mismatch")
+    if gates is not None and gates.shape != (n,):
+        raise ApiError(400, "gates length mismatch")
+    if sreq.chain:
+        if len(sreq.chain) < 2:
+            raise ApiError(400, "chain must have >=2 nodes")
+        if min(sreq.chain) < 0 or max(sreq.chain) >= n:
+            raise ApiError(400, "chain indices out of bounds")
     eng.set_query(psi, gates=gates)
     if sreq.chain:
         eng.add_chain(sreq.chain, lamP=sreq.params.lamP)
