@@ -53,8 +53,14 @@ def price_map() -> dict[str, str]:
     return out
 
 
-def resolve_tier_from_subscription(subscription: dict) -> str:
-    """Map a Stripe subscription object's price ids to a tier (first match)."""
+def resolve_tier_from_subscription(subscription: dict, default: str = "free"):
+    """Map a Stripe subscription object's price ids to a tier (first match).
+
+    ``default`` is returned when no price id maps (reference semantics,
+    billing.py:111-130).  Pass ``default=None`` to DETECT the unmapped
+    case — the webhook uses that to keep a key's existing tier instead of
+    silently downgrading a paying customer on a renewal event whose price
+    id is missing from OSCILLINK_STRIPE_PRICE_MAP."""
     pm = price_map()
     try:
         items = subscription.get("items", {}).get("data", [])
@@ -64,4 +70,4 @@ def resolve_tier_from_subscription(subscription: dict) -> str:
                 return pm[pid]
     except Exception:
         pass
-    return "free"
+    return default

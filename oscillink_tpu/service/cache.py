@@ -30,9 +30,11 @@ def _size() -> int:
 class BundleCache:
     def __init__(self) -> None:
         self._per_key: dict[str, OrderedDict[str, dict]] = {}
+        self._puts = 0
 
     def get(self, api_key: Optional[str], state_sig: str) -> Optional[dict]:
-        if _ttl() <= 0:
+        ttl = _ttl()
+        if ttl <= 0:
             return None
         bucket = self._per_key.get(api_key or "_anon_")
         if not bucket:
@@ -40,17 +42,30 @@ class BundleCache:
         rec = bucket.get(state_sig)
         if rec is None:
             return None
-        if time.time() - rec["ts"] > _ttl():
+        if time.time() - rec["ts"] > ttl:
             bucket.pop(state_sig, None)
             return None
         bucket.move_to_end(state_sig)
         return rec
 
     def put(self, api_key: Optional[str], state_sig: str, bundle: list[dict[str, Any]]):
-        if _ttl() <= 0:
+        ttl = _ttl()
+        if ttl <= 0:
             return
         bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
-        bucket[state_sig] = {"ts": time.time(), "bundle": bundle}
+        now = time.time()
+        bucket[state_sig] = {"ts": now, "bundle": bundle}
         bucket.move_to_end(state_sig)
         while len(bucket) > _size():
             bucket.popitem(last=False)
+        # periodic sweep: without it, expired bundles linger until the same
+        # (key, sig) repeats, and buckets for rotated/revoked keys live
+        # forever — unbounded memory on a long-lived instance
+        self._puts += 1
+        if self._puts % 256 == 0:
+            for key in list(self._per_key):
+                b = self._per_key[key]
+                for sig in [s for s, r in list(b.items()) if now - r["ts"] > ttl]:
+                    b.pop(sig, None)
+                if not b:
+                    self._per_key.pop(key, None)

@@ -215,13 +215,19 @@ class WebhookProcessor:
         return "suspended"  # past_due / unpaid / incomplete / paused
 
     def _handle_subscription_update(self, subscription: dict, created: float) -> dict:
-        tier = resolve_tier_from_subscription(subscription)
+        # default=None detects an UNMAPPED price id: keep the key's current
+        # tier rather than downgrading a paying customer to free because a
+        # renewal's price is missing from OSCILLINK_STRIPE_PRICE_MAP
+        tier = resolve_tier_from_subscription(subscription, default=None)
         api_key = (subscription.get("metadata") or {}).get("api_key")
         if not api_key:
-            return {"action": "no_key_metadata", "tier": tier}
+            return {"action": "no_key_metadata", "tier": tier or "unmapped"}
         if self._stale(api_key, created):
             return {"action": "stale_event_ignored", "api_key": api_key}
         status = self._status_for_subscription(subscription)
+        existing = self.keystore.get(api_key)
+        if tier is None:
+            tier = existing.tier if existing else "free"
         self.keystore.update(api_key, create=True, tier=tier, status=status)
         return {
             "action": "retiered",

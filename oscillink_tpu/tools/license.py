@@ -119,6 +119,19 @@ def _fetch_jwks(url: str, cache_path: str, ttl: int, grace: int) -> dict:
         return jwks
     except urllib.error.HTTPError as e:  # type: ignore[attr-defined]
         if e.code == 304 and cached.get("jwks"):
+            # the server confirmed the cached keys are current — refresh
+            # fetched_at so the ttl fast path and the grace window restart
+            # (otherwise every verify re-hits the network after first ttl)
+            try:
+                cached["fetched_at"] = now
+                with open(cache_path, "w", encoding="utf-8") as f:
+                    json.dump(cached, f)
+            except Exception:
+                pass
+            return cached["jwks"]
+        # a 5xx endpoint is as unreachable as a refused connection for
+        # grace purposes — fall through to the stale-cache window
+        if cached.get("jwks") and now - int(cached.get("fetched_at", 0)) < ttl + grace:
             return cached["jwks"]
         raise LicenseError(f"JWKS fetch failed: HTTP {e.code}") from e
     except Exception as e:
@@ -154,11 +167,22 @@ def verify_license_token(
         jwks = _fetch_jwks(jwks_url, jwks_cache, ttl, grace)
     kid = header.get("kid")
     keys = jwks.get("keys", [])
-    jwk = next((k for k in keys if kid is None or k.get("kid") == kid), None)
-    if jwk is None:
+    if kid is not None:
+        candidates = [k for k in keys if k.get("kid") == kid]
+    else:
+        # no kid: try EVERY key — during rotation the JWKS carries old+new
+        # and trying only keys[0] rejects tokens signed with the new key
+        candidates = list(keys)
+    if not candidates:
         raise LicenseError("no matching JWKS key")
-    _verify_ed25519(h64, p64, s64, jwk)
-    return payload
+    last_err: Optional[Exception] = None
+    for jwk in candidates:
+        try:
+            _verify_ed25519(h64, p64, s64, jwk)
+            return payload
+        except Exception as e:
+            last_err = e
+    raise LicenseError(f"signature verification failed: {last_err}")
 
 
 def entitlement_env_lines(payload: dict) -> list[str]:
