@@ -37,6 +37,16 @@ __all__ = [
 _DENSE_DIRECT_LIMIT = 4096
 
 
+def _normalize_gates(h: np.ndarray, n: int) -> np.ndarray:
+    """Min-max normalize to [0, 1] with the uniform-ones fallback on a
+    degenerate spread (shared by both host-side gate functions; the batch
+    jit replicates the same semantics per lane on device)."""
+    h_min, h_max = float(np.min(h)), float(np.max(h))
+    if h_max - h_min < 1e-12:
+        return np.ones(n, dtype=np.float32)
+    return ((h - h_min) / (h_max - h_min)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("k", "method"))
 def _diffusion_jit(Y, psi, jitter, k, row_cap, beta, gamma, tol, max_iters, method):
     g: Graph = build_graph(Y, k, row_cap=row_cap, jitter=jitter)
@@ -124,8 +134,12 @@ def compute_diffusion_gates_from_graph_batch(
     normalize + uniform-ones fallback, applied per lane)."""
     if gamma <= 0:
         raise ValueError("gamma must be > 0 for SPD")
-    q = int(np.asarray(psis).shape[0])
+    psis = np.asarray(psis, dtype=np.float32)
+    q = int(psis.shape[0])
     n = int(Y_dev.shape[0])
+    d = int(Y_dev.shape[1])
+    if psis.ndim != 2 or psis.shape[1] != d:
+        raise ValueError(f"psis must have shape [Q, {d}], got {psis.shape}")
     try:
         h = np.asarray(
             _diffusion_from_graph_batch_jit(
@@ -165,12 +179,18 @@ def compute_diffusion_gates_from_graph(
     if gamma <= 0:
         raise ValueError("gamma must be > 0 for SPD")
     n = int(Y_dev.shape[0])
+    d = int(Y_dev.shape[1])
+    psi = np.asarray(psi, dtype=np.float32)
+    if psi.shape != (d,):
+        # input errors must raise — the blanket numerical fallback below
+        # would otherwise silently hand the caller uniform gates
+        raise ValueError(f"psi must have shape ({d},), got {psi.shape}")
     try:
         h = np.asarray(
             _diffusion_from_graph_jit(
                 g,
                 Y_dev,
-                jnp.asarray(np.asarray(psi, dtype=np.float32)),
+                jnp.asarray(psi),
                 jnp.float32(beta),
                 jnp.float32(gamma),
                 jnp.float32(tol),
@@ -182,11 +202,7 @@ def compute_diffusion_gates_from_graph(
     except Exception:
         return np.ones(n, dtype=np.float32)
     if clamp:
-        h_min, h_max = float(np.min(h)), float(np.max(h))
-        if h_max - h_min < 1e-12:
-            h = np.ones(n, dtype=np.float32)
-        else:
-            h = (h - h_min) / (h_max - h_min)
+        h = _normalize_gates(h, n)
     return np.clip(h, 0.0, 1.0).astype(np.float32)
 
 
@@ -227,7 +243,15 @@ def compute_diffusion_gates(
 
     k_eff = min(int(kneighbors), max(1, N - 1))
     jitter = None
-    if neighbor_seed is not None and not deterministic_k and N <= _DENSE_DIRECT_LIMIT:
+    if neighbor_seed is not None and not deterministic_k:
+        if N > _DENSE_DIRECT_LIMIT:
+            # the seeded tie-break needs the [N, N] jitter of the dense
+            # path; silently ignoring the seed here would diverge from the
+            # reference's seed mode without any signal
+            raise ValueError(
+                f"neighbor_seed requires N <= {_DENSE_DIRECT_LIMIT} in "
+                "compute_diffusion_gates (dense jitter path)"
+            )
         rng = np.random.default_rng(neighbor_seed)
         jitter = jnp.asarray(rng.uniform(-1e-8, 1e-8, size=(N, N)).astype(np.float32))
 
@@ -256,9 +280,5 @@ def compute_diffusion_gates(
         return np.ones(N, dtype=np.float32)
 
     if clamp:
-        h_min, h_max = float(np.min(h)), float(np.max(h))
-        if h_max - h_min < 1e-12:
-            h = np.ones(N, dtype=np.float32)
-        else:
-            h = (h - h_min) / (h_max - h_min)
+        h = _normalize_gates(h, N)
     return np.clip(h, 0.0, 1.0).astype(np.float32)

@@ -867,6 +867,15 @@ def h_bundle_ragged(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         if d_i > s.max_dim:
             raise ApiError(413, f"D>{s.max_dim} exceeds limit")
         ns.append(n_i)
+    for p in rreq.psis:
+        if len(p) != d0:
+            raise ApiError(400, "psi dimension mismatch")
+    if rreq.gates is not None:
+        if len(rreq.gates) != len(rreq.corpora):
+            raise ApiError(400, "gates must match corpora")
+        for g, n_i in zip(rreq.gates, ns):
+            if g is not None and len(g) != n_i:
+                raise ApiError(400, "gates length mismatch")
     units = sum(ns) * int(d0 or 0)
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 

@@ -18,7 +18,11 @@ import time
 from typing import Optional
 from urllib.parse import urlparse
 
-__all__ = ["RespClient", "RedisState", "get_redis_state"]
+__all__ = ["RespClient", "RedisState", "RedisReplyError", "get_redis_state"]
+
+
+class RedisReplyError(RuntimeError):
+    """Application-level Redis error reply (-ERR/WRONGTYPE/...)."""
 
 
 class RespClient:
@@ -72,7 +76,7 @@ class RespClient:
         if kind == b"+":
             return rest.decode()
         if kind == b"-":
-            raise RuntimeError(f"redis error: {rest.decode()}")
+            raise RedisReplyError(rest.decode())
         if kind == b":":
             return int(rest)
         if kind == b"$":
@@ -98,6 +102,11 @@ class RespClient:
                 s = self._connect()
                 s.sendall(payload)
                 return self._read_reply(s)
+            except RedisReplyError:
+                # application-level error reply: the RESP stream is still in
+                # sync — keep the connection (closing forced a TCP handshake
+                # per benign -ERR/WRONGTYPE reply)
+                raise
             except Exception:
                 self.close()
                 raise
@@ -117,12 +126,19 @@ class RedisState:
 
     def incr_with_window(self, key: str, window_seconds: int) -> Optional[int]:
         """Fixed-window counter: INCR + EXPIRE on first increment; returns the
-        current count or None on failure (caller falls back to memory)."""
+        current count or None on failure (caller falls back to memory).
+
+        TTL self-repair: if the EXPIRE after the first INCR ever failed
+        (socket timeout, process death between the two commands), the key
+        would live forever and the window would 429 permanently.  On later
+        increments we cheaply re-check/heal the TTL every 64 counts."""
         try:
-            count = self.client.command("INCR", key)
-            if count == 1:
-                self.client.command("EXPIRE", key, window_seconds)
-            return int(count)
+            count = int(self.client.command("INCR", key))
+            if count == 1 or count % 64 == 0:
+                ttl = self.client.command("TTL", key)
+                if isinstance(ttl, int) and ttl < 0:
+                    self.client.command("EXPIRE", key, window_seconds)
+            return count
         except Exception:
             return None
 
@@ -164,7 +180,10 @@ def get_redis_state() -> Optional[RedisState]:
         return None
     _checked_at = now
     url = urlparse(os.getenv("OSCILLINK_REDIS_URL", "redis://127.0.0.1:6379"))
-    client = RespClient(url.hostname or "127.0.0.1", url.port or 6379)
+    # short timeout: this probe runs ON the request path (once per 30 s
+    # while Redis is down) — a 1 s connect timeout was a recurring
+    # user-visible latency spike
+    client = RespClient(url.hostname or "127.0.0.1", url.port or 6379, timeout=0.3)
     state = RedisState(client)
     if state.ping():
         _state = state

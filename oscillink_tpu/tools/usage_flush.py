@@ -30,10 +30,22 @@ def read_new_lines(path: str, offset_path: str) -> tuple[list[dict], int]:
         offset = 0
     records: list[dict] = []
     try:
+        size = os.path.getsize(path)
+        if offset > size:
+            # rotation/truncation: a stale larger offset would read nothing
+            # forever (and then resume mid-stream once the file regrew)
+            offset = 0
         with open(path, "rb") as f:
             f.seek(offset)
             chunk = f.read()
-            new_offset = offset + len(chunk)
+        # only consume up to the last COMPLETE line: the writer may be
+        # mid-append, and advancing past a half-written record loses it
+        # (its tail would fail to parse next cycle too)
+        cut = chunk.rfind(b"\n")
+        if cut < 0:
+            return [], offset
+        chunk = chunk[: cut + 1]
+        new_offset = offset + len(chunk)
         for line in chunk.decode("utf-8", errors="replace").splitlines():
             line = line.strip()
             if line:
@@ -80,8 +92,9 @@ def flush_once(
                     return len(records)
         except Exception:
             pass
-        time.sleep(delay)
-        delay = min(delay * 2, 60.0)
+        if attempt < max_retries - 1:  # no pointless sleep after last try
+            time.sleep(delay)
+            delay = min(delay * 2, 60.0)
     return -1  # gave up; offset not advanced, will retry next cycle
 
 
