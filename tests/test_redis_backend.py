@@ -10,7 +10,7 @@ from oscillink_tpu.service.redis_backend import RedisState, RespClient
 
 
 class FakeRedis:
-    """Tiny RESP2 server implementing PING/GET/SET/INCR/EXPIRE/DEL."""
+    """Tiny RESP2 server implementing PING/GET/SET/INCR/EXPIRE/TTL/DEL."""
 
     def __init__(self):
         self.data: dict[bytes, bytes] = {}
@@ -100,6 +100,13 @@ class FakeRedis:
         if cmd == b"EXPIRE":
             self.expiry[args[1]] = time.time() + int(args[2])
             return b":1\r\n"
+        if cmd == b"TTL":
+            if args[1] not in self.data:
+                return b":-2\r\n"
+            exp = self.expiry.get(args[1])
+            if exp is None:
+                return b":-1\r\n"
+            return b":%d\r\n" % max(0, int(exp - time.time()))
         if cmd == b"DEL":
             existed = args[1] in self.data
             self.data.pop(args[1], None)
