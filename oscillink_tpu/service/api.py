@@ -215,11 +215,24 @@ def _parse(model, payload):
         raise ApiError(422, e.errors(include_url=False).__repr__()) from None
 
 
+def _np_array_or_400(value, what: str) -> np.ndarray:
+    """list -> float32 ndarray; ragged nested lists are a client error
+    (pydantic's list[list[float]] accepts them, np.array raises)."""
+    try:
+        return np.array(value, dtype=np.float32)
+    except (ValueError, TypeError):
+        raise ApiError(400, f"{what} must be rectangular numeric") from None
+
+
 def _validate_and_overrides(
     state: ServiceState, req: SettleRequest, api_key: Optional[str]
 ):
-    """Shape/cap validation + adaptive-profile overrides (no lattice built)."""
-    Y = np.array(req.Y, dtype=np.float32)
+    """Shape/cap validation + adaptive-profile overrides (no lattice built).
+
+    Validates EVERYTHING knowable without building (psi/gates lengths,
+    chain bounds): every shape error must be a 400 BEFORE quota is
+    charged, on every backend."""
+    Y = _np_array_or_400(req.Y, "Y")
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")
     N, D = Y.shape
@@ -228,6 +241,15 @@ def _validate_and_overrides(
         raise ApiError(413, f"N>{s.max_nodes} exceeds limit")
     if D > s.max_dim:
         raise ApiError(413, f"D>{s.max_dim} exceeds limit")
+    if req.psi is not None and len(req.psi) != D:
+        raise ApiError(400, "psi dimension mismatch")
+    if req.gates is not None and len(req.gates) != N:
+        raise ApiError(400, "gates length mismatch")
+    if req.chain:
+        if len(req.chain) < 2:
+            raise ApiError(400, "chain must have >=2 nodes")
+        if min(req.chain) < 0 or max(req.chain) >= N:
+            raise ApiError(400, "chain indices out of bounds")
 
     profile_id, overrides = state.learners.propose_overrides(
         api_key,
@@ -252,8 +274,15 @@ def _validate_and_overrides(
     return Y, N, D, k_eff, eff, profile_id
 
 
-def _build_lattice(state: ServiceState, req: SettleRequest, api_key: Optional[str]):
-    Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(state, req, api_key)
+def _build_lattice(
+    state: ServiceState, req: SettleRequest, api_key: Optional[str], pre=None
+):
+    """``pre`` is a prior _validate_and_overrides result: callers that
+    already validated (to charge quota first) pass it to skip the duplicate
+    Y conversion and the second learner/keystore read + RNG draw."""
+    Y, N, D, k_eff, eff, profile_id = (
+        pre if pre is not None else _validate_and_overrides(state, req, api_key)
+    )
     lamG, lamC, lamQ = eff["lamG"], eff["lamC"], eff["lamQ"]
 
     if req.params.similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
@@ -312,7 +341,14 @@ def _charge(state: ServiceState, api_key: Optional[str], units: int):
     remaining, limit, reset_at = state.quota.check_and_consume(
         api_key, units, state.keystore
     )
-    monthly_ctx = state.monthly.check_and_consume(api_key, units, state.keystore)
+    try:
+        monthly_ctx = state.monthly.check_and_consume(api_key, units, state.keystore)
+    except ApiError:
+        # peek->consume isn't atomic across concurrent requests: if the
+        # monthly cap was raced away between the two, refund the windowed
+        # units this rejection would otherwise burn
+        state.quota.refund(api_key, units)
+        raise
     return monthly_ctx, remaining, limit, reset_at
 
 
@@ -432,7 +468,8 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             served_by = "sharded"
         else:
             lat, N, D, k_eff, eff, profile_id = _build_lattice(
-                state, sreq, ctx["api_key"]
+                state, sreq, ctx["api_key"],
+                pre=(Y_req, N, D, k_eff, eff, profile_id),
             )
             stats = lat.settle(
                 dt=sreq.options.dt, max_iters=sreq.options.max_iters,
@@ -610,9 +647,15 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         )
         return resp
 
-    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, breq, ctx["api_key"])
+    # validate (cheap) -> charge -> build: an over-quota client must not be
+    # able to force the O(N^2 D) graph scan before its 429
+    pre = _validate_and_overrides(state, breq, ctx["api_key"])
+    N, D = pre[1], pre[2]
     units = N * D
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+    lat, N, D, k_eff, eff, profile_id = _build_lattice(
+        state, breq, ctx["api_key"], pre=pre
+    )
 
     state_sig = lat._signature()
     cache_sig = _bundle_cache_sig(state_sig, breq)
@@ -726,9 +769,12 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         )
         return resp
 
-    lat, N, D, k_eff, eff, profile_id = _build_lattice(state, creq, ctx["api_key"])
-    units = N * D
+    pre = _validate_and_overrides(state, creq, ctx["api_key"])
+    units = pre[1] * pre[2]
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
+    lat, N, D, k_eff, eff, profile_id = _build_lattice(
+        state, creq, ctx["api_key"], pre=pre
+    )
     t0 = time.perf_counter()
     lat.settle(dt=creq.options.dt, max_iters=creq.options.max_iters, tol=creq.options.tol)
     chain_rec = lat.chain_receipt(creq.chain, z_th=creq.z_th)
@@ -762,7 +808,7 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
                 "provide either gates_batch or a diffusion block, not both",
             )
         _validate_diffusion(breq)
-    Y = np.array(breq.Y, dtype=np.float32)
+    Y = _np_array_or_400(breq.Y, "Y")
     if Y.ndim != 2 or Y.shape[0] == 0 or Y.shape[1] == 0:
         raise ApiError(400, "Empty matrix")
     N, D = Y.shape
@@ -771,7 +817,7 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         raise ApiError(413, f"N>{s.max_nodes} exceeds limit")
     if D > s.max_dim:
         raise ApiError(413, f"D>{s.max_dim} exceeds limit")
-    psis = np.array(breq.psis, dtype=np.float32)
+    psis = _np_array_or_400(breq.psis, "psis")
     if psis.ndim != 2 or psis.shape[1] != D:
         raise ApiError(400, "psis must be [Q, D]")
     Q = psis.shape[0]
@@ -787,6 +833,10 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     k_eff = min(int(breq.params.kneighbors), max(1, N - 1))
+    if breq.params.similarity not in {"auto", "exact", "fast", "fastest", "cluster"}:
+        raise ApiError(
+            422, "params.similarity must be auto|exact|fast|fastest|cluster"
+        )
     t0 = time.perf_counter()
     lat = OscillinkLattice(
         Y,
@@ -796,6 +846,7 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         lamQ=breq.params.lamQ,
         deterministic_k=breq.params.deterministic_k,
         neighbor_seed=breq.params.neighbor_seed,
+        similarity=breq.params.similarity,
     )
     if _diffusion_requested(breq):
         # Q screened-Poisson solves over the one shared graph, vmapped —
@@ -876,16 +927,23 @@ def h_bundle_ragged(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         for g, n_i in zip(rreq.gates, ns):
             if g is not None and len(g) != n_i:
                 raise ApiError(400, "gates length mismatch")
+    # convert BEFORE charging: a ragged inner list passes pydantic but
+    # fails np.array — that is a 400, and it must not consume units
+    corpora_np = [_np_array_or_400(c, "corpus") for c in rreq.corpora]
+    psis_np = [_np_array_or_400(p, "psi") for p in rreq.psis]
+    gates_np = (
+        None
+        if rreq.gates is None
+        else [None if g is None else _np_array_or_400(g, "gates") for g in rreq.gates]
+    )
     units = sum(ns) * int(d0 or 0)
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     t0 = time.perf_counter()
     results = bundle_ragged(
-        [np.array(c, dtype=np.float32) for c in rreq.corpora],
-        [np.array(p, dtype=np.float32) for p in rreq.psis],
-        None
-        if rreq.gates is None
-        else [None if g is None else np.array(g, dtype=np.float32) for g in rreq.gates],
+        corpora_np,
+        psis_np,
+        gates_np,
         kneighbors=rreq.params.kneighbors,
         lamG=rreq.params.lamG,
         lamC=rreq.params.lamC,
@@ -963,7 +1021,7 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             backend = "sharded"
         else:
             lat, N, D, k_eff, eff, profile_id = _build_lattice(
-                state, sreq, api_key
+                state, sreq, api_key, pre=(Y_req, N, D, k_eff, eff, profile_id)
             )
             stats = lat.settle(
                 dt=sreq.options.dt,
@@ -1006,17 +1064,25 @@ def h_jobs_submit(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     return ApiResponse(status=202, body={"job_id": rec["id"], "status": rec["status"]})
 
 
-def h_jobs_get(state: ServiceState, req: ApiRequest, job_id: str = "", **_) -> ApiResponse:
-    _feature_context(state, req)
+def _job_for_caller(state: ServiceState, req: ApiRequest, job_id: str):
+    """404 unless the job exists AND belongs to the caller's key — a job id
+    must not let one tenant read or cancel another tenant's job (uuid
+    unguessability is not an authorization model)."""
+    ctx = _feature_context(state, req)
     job = state.jobs.get(job_id)
-    if job is None:
+    if job is None or job.get("api_key") != ctx["api_key"]:
         raise ApiError(404, "job not found")
+    return job
+
+
+def h_jobs_get(state: ServiceState, req: ApiRequest, job_id: str = "", **_) -> ApiResponse:
+    job = _job_for_caller(state, req, job_id)
     body = {k: v for k, v in job.items() if k != "api_key"}
     return ApiResponse(body=body)
 
 
 def h_jobs_delete(state: ServiceState, req: ApiRequest, job_id: str = "", **_) -> ApiResponse:
-    _feature_context(state, req)
+    _job_for_caller(state, req, job_id)
     job = state.jobs.cancel(job_id)
     if job is None:
         raise ApiError(404, "job not found")
@@ -1082,7 +1148,11 @@ def h_bench_competitor(state: ServiceState, req: ApiRequest, **_) -> ApiResponse
     )
     lat.set_query(psi)
     lat.settle(max_iters=12, tol=1e-3)
-    osc_pred = [int(e["id"]) for e in lat.bundle(k=k)]
+    # mask the query document like the cosine baseline does — otherwise
+    # the two systems are scored on different candidate sets (the bundle
+    # could claim the query itself as a free true positive)
+    picks = lat.bundle(k=k + (1 if q_idx is not None else 0))
+    osc_pred = [int(e["id"]) for e in picks if int(e["id"]) != q_idx][:k]
     osc_ms = 1000.0 * (time.perf_counter() - t1)
     osc_f1, osc_hall = _topk_f1_hall(osc_pred, breq.labels, breq.traps)
 
@@ -1107,7 +1177,10 @@ def h_bench_competitor(state: ServiceState, req: ApiRequest, **_) -> ApiResponse
                 )
                 lat_t.set_query(psi)
                 lat_t.settle(max_iters=12, tol=1e-3)
-                pred_t = [int(e["id"]) for e in lat_t.bundle(k=k)]
+                picks_t = lat_t.bundle(k=k + (1 if q_idx is not None else 0))
+                pred_t = [
+                    int(e["id"]) for e in picks_t if int(e["id"]) != q_idx
+                ][:k]
                 f1_t, hall_t = _topk_f1_hall(pred_t, breq.labels, breq.traps)
                 cand = {
                     "lamC": max(0.1, breq.lamC * cs),

@@ -105,6 +105,17 @@ class QuotaState:
             remaining = q_limit - int(rec.used)
             return remaining, q_limit, rec.window_start + q_window
 
+    def refund(self, key: Optional[str], units: int) -> None:
+        """Return units consumed for a request that was then rejected by a
+        later check (the peek/consume pair around the monthly cap is not
+        atomic under concurrency)."""
+        if key is None:
+            return
+        with self._lock:
+            rec = self._usage.get(key)
+            if rec is not None:
+                rec.used = max(0.0, rec.used - units)
+
     @staticmethod
     def headers(remaining: int, limit: int, reset_epoch: float) -> dict[str, str]:
         if remaining < 0:

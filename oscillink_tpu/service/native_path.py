@@ -43,6 +43,13 @@ def eligible(sreq, n: int) -> bool:
     d = getattr(sreq, "diffusion", None)
     if d is not None and d.enable:
         return False  # diffusion gates are derived on the device lattice graph
+    opts = getattr(sreq, "options", None)
+    if (
+        opts is not None
+        and getattr(opts, "bundle_k", None)
+        and getattr(opts, "bundle_diversify", True) is False
+    ):
+        return False  # the C engine's bundle implements the MMR contract only
     from ..ops.graph import resolve_similarity
 
     if resolve_similarity(n, getattr(sreq.params, "similarity", "exact")) != "exact":
