@@ -307,29 +307,47 @@ def _device_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
-def _tunnel_down_exit() -> None:
-    """Print the honest-null headline when no device is reachable; the
-    native-host N=1200 number (TPU-free) is still measured live."""
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
 
-    log("# device enumeration timed out: tunnel down, emitting null headline")
-    cached_detail = None
+def _cached_last_good():
+    """Last committed bench_latest.json value (detail-only, never headline)."""
+    import os as _os
+
     try:
-        import os as _os
-
         cached_path = _os.path.join(
             _os.path.dirname(_os.path.abspath(__file__)),
             "benchmarks",
             "bench_latest.json",
         )
-        cached_detail = {
+        return {
             "value": json.load(open(cached_path))["value"],
             "note": "previous committed run; NOT this run's measurement",
         }
     except Exception:
-        pass
+        return None
+
+
+def _serving_default_1200(r1200_native, fused_ms=None):
+    if r1200_native:
+        return {
+            "backend": "native-host (deploy default: "
+            "OSCILLINK_NATIVE_SMALL_N=2048)",
+            "e2e_ms": r1200_native["e2e_ms"],
+            "vs_baseline": r1200_native["vs_baseline"],
+        }
+    if fused_ms is not None:
+        return {"backend": "tpu-fused", "e2e_ms": fused_ms}
+    return None
+
+
+def _tunnel_down_exit() -> None:
+    """Print the honest-null headline when no device is reachable; the
+    native-host N=1200 number (TPU-free) is still measured live."""
+    log = _log
+    log("# device enumeration timed out: tunnel down, emitting null headline")
+    cached_detail = _cached_last_good()
     r1200_native = _native_1200(log)
     out = {
         "metric": "e2e_build_settle_receipt_ms_N5000_D128_k6",
@@ -344,16 +362,7 @@ def _tunnel_down_exit() -> None:
             "includes_readback": False,
             "cached_last_good": cached_detail,
             "N1200_native": r1200_native,
-            "N1200_serving_default": (
-                {
-                    "backend": "native-host (deploy default: "
-                    "OSCILLINK_NATIVE_SMALL_N=2048)",
-                    "e2e_ms": r1200_native["e2e_ms"],
-                    "vs_baseline": r1200_native["vs_baseline"],
-                }
-                if r1200_native
-                else None
-            ),
+            "N1200_serving_default": _serving_default_1200(r1200_native),
             "large_n_recorded": _large_n_recorded(),
             "baseline_N5000_ms": BASELINE_N5000_MS,
             "baseline_N1200_ms": BASELINE_N1200_MS,
@@ -369,8 +378,7 @@ def _tunnel_down_exit() -> None:
 def main() -> None:
     from oscillink_tpu import OscillinkLattice
 
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
+    log = _log
 
     sync_ok = sync_is_trustworthy()
     log(f"# sync trustworthy: {sync_ok}")
@@ -398,16 +406,22 @@ def main() -> None:
     # full readback passes under a deadline (the d2h channel may be wedged)
     readback = {}
 
+    stop_readback = threading.Event()
+
     def _readback_worker():
         try:
             for n, cfg in configs.items():
                 times = []
                 dh = None
                 for _ in range(5):
+                    if stop_readback.is_set():
+                        return  # deadline passed: stop issuing device work
                     t, dh = readback_pass(
                         OscillinkLattice, cfg["Y"], cfg["psi"], cfg["k"]
                     )
                     times.append(t)
+                if stop_readback.is_set():
+                    return  # don't mutate `readback` after the snapshot
                 readback[n] = {
                     "e2e_ms": round(float(np.median(times)), 3),
                     "deltaH": round(float(dh), 2),
@@ -419,7 +433,13 @@ def main() -> None:
     worker = threading.Thread(target=_readback_worker, daemon=True)
     worker.start()
     worker.join(READBACK_DEADLINE_S)
+    # signal the worker to stop BEFORE the slope/fused/matvec measurements:
+    # a slow-but-alive d2h channel would otherwise keep issuing heavy
+    # device work that contaminates every timing below (it may be stuck
+    # inside one C++ transfer call, but it issues nothing further)
+    stop_readback.set()
     readback_ok = 5000 in readback
+    readback = dict(readback)  # snapshot: quality label and detail agree
 
     # slope-timed E2E: survives lying sync AND wedged big-readback (the
     # round-2 degraded mode) — correctness proven by the scalar deltaH fetch
@@ -458,12 +478,10 @@ def main() -> None:
     import jax
 
     # value preference: full readback (best) > sync-validated compute E2E >
-    # the last committed good readback (conservative) — dispatch-only
-    # numbers are never reported as the headline value.
-    # value preference: full readback (best) > sync-validated compute E2E.
-    # If BOTH device channels are broken this run produced no measurement:
-    # the headline value/vs_baseline are null and any cached last-good number
-    # lives ONLY under detail.cached_last_good (never in the headline).
+    # device-slope. If all three device channels are broken this run
+    # produced no measurement: headline value/vs_baseline are null and any
+    # cached last-good number lives ONLY under detail.cached_last_good
+    # (never in the headline).
     cached_detail = None
     if readback_ok:
         value, quality = readback[5000]["e2e_ms"], "full-readback"
@@ -477,20 +495,7 @@ def main() -> None:
         )
     else:
         value, quality = None, "degraded (sync + d2h broken): no measurement this run"
-        try:
-            import os as _os
-
-            cached_path = _os.path.join(
-                _os.path.dirname(_os.path.abspath(__file__)),
-                "benchmarks",
-                "bench_latest.json",
-            )
-            cached_detail = {
-                "value": json.load(open(cached_path))["value"],
-                "note": "previous committed run; NOT this run's measurement",
-            }
-        except Exception:
-            cached_detail = None
+        cached_detail = _cached_last_good()
     out = {
         "metric": "e2e_build_settle_receipt_ms_N5000_D128_k6",
         "value": value,
@@ -509,15 +514,8 @@ def main() -> None:
             "N1200_slope": slope.get(1200),
             "N1200_fused_ms": fused.get(1200),
             "N1200_native": r1200_native,
-            "N1200_serving_default": (
-                {
-                    "backend": "native-host (deploy default: "
-                    "OSCILLINK_NATIVE_SMALL_N=2048)",
-                    "e2e_ms": r1200_native["e2e_ms"],
-                    "vs_baseline": r1200_native["vs_baseline"],
-                }
-                if r1200_native
-                else {"backend": "tpu-fused", "e2e_ms": fused.get(1200)}
+            "N1200_serving_default": _serving_default_1200(
+                r1200_native, fused.get(1200)
             ),
             "matvec_100k": matvec,
             # NOT this run's measurements: separately recorded large-N rows

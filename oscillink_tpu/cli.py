@@ -30,6 +30,13 @@ class CliHttpError(RuntimeError):
     """Raised for any transport or non-2xx failure of a CLI API call."""
 
 
+def _api_url(base: str, path: str) -> str:
+    """Join preserving any path prefix in the base URL — urljoin with a
+    leading-slash path discards e.g. the /oscillink of
+    https://example.com/oscillink (reverse-proxy deployments)."""
+    return base.rstrip("/") + path
+
+
 def _http(method: str, url: str, data: Optional[dict] = None, headers: Optional[dict] = None):
     """Minimal JSON-over-HTTP round trip for the CLI (stdlib only).
 
@@ -46,7 +53,19 @@ def _http(method: str, url: str, data: Optional[dict] = None, headers: Optional[
 
     def decode(body: bytes, content_type: str):
         text = body.decode("utf-8", errors="replace")
-        return json.loads(text) if "json" in content_type.lower() else text
+        if "json" in content_type.lower():
+            try:
+                return json.loads(text)
+            except Exception:
+                raise CliHttpError(
+                    f"server sent invalid JSON: {text[:200]!r}"
+                ) from None
+        # a proxy / wrong --base answering 200 text/html must be an
+        # actionable error, not an AttributeError on resp.get() downstream
+        raise CliHttpError(
+            f"expected a JSON response, got {content_type or 'no content type'}: "
+            f"{text[:200]!r}"
+        )
 
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
@@ -79,6 +98,12 @@ def _save_config(cfg: dict) -> None:
     f = _config_file()
     f.parent.mkdir(parents=True, exist_ok=True)
     f.write_text(json.dumps(cfg, indent=2), encoding="utf-8")
+    try:
+        # the config stores the API key: keep it out of other users' reach
+        os.chmod(f.parent, 0o700)
+        os.chmod(f, 0o600)
+    except OSError:
+        pass
 
 
 def _store_key(base: str, poll: dict) -> None:
@@ -93,7 +118,7 @@ def cmd_signup(args: argparse.Namespace) -> int:
     base = args.base or DEFAULT_API_BASE
     resp = _http(
         "POST",
-        urllib.parse.urljoin(base, "/billing/cli/start"),
+        _api_url(base, "/billing/cli/start"),
         {"tier": args.tier, **({"email": args.email} if args.email else {})},
     )
     code = resp.get("code")
@@ -104,7 +129,16 @@ def cmd_signup(args: argparse.Namespace) -> int:
         return 0
     t0 = time.time()
     while True:
-        poll = _http("GET", urllib.parse.urljoin(base, f"/billing/cli/poll/{code}"))
+        try:
+            poll = _http("GET", _api_url(base, f"/billing/cli/poll/{code}"))
+        except CliHttpError as exc:
+            # a transient 502/reset mid-checkout must not abort the wait —
+            # the timeout budget governs, not one flaky poll
+            if time.time() - t0 > args.timeout:
+                print(f"Timed out waiting for key (last error: {exc}).")
+                return 3
+            time.sleep(2)
+            continue
         status = poll.get("status")
         if status in ("ready", "complete"):
             _store_key(base, poll)
@@ -121,7 +155,7 @@ def cmd_signup(args: argparse.Namespace) -> int:
 
 def cmd_login(args: argparse.Namespace) -> int:
     base = args.base or DEFAULT_API_BASE
-    poll = _http("GET", urllib.parse.urljoin(base, f"/billing/cli/poll/{args.code}"))
+    poll = _http("GET", _api_url(base, f"/billing/cli/poll/{args.code}"))
     status = poll.get("status")
     if status in ("ready", "complete"):
         _store_key(base, poll)
@@ -161,7 +195,7 @@ def cmd_portal(args: argparse.Namespace) -> int:
         return 1
     resp = _http(
         "POST",
-        urllib.parse.urljoin(base, "/billing/portal"),
+        _api_url(base, "/billing/portal"),
         {},
         headers={"X-API-Key": api_key},
     )
