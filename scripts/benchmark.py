@@ -110,6 +110,8 @@ def main(argv=None):
     p.add_argument("--memprof", action="store_true")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.trials < 1:
+        p.error("--trials must be >= 1")
 
     if args.memprof:
         import tracemalloc

@@ -24,14 +24,20 @@ import numpy as np
 
 async def _worker(session, url, body, headers, latencies, errors):
     t0 = time.perf_counter()
+    ok = False
     try:
         async with session.post(url, data=body, headers=headers) as resp:
             await resp.read()
-            if resp.status != 200:
+            if resp.status == 200:
+                ok = True
+            else:
                 errors.append(resp.status)
     except Exception:
         errors.append(-1)
-    latencies.append(1000 * (time.perf_counter() - t0))
+    # only SUCCESSFUL latencies enter the percentiles: a dead server's
+    # instant connection-refused times would otherwise report p50<1ms
+    if ok:
+        latencies.append(1000 * (time.perf_counter() - t0))
 
 
 async def run(args):

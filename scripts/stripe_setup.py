@@ -13,6 +13,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import argparse
 import json
@@ -32,7 +33,15 @@ def _stripe_post(path: str, params: dict, key: str, dry_run: bool):
     data = urllib.parse.urlencode(params)
     if dry_run:
         print(f"[dry-run] POST https://api.stripe.com{path} {data}")
-        return {"id": f"dry_{path.strip('/').replace('/', '_')}_{params.get('name', 'x')}"}
+        # derive a unique fake id from the full params — keying on 'name'
+        # alone collided for prices (no name key), collapsing the dry-run
+        # price_map to one entry
+        import hashlib
+
+        tag = params.get("name") or params.get("metadata[tier]") or hashlib.sha256(
+            data.encode()
+        ).hexdigest()[:8]
+        return {"id": f"dry_{path.strip('/').replace('/', '_')}_{tag}"}
     req = urllib.request.Request(
         f"https://api.stripe.com{path}",
         data=data.encode(),
@@ -74,14 +83,14 @@ def main(argv=None):
         )
         price_map[price["id"]] = tier
 
+    # event list shared with stripe_webhook_manage so the two scripts can't
+    # drift (this one previously omitted customer.subscription.created,
+    # which the service handler processes)
+    from stripe_webhook_manage import _endpoint_params
+
     webhook = _stripe_post(
         "/v1/webhook_endpoints",
-        {
-            "url": f"{args.base_url}/stripe/webhook",
-            "enabled_events[0]": "checkout.session.completed",
-            "enabled_events[1]": "customer.subscription.updated",
-            "enabled_events[2]": "customer.subscription.deleted",
-        },
+        _endpoint_params(f"{args.base_url}/stripe/webhook"),
         key,
         args.dry_run,
     )
@@ -89,10 +98,14 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(price_map, f, indent=2)
     print(json.dumps({"price_map": price_map, "webhook": webhook.get("id")}, indent=2))
+    # Stripe returns the signing secret ONLY in the creation response —
+    # print it now or the operator can never configure verification from
+    # this script's output
+    secret = webhook.get("secret") or "<dry-run: none>"
     print(
         "\nExport for the service:\n"
         f"  OSCILLINK_STRIPE_PRICE_MAP='{json.dumps(price_map)}'\n"
-        "  OSCILLINK_STRIPE_WEBHOOK_SECRET=<from the webhook endpoint>"
+        f"  OSCILLINK_STRIPE_WEBHOOK_SECRET={secret}"
     )
     return 0
 

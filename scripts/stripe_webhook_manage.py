@@ -87,6 +87,7 @@ def main(argv=None):
         )
         return 0
 
+    victims: list[str] = []
     if args.action == "rotate":
         eps = _req("GET", "/v1/webhook_endpoints", {"limit": "100"}, key, args.dry_run)
         victims = [
@@ -94,11 +95,14 @@ def main(argv=None):
             for e in eps.get("data", [])
             if e.get("url") == hook_url and e.get("status") == "enabled"
         ]
-        for ep_id in victims:
-            _req("DELETE", f"/v1/webhook_endpoints/{ep_id}", {}, key, args.dry_run)
-            print(f"deleted {ep_id}", file=sys.stderr)
 
+    # CREATE the replacement before deleting the old endpoints: delete-first
+    # meant a failed create left the service with NO webhook and every
+    # billing event silently dropped until someone noticed
     ep = _req("POST", "/v1/webhook_endpoints", _endpoint_params(hook_url), key, args.dry_run)
+    for ep_id in victims:
+        _req("DELETE", f"/v1/webhook_endpoints/{ep_id}", {}, key, args.dry_run)
+        print(f"deleted {ep_id}", file=sys.stderr)
     print(
         json.dumps(
             {
