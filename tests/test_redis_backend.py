@@ -155,3 +155,47 @@ def test_get_redis_state_disabled(monkeypatch):
 
     monkeypatch.delenv("OSCILLINK_STATE_BACKEND", raising=False)
     assert redis_backend.get_redis_state() is None
+
+
+def test_rate_limiter_rides_redis(fake_redis, monkeypatch):
+    """With OSCILLINK_STATE_BACKEND=redis the limiters consult the shared
+    Redis window (reference main.py:512,588,652) — two limiter INSTANCES
+    (as in two replicas) share one budget."""
+    from oscillink_tpu.service import redis_backend
+    from oscillink_tpu.service.governance import ApiError, RateLimiter
+
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", f"redis://127.0.0.1:{fake_redis.port}")
+    monkeypatch.setenv("OSCILLINK_RATE_LIMIT", "3")
+    monkeypatch.setenv("OSCILLINK_RATE_WINDOW", "60")
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+
+    a, b = RateLimiter(), RateLimiter()
+    a.check_global()
+    b.check_global()
+    a.check_global()  # 3 of 3 consumed across BOTH instances
+    try:
+        b.check_global()
+        raise AssertionError("expected shared-window 429")
+    except ApiError as e:
+        assert e.status == 429
+    # memory fallback when redis goes away mid-flight
+    fake_redis.stop()
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", "redis://127.0.0.1:1")
+    c = RateLimiter()
+    c.check_global()  # local bucket takes over; no exception
+
+
+def test_incr_with_window_ttl_self_repair(fake_redis):
+    """A lost EXPIRE (key with TTL=-1) is healed instead of 429ing the
+    scope forever."""
+    state = RedisState(RespClient("127.0.0.1", fake_redis.port))
+    # simulate the lost EXPIRE: key exists with no expiry
+    fake_redis.data[b"oscillink:rl:stuck"] = b"63"
+    assert b"oscillink:rl:stuck" not in fake_redis.expiry
+    count = state.incr_with_window("oscillink:rl:stuck", 60)
+    assert count == 64  # 64 % 64 == 0 -> TTL check fires
+    assert b"oscillink:rl:stuck" in fake_redis.expiry  # healed
