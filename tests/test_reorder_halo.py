@@ -69,3 +69,26 @@ def test_halo_random_data_stays_global():
     stats_s = halo_stats(idx_s, w_s, 8)
     # reordering can't manufacture locality that isn't there
     assert stats_s["halo_mean"] > 0.5 * stats["halo_mean"]
+
+
+def test_halo_shrinks_on_offset_clusters():
+    """Clusters sharing a large common offset: the leading eigenvector of
+    the UNcentered Gram matrix is ~the offset, so pre-fix the split ordered
+    rows by noise and the halo stayed global — centering must recover the
+    cluster structure (review finding)."""
+    rng = np.random.default_rng(7)
+    n, d, k, shards = 2048, 32, 6, 8
+    offset = 20.0 * np.ones(d, dtype=np.float32)  # ||c|| >> cluster spread
+    centers = 3.0 * rng.standard_normal((shards * 2, d)).astype(np.float32)
+    assign = rng.integers(0, len(centers), size=n)
+    Y = offset + centers[assign] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+
+    order = pca_bisection_order(Y, levels=4)
+    (Y_sorted, _inv) = apply_order(order, Y)
+    idx_s, w_s = _graph_idx(Y_sorted, k)
+    after = halo_stats(idx_s, w_s, shards)
+    idx_r, w_r = _graph_idx(Y, k)
+    before = halo_stats(idx_r, w_r, shards)
+    assert after["halo_mean"] < 0.5 * before["halo_mean"]
