@@ -75,7 +75,6 @@ def embed_texts(
         except Exception:
             pass
 
-    emb = simple_text_embed(texts_list, d=fallback_dim)
-    if not normalize:
-        return emb * np.linalg.norm(emb, axis=1, keepdims=True)
-    return emb
+    # hash embeddings are unit-norm by construction, so normalize is a
+    # no-op on this fallback path (it only matters for the ST path above)
+    return simple_text_embed(texts_list, d=fallback_dim)

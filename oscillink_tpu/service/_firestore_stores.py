@@ -133,7 +133,21 @@ class FirestoreMonthlyPersistence:
             except Exception:
                 # degraded fallback: read + merge-set (racy only when the
                 # transaction machinery itself is unavailable)
-                stored = self.load(api_key, period) or 0
+                stored = self.load(api_key, period)
+                if stored is None:
+                    # read error and missing-doc are indistinguishable:
+                    # writing used=units on a read ERROR would SHRINK a
+                    # larger persisted total — create() is atomic and
+                    # raises when the doc exists, so it cannot clobber
+                    ref.create(
+                        {
+                            "api_key": api_key,
+                            "period": period,
+                            "used": int(units),
+                            "updated_at": time.time(),
+                        }
+                    )
+                    return int(units)
                 new_total = int(stored) + int(units)
                 ref.set(
                     {
@@ -173,8 +187,11 @@ class FirestoreEventStore:
     def put(self, event_id: str, record: dict[str, Any]) -> None:
         try:
             ref = self._cl.collection(self._collection).document(event_id)
-            if not getattr(ref.get(), "exists", False):
-                ref.set(dict(record), merge=False)
+            # atomic create (raises AlreadyExists on a concurrent duplicate)
+            # — read-then-set let two replicas both see exists=False and the
+            # later write clobber the earlier record, breaking the
+            # create-only idempotency contract (reference events.py:14-72)
+            ref.create(dict(record))
         except Exception:
             pass
 

@@ -972,8 +972,12 @@ def h_autocorrect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     _feature_context(state, req)
     areq = _parse(AutoCorrectRequest, req.json())
     corrected = smart_correct(areq.text, custom_preserve=areq.preserve)
+    # smart_correct normalizes line endings (reference parity: splitlines +
+    # '\n'.join); compare against the same normalization so a trailing
+    # newline alone doesn't report changed=True with zero corrections
+    normalized = "\n".join(areq.text.splitlines())
     return ApiResponse(
-        body={"text": corrected, "changed": corrected != areq.text}
+        body={"text": corrected, "changed": corrected != normalized}
     )
 
 

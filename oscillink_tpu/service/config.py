@@ -23,11 +23,20 @@ class Settings:
     receipt_secret: Optional[str] = None
 
 
+def _ienv(name: str, default: int) -> int:
+    """Int env with fallback — every getter degrades to its default on a
+    malformed value instead of 500ing all traffic / failing startup."""
+    try:
+        return int(os.getenv(name, str(default)))
+    except ValueError:
+        return default
+
+
 @lru_cache
 def get_settings() -> Settings:
     return Settings(
-        max_nodes=int(os.getenv("OSCILLINK_MAX_NODES", "5000")),
-        max_dim=int(os.getenv("OSCILLINK_MAX_DIM", "2048")),
+        max_nodes=_ienv("OSCILLINK_MAX_NODES", 5000),
+        max_dim=_ienv("OSCILLINK_MAX_DIM", 2048),
         enable_signature=os.getenv("OSCILLINK_ENABLE_SIGNATURE", "1") == "1",
         receipt_secret=os.getenv("OSCILLINK_RECEIPT_SECRET"),
     )
@@ -59,7 +68,7 @@ def get_app_settings() -> AppSettings:
         allowed_origins=origins,
         trusted_hosts=hosts or ("*",),
         https_redirect=os.getenv("OSCILLINK_HTTPS_REDIRECT", "0") == "1",
-        max_body_bytes=int(os.getenv("OSCILLINK_MAX_BODY_BYTES", str(1024 * 1024))),
+        max_body_bytes=_ienv("OSCILLINK_MAX_BODY_BYTES", 1024 * 1024),
     )
 
 

@@ -219,12 +219,21 @@ class MonthlyUsage:
             used = int(rec["used"])
             self._raise_if_over(cap, used, units)
             rec["used"] = used + units
-            if self.persistence is not None:
-                # transactional cross-replica increment; adopt the global
-                # total when another replica has consumed more than we saw
-                total = self.persistence.add(key, period, units)
-                if total is not None and int(total) > int(rec["used"]):
-                    rec["used"] = int(total)
+        # the Firestore transactional increment is a blocking network RPC —
+        # holding the process-wide lock across it would stall every other
+        # key's monthly check behind one slow round-trip
+        total = (
+            self.persistence.add(key, period, units)
+            if self.persistence is not None
+            else None
+        )
+        with self._lock:
+            rec = self._records.get(key)
+            if rec is None or rec.get("period") != period:
+                rec = self._record(key, period)
+            if total is not None and int(total) > int(rec["used"]):
+                # adopt the global total when another replica consumed more
+                rec["used"] = int(total)
             return {
                 "limit": cap,
                 "used": int(rec["used"]),

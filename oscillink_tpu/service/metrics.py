@@ -30,7 +30,13 @@ def _get_or_create(cls, name: str, doc: str, **kwargs):
     except ValueError:
         # already registered (module reload) — find the existing collector
         for collector in list(REGISTRY._names_to_collectors.values()):
-            if getattr(collector, "_name", None) in (name, name.rstrip("_total")):
+            # removesuffix, NOT rstrip: rstrip strips a character SET, so
+            # e.g. 'slot_total' would become 'slot' -> 's' and the metric
+            # silently degrades to a no-op after reload
+            if getattr(collector, "_name", None) in (
+                name,
+                name.removesuffix("_total"),
+            ):
                 return collector
         return _Noop()
 

@@ -41,14 +41,22 @@ def run_warmup(verbose: bool = True) -> int:
     from ..core.lattice import OscillinkLattice
 
     rng = np.random.default_rng(0)
+    warmed = 0
     for n, d, k in shapes:
         t0 = time.perf_counter()
-        Y = rng.standard_normal((n, d)).astype(np.float32)
-        lat = OscillinkLattice(Y, kneighbors=k)
-        lat.set_query(rng.standard_normal(d).astype(np.float32))
-        lat.set_receipt_detail("light")
-        lat.settle(max_iters=2, tol=1e-2)
-        lat.receipt()
+        try:
+            Y = rng.standard_normal((n, d)).astype(np.float32)
+            lat = OscillinkLattice(Y, kneighbors=k)
+            lat.set_query(rng.standard_normal(d).astype(np.float32))
+            lat.settle(max_iters=2, tol=1e-2)
+            # service requests default to FULL receipts — warming only the
+            # light path would leave the expensive full-receipt compile for
+            # the first real request
+            lat.receipt()
+            warmed += 1
+        except Exception as e:  # best-effort priming: never abort startup
+            print(f"warmup: shape {n}x{d}x{k} failed: {e}", file=sys.stderr)
+            continue
         if verbose:
             print(
                 f"warmup: N={n} D={d} k={k} compiled in "
@@ -56,4 +64,4 @@ def run_warmup(verbose: bool = True) -> int:
                 file=sys.stderr,
                 flush=True,
             )
-    return len(shapes)
+    return warmed

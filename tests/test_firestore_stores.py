@@ -45,6 +45,12 @@ class _DocRef:
         else:
             _DB[self._key] = dict(payload)
 
+    def create(self, payload):
+        # Firestore semantics: atomic create, AlreadyExists when present
+        if self._key in _DB:
+            raise RuntimeError("AlreadyExists")
+        _DB[self._key] = dict(payload)
+
 
 class _Coll:
     def __init__(self, name):
