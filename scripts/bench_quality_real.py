@@ -64,10 +64,17 @@ def _f1(pred, gt):
 
 
 def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6,
-                use_diffusion=True, seed=0, alpha=0.0):
+                use_diffusion=True, seed=0, alpha=0.0, allow_threshold=0.1):
     """Reference proof_hallucination protocol on real text: labeled traps are
     gated down (oracle gating — the reference's own study design), off-topic
-    docs mildly damped, optional diffusion multiplier."""
+    docs mildly damped, optional diffusion multiplier, and the reference's
+    allow-threshold sub-lattice step (reference proof_hallucination.py:198-223:
+    nodes whose gate falls at or below ``allow_threshold`` are excluded from
+    the lattice entirely and the bundle runs on the allowed sub-lattice).
+
+    Both bundle modes are reported: ``lattice`` is the reference contract
+    (MMR-diversified bundle) and ``lattice_rerank`` is bundle(diversify=False)
+    — the pure settled-alignment ranking a relevance consumer should use."""
     from oscillink_tpu import OscillinkLattice
     from oscillink_tpu.preprocess.diffusion import compute_diffusion_gates
 
@@ -95,7 +102,6 @@ def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6
         pred_base = list(np.argsort(-sims)[:k])
 
         kn = min(6, len(cand) - 1)
-        lat = OscillinkLattice(Yc, kneighbors=kn, lamQ=2.0)
         gates = np.ones(len(cand), dtype=np.float32)
         for j in range(len(cand)):
             if j in local_traps:
@@ -109,12 +115,30 @@ def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6
                 gates = (gates * diff).astype(np.float32)
             except Exception:
                 pass
-        lat.set_gates(gates)
-        lat.set_query(qv)
-        lat.settle(max_iters=12, tol=1e-3)
-        # alpha=0 = pure gated alignment (reference lattice.py:546 documents
-        # alpha as the anomaly/alignment trade-off; retrieval wants alignment)
-        pred_lat = [int(e["id"]) for e in lat.bundle(k=k, alpha=alpha)]
+
+        # reference allow-threshold sub-lattice (proof_hallucination.py:198-223)
+        allowed = np.nonzero(gates > allow_threshold)[0]
+        if 1 < len(allowed) < len(cand):
+            Ys, gs = Yc[allowed], gates[allowed]
+            ks = min(kn, max(1, len(allowed) - 1))
+            idx_map = allowed
+        else:
+            Ys, gs, ks, idx_map = Yc, gates, kn, np.arange(len(cand))
+
+        def bundle_pred(diversify):
+            lat = OscillinkLattice(Ys, kneighbors=ks, lamQ=2.0)
+            lat.set_gates(gs)
+            lat.set_query(qv)
+            lat.settle(max_iters=12, tol=1e-3)
+            # alpha=0 = pure gated alignment (reference lattice.py:546
+            # documents alpha as the anomaly/alignment trade-off; retrieval
+            # wants alignment)
+            sel = lat.bundle(k=min(k, len(idx_map)), alpha=alpha,
+                             diversify=diversify)
+            return [int(idx_map[int(e["id"])]) for e in sel]
+
+        pred_lat = bundle_pred(True)
+        pred_rr = bundle_pred(False)
 
         def metrics(pred):
             tshare = len([j for j in pred if j in local_traps]) / max(1, k)
@@ -125,27 +149,28 @@ def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6
             }
 
         rows.append({"qid": q["qid"], "baseline": metrics(pred_base),
-                     "lattice": metrics(pred_lat)})
+                     "lattice": metrics(pred_lat),
+                     "lattice_rerank": metrics(pred_rr)})
 
     def agg(side, m):
         vals = [r[side][m] for r in rows]
         return round(float(np.mean(vals)), 4)
 
+    def block(side):
+        return {
+            "hallucination_rate": agg(side, "hallucination"),
+            "f1_mean": agg(side, "f1"),
+            "trap_share_mean": agg(side, "trap_share"),
+        }
+
     return {
         "protocol": "reference proof_hallucination.py (oracle trap gates "
         f"{trap_gate}, offtopic {offtopic_gate}, diffusion={use_diffusion}, "
-        f"bundle alpha={alpha})",
+        f"allow_threshold {allow_threshold} sub-lattice, bundle alpha={alpha})",
         "k": k,
-        "baseline": {
-            "hallucination_rate": agg("baseline", "hallucination"),
-            "f1_mean": agg("baseline", "f1"),
-            "trap_share_mean": agg("baseline", "trap_share"),
-        },
-        "lattice": {
-            "hallucination_rate": agg("lattice", "hallucination"),
-            "f1_mean": agg("lattice", "f1"),
-            "trap_share_mean": agg("lattice", "trap_share"),
-        },
+        "baseline": block("baseline"),
+        "lattice": block("lattice"),
+        "lattice_rerank": block("lattice_rerank"),
         "per_query": rows,
     }
 

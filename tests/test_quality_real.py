@@ -93,6 +93,11 @@ def test_quality_harness_end_to_end(tmp_path):
     assert 0 <= g["lattice"]["trap_share_mean"] < g["baseline"]["trap_share_mean"]
     assert g["lattice"]["hallucination_rate"] < g["baseline"]["hallucination_rate"]
     assert g["lattice"]["f1_mean"] > 0.5
+    # the full reference protocol (allow-threshold sub-lattice) suppresses
+    # every trap, and the rerank bundle LIFTS F1 over the cosine baseline
+    assert g["lattice"]["hallucination_rate"] == 0.0
+    assert g["lattice_rerank"]["hallucination_rate"] == 0.0
+    assert g["lattice_rerank"]["f1_mean"] > g["baseline"]["f1_mean"]
     rr = data["ungated_rerank"]
     assert 0 < rr["oscillink"]["ndcg10"] <= 1
     # the rerank mode (bundle(diversify=False)) holds relevance parity with
