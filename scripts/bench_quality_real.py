@@ -1,8 +1,9 @@
 """Retrieval-quality evidence on REAL text with REAL learned embeddings.
 
 The egress-free counterpart of the reference's quality studies, run on a
-vendored hand-written factual corpus (benchmarks/data/minicorpus.jsonl — 24
-topics x 5 true passages + 1 plausible-but-false trap each) embedded with an
+vendored hand-written factual corpus (benchmarks/data/minicorpus.jsonl — 26
+topics x 5 true passages + 1 plausible-but-false trap each, 2 queries per
+topic) embedded with an
 LSA model trained on the corpus itself (oscillink_tpu/adapters/lsa.py —
 TF-IDF + SVD: real linguistic co-occurrence structure, NOT hash
 projections).  Two studies:
@@ -246,10 +247,81 @@ def rerank_study(docs, queries, Y, emb, *, topk=30):
         "the reference's own competitor_sample.json (tuned oscillink F1 0.4 "
         "vs cosine 0.6) shows the same. oscillink_rerank = "
         "bundle(diversify=False), pure settled-alignment ranking (ungated, "
-        "lamQ=1.0): within ~1% of cosine nDCG@10 and above its recall@5 on "
+        "lamQ=1.0): within ~1% of cosine nDCG@10 and at its recall@5 on "
         "this corpus — rerank parity, not a win; the MMR mode costs ~0.25 "
-        "nDCG when misused as a relevance ranking. The headline quality "
-        "claim remains the gated study above.",
+        "nDCG when misused as a relevance ranking, and the cross-validated "
+        "tune grid (rerank_cv_tuned) confirms parameter tuning does NOT "
+        "generalize to held-out queries. The headline quality claim remains "
+        "the gated study above.",
+    }
+
+
+def rerank_cv_study(docs, queries, Y, emb, *, topk=30):
+    """Cross-validated tuned rerank (the honest version of the reference's
+    tune grid, cloud benchmarks.py:152-207: it tunes lamC/lamQ/k on the SAME
+    trials it reports). Two folds over queries; the grid is tuned on one
+    fold by nDCG@10 and evaluated on the other; pooled held-out metrics plus
+    per-query win/loss/tie vs cosine are reported."""
+    import itertools
+
+    from oscillink_tpu import OscillinkLattice
+
+    doc_ids = [d["id"] for d in docs]
+    by_topic = {}
+    for d in docs:
+        by_topic.setdefault(d["topic"], []).append(d)
+
+    def eval_q(q, lamQ, lamC, kn_):
+        qv = emb.embed([q["text"]])[0]
+        qrels = {d["id"]: 1 for d in by_topic[q["topic"]] if not d["trap"]}
+        sims = Y @ qv
+        order = np.argsort(-sims)
+        cand = [int(i) for i in order[:topk]]
+        Yc = Y[cand].astype(np.float32)
+        kn = min(kn_, len(cand) - 1)
+        lat = OscillinkLattice(Yc, kneighbors=kn, lamQ=lamQ, lamC=lamC)
+        lat.set_query(qv)
+        lat.settle(max_iters=12, tol=1e-3)
+        rr = [int(e["id"]) for e in
+              lat.bundle(k=len(cand), alpha=0.0, diversify=False)]
+        rr_ranked = [doc_ids[cand[i]] for i in rr]
+        cos_ranked = [doc_ids[i] for i in order]
+        return (ndcg_at_k(rr_ranked, qrels, 10),
+                recall_at_k(rr_ranked, qrels, 5),
+                ndcg_at_k(cos_ranked, qrels, 10),
+                recall_at_k(cos_ranked, qrels, 5))
+
+    grid = list(itertools.product([0.5, 1.0, 2.0], [0.5, 1.0, 2.0], [4, 6, 8]))
+    folds = [[q for i, q in enumerate(queries) if i % 2 == 0],
+             [q for i, q in enumerate(queries) if i % 2 == 1]]
+    pooled, picks = [], []
+    for f in range(2):
+        tune, test = folds[f], folds[1 - f]
+        best, best_nd = None, -1.0
+        for lamQ, lamC, kn in grid:
+            nd = float(np.mean([eval_q(q, lamQ, lamC, kn)[0] for q in tune]))
+            if nd > best_nd:
+                best_nd, best = nd, (lamQ, lamC, kn)
+        picks.append({"lamQ": best[0], "lamC": best[1], "kneighbors": best[2]})
+        pooled.extend(eval_q(q, *best) for q in test)
+
+    rr_nd = [v[0] for v in pooled]
+    cos_nd = [v[2] for v in pooled]
+    wins = sum(1 for a, b in zip(rr_nd, cos_nd) if a > b + 1e-9)
+    losses = sum(1 for a, b in zip(rr_nd, cos_nd) if a < b - 1e-9)
+    return {
+        "protocol": "2-fold cross-validation: lamQ/lamC/kneighbors tuned on "
+        "one query fold by nDCG@10, evaluated on the other; pooled held-out "
+        "metrics (the reference's cloud tune grid reports tuning-set numbers)",
+        "fold_picks": picks,
+        "held_out": {
+            "rerank": {"ndcg10": round(float(np.mean(rr_nd)), 4),
+                       "recall5": round(float(np.mean([v[1] for v in pooled])), 4)},
+            "cosine": {"ndcg10": round(float(np.mean(cos_nd)), 4),
+                       "recall5": round(float(np.mean([v[3] for v in pooled])), 4)},
+            "per_query_ndcg10": {"wins": wins, "losses": losses,
+                                 "ties": len(pooled) - wins - losses},
+        },
     }
 
 
@@ -267,6 +339,7 @@ def main(argv=None):
 
     gated = gated_study(docs, queries, Y, emb)
     rerank = rerank_study(docs, queries, Y, emb)
+    rerank_cv = rerank_cv_study(docs, queries, Y, emb)
 
     out = {
         "corpus": "benchmarks/data/minicorpus.jsonl (hand-written factual text; "
@@ -275,6 +348,7 @@ def main(argv=None):
         "embeddings": f"LSA (TF-IDF + SVD) dim={args.dim}, trained on the corpus",
         "hallucination_gating": {k: v for k, v in gated.items() if k != "per_query"},
         "ungated_rerank": rerank,
+        "rerank_cv_tuned": rerank_cv,
         "reference_baselines": {
             "hallucination_study": "trap 0.70->0.00, F1 0.56->0.66 "
             "(hash embeddings, oracle gates; hallucination_summary.json)",
@@ -287,7 +361,8 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"hallucination_gating": out["hallucination_gating"],
-                      "ungated_rerank": rerank}, indent=2))
+                      "ungated_rerank": rerank,
+                      "rerank_cv_tuned": rerank_cv}, indent=2))
     return 0
 
 

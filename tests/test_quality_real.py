@@ -98,6 +98,10 @@ def test_quality_harness_end_to_end(tmp_path):
     assert g["lattice"]["hallucination_rate"] == 0.0
     assert g["lattice_rerank"]["hallucination_rate"] == 0.0
     assert g["lattice_rerank"]["f1_mean"] > g["baseline"]["f1_mean"]
+    cv = data["rerank_cv_tuned"]["held_out"]
+    pq = cv["per_query_ndcg10"]
+    assert pq["wins"] + pq["losses"] + pq["ties"] == 52
+    assert 0 < cv["rerank"]["ndcg10"] <= 1
     rr = data["ungated_rerank"]
     assert 0 < rr["oscillink"]["ndcg10"] <= 1
     # the rerank mode (bundle(diversify=False)) holds relevance parity with
