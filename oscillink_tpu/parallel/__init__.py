@@ -5,3 +5,4 @@ from .hierarchical import hierarchical_settle  # noqa: F401
 from .mesh import lattice_mesh  # noqa: F401
 from .reorder import apply_order, halo_stats, pca_bisection_order  # noqa: F401
 from .sharded import sharded_build_and_settle, sharded_settle_fn  # noqa: F401
+from .streaming import StreamingLattice  # noqa: F401

@@ -1,0 +1,315 @@
+"""Streaming & incremental updates: the append-only half of the scale-out
+composition contract.
+
+The reference designs this but never implements it (docs/guides/SCALING.md:
+61-69, "Streaming & Incremental Updates", status conceptual): buffer new
+nodes, periodically integrate them via a micro-lattice solve, update the
+shard-summary table, re-solve ONLY the super level (cheap: small S), and
+emit delta receipts (deltaH_since_last).  Here it is implemented TPU-first:
+
+  * appends accumulate in a host-side buffer; at ``shard_size`` rows the
+    buffer is integrated as ONE fixed-shape jitted micro-solve — every
+    flush reuses the same compiled executable (partial buffers are
+    zero-padded: zero rows have cosine similarity exactly 0 with every
+    row, and the mutual mask keeps only ``w > 0`` edges, so padding is
+    bit-exactly inert in the graph, the CG iterates, and the receipts);
+  * the summary table is preallocated at ``[max_shards, D]`` so the
+    super-level solve is also ONE compiled executable for the lattice's
+    whole lifetime; empty slots are zero rows with gate 0 (inert, same
+    argument);
+  * each flush returns a delta receipt: the new shard's receipt, the
+    re-solved super level, the composed deltaH, and deltaH_since_last —
+    SCALING.md's step 4;
+  * gates propagate downward (SCALING.md:58: a suppressed shard summary
+    scales its children's effective gates): `propagate_gates` maps
+    super-level gates onto per-node effective gates.
+
+Shard solves match `parallel.hierarchical.hierarchical_settle` semantics
+(same energy, same summary convention), so a fully-flushed streaming
+lattice composes the same receipts the batch tier would produce on the
+same shard partition (tests/test_streaming.py asserts this).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.coherence import EnergyParams, solve_stationary
+from ..ops.graph import build_graph
+
+__all__ = ["StreamingLattice"]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _micro_solve(Y_s, psi, B_s, lam, k, tol, max_iters):
+    """One shard: graph build + stationary solve + summary (fixed shape —
+    the executable is compiled once and reused by every flush)."""
+    g = build_graph(Y_s, k)
+    Ustar, iters, res = solve_stationary(
+        g, None, Y_s, psi, B_s, lam, tol=tol, max_iters=max_iters
+    )
+    diff = Ustar - Y_s
+    # per-shard energy-drop proxy, hierarchical.py convention
+    dH = jnp.sum(diff * (lam.lamG * diff))
+    wsum = jnp.sum(B_s) + 1e-12
+    summary = jnp.sum(Ustar * B_s[:, None], axis=0) / wsum
+    align = jnp.dot(
+        summary / (jnp.linalg.norm(summary) + 1e-12),
+        psi / (jnp.linalg.norm(psi) + 1e-12),
+    )
+    return Ustar, summary, dH, align, iters, res
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _super_solve_gated(summaries, psi, live, lam, k, tol, max_iters):
+    """Super-level solve over the preallocated summary table.  ``live`` is
+    the 0/1 slot mask used as gates: empty slots are zero rows (inert in
+    the graph) with no query coupling, so the solve equals the unpadded
+    solve over the live summaries alone."""
+    g = build_graph(summaries, k)
+    Ustar, iters, res = solve_stationary(
+        g, None, summaries, psi, live, lam, tol=tol, max_iters=max_iters
+    )
+    diff = Ustar - summaries
+    dH = jnp.sum(diff * (lam.lamG * diff))
+    u_n = Ustar / (jnp.linalg.norm(Ustar, axis=1, keepdims=True) + 1e-12)
+    psi_n = psi / (jnp.linalg.norm(psi) + 1e-12)
+    align = (u_n @ psi_n) * live  # empty slots report 0
+    return Ustar, align, dH, iters, res
+
+
+class StreamingLattice:
+    """Append-only lattice-of-lattices (SCALING.md:61-69, implemented).
+
+    Parameters mirror `hierarchical_settle`; ``shard_size`` is the
+    integration bucket (every micro-solve runs at exactly this many rows)
+    and ``max_shards`` bounds the summary table (one super-level compile
+    for the lattice's lifetime).
+    """
+
+    def __init__(
+        self,
+        psi: np.ndarray,
+        *,
+        shard_size: int = 256,
+        max_shards: int = 64,
+        kneighbors: int = 6,
+        super_k: int = 3,
+        lamG: float = 1.0,
+        lamC: float = 0.5,
+        lamQ: float = 4.0,
+        tol: float = 1e-4,
+        max_iters: int = 64,
+    ):
+        psi = np.asarray(psi, dtype=np.float32)
+        if psi.ndim != 1:
+            raise ValueError("psi must be a 1-D query vector")
+        if shard_size < 2:
+            raise ValueError("shard_size must be >= 2")
+        if max_shards < 1:
+            raise ValueError("max_shards must be >= 1")
+        if lamG <= 0:
+            raise ValueError("lamG must be > 0 (SPD)")
+        self.psi = psi
+        self.dim = int(psi.shape[0])
+        self.shard_size = int(shard_size)
+        self.max_shards = int(max_shards)
+        self.kneighbors = int(kneighbors)
+        self.super_k = int(super_k)
+        self.lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
+        self.tol = float(tol)
+        self.max_iters = int(max_iters)
+
+        self._buf_rows: list[np.ndarray] = []
+        self._buf_gates: list[np.ndarray] = []
+        self._summaries = np.zeros((max_shards, self.dim), dtype=np.float32)
+        self._live = np.zeros(max_shards, dtype=np.float32)
+        self._shard_rows: list[int] = []  # live row count per flushed shard
+        self._shard_receipts: list[dict[str, Any]] = []
+        self._ustars: list[jax.Array] = []  # padded [shard_size, D] per shard
+        self._node_gates: list[np.ndarray] = []  # live gates per shard
+        self._super: Optional[dict[str, Any]] = None
+        self._deltaH_last = 0.0
+        self._seq = 0
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def n_shards(self) -> int:
+        return len(self._shard_rows)
+
+    @property
+    def buffered(self) -> int:
+        return sum(r.shape[0] for r in self._buf_rows)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(self._shard_rows) + self.buffered
+
+    def append(self, Y_new: np.ndarray, gates: Optional[np.ndarray] = None):
+        """Buffer rows (SCALING.md step 1); integrates automatically every
+        time the buffer reaches ``shard_size`` rows.  Returns the list of
+        delta receipts from any flushes this append triggered."""
+        Y_new = np.atleast_2d(np.asarray(Y_new, dtype=np.float32))
+        if Y_new.shape[1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {Y_new.shape[1]}")
+        g = (
+            np.ones(Y_new.shape[0], dtype=np.float32)
+            if gates is None
+            else np.clip(np.asarray(gates, dtype=np.float32), 0.0, 1.0)
+        )
+        if g.shape[0] != Y_new.shape[0]:
+            raise ValueError("gates length must match appended rows")
+        self._buf_rows.append(Y_new)
+        self._buf_gates.append(g)
+        receipts = []
+        while self.buffered >= self.shard_size:
+            receipts.append(self.flush(_partial_ok=False))
+        return receipts
+
+    def flush(self, _partial_ok: bool = True) -> Optional[dict[str, Any]]:
+        """Integrate the buffer as one micro-lattice solve (steps 2-3) and
+        return the delta receipt (step 4); None when nothing is buffered."""
+        if self.buffered == 0:
+            return None
+        if self.n_shards >= self.max_shards:
+            raise RuntimeError(
+                f"summary table full ({self.max_shards} shards); raise "
+                "max_shards or consolidate (export + rebuild)"
+            )
+        Y = np.concatenate(self._buf_rows, axis=0)
+        g = np.concatenate(self._buf_gates, axis=0)
+        take = Y.shape[0] if _partial_ok else min(Y.shape[0], self.shard_size)
+        take = min(take, self.shard_size)
+        Y_take, g_take = Y[:take], g[:take]
+        rest_Y, rest_g = Y[take:], g[take:]
+        self._buf_rows = [rest_Y] if rest_Y.shape[0] else []
+        self._buf_gates = [rest_g] if rest_g.shape[0] else []
+
+        pad = self.shard_size - take
+        # zero rows + zero gates are bit-exactly inert (module docstring)
+        Y_pad = np.pad(Y_take, ((0, pad), (0, 0)))
+        g_pad = np.pad(g_take, (0, pad))
+
+        k_local = min(self.kneighbors, self.shard_size - 1)
+        Ustar, summary, dH, align, iters, res = _micro_solve(
+            jnp.asarray(Y_pad),
+            jnp.asarray(self.psi),
+            jnp.asarray(g_pad),
+            self.lam,
+            k_local,
+            jnp.float32(self.tol),
+            jnp.int32(self.max_iters),
+        )
+        slot = self.n_shards
+        summary_h, dH_h, align_h, iters_h, res_h = jax.device_get(
+            (summary, dH, align, iters, res)
+        )
+        self._summaries[slot] = summary_h
+        self._live[slot] = 1.0
+        self._shard_rows.append(take)
+        self._ustars.append(Ustar)
+        self._node_gates.append(g_take)
+        shard_receipt = {
+            "shard": slot,
+            "rows": int(take),
+            "deltaH": float(dH_h),
+            "align": float(align_h),
+            "iters": int(iters_h),
+            "res": float(res_h),
+        }
+        self._shard_receipts.append(shard_receipt)
+        self._resolve_super()
+        self._seq += 1
+        return self.delta_receipt(new_shard=shard_receipt)
+
+    def _resolve_super(self):
+        k_super = min(self.super_k, max(1, self.max_shards - 1))
+        _, align, dH, iters, res = jax.device_get(
+            _super_solve_gated(
+                jnp.asarray(self._summaries),
+                jnp.asarray(self.psi),
+                jnp.asarray(self._live),
+                self.lam,
+                k_super,
+                jnp.float32(self.tol),
+                jnp.int32(self.max_iters),
+            )
+        )
+        live_align = [float(align[s]) for s in range(self.n_shards)]
+        self._super = {
+            "deltaH": float(dH),
+            "align": live_align,
+            "ranking": [int(i) for i in np.argsort(-np.asarray(live_align))],
+            "iters": int(iters),
+            "res": float(res),
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def _deltaH_composed(self) -> float:
+        if self._super is None:
+            return 0.0
+        return float(
+            sum(r["deltaH"] for r in self._shard_receipts) + self._super["deltaH"]
+        )
+
+    def delta_receipt(self, new_shard: Optional[dict] = None) -> dict[str, Any]:
+        """Composed receipt + deltaH_since_last (consumes the delta)."""
+        composed = self._deltaH_composed()
+        since = composed - self._deltaH_last
+        self._deltaH_last = composed
+        payload = {
+            "seq": self._seq,
+            "n_shards": self.n_shards,
+            "total_rows": self.total_rows,
+            "buffered": self.buffered,
+            "deltaH_composed": composed,
+            "deltaH_since_last": since,
+            "super": self._super,
+            "shard_receipts": list(self._shard_receipts),
+        }
+        if new_shard is not None:
+            payload["new_shard"] = new_shard
+        payload["composition_sig"] = hashlib.sha256(
+            json.dumps(
+                {
+                    "shards": self.n_shards,
+                    "deltaH": [
+                        round(r["deltaH"], 6) for r in self._shard_receipts
+                    ],
+                    "super_deltaH": round(
+                        self._super["deltaH"] if self._super else 0.0, 6
+                    ),
+                    "super_align": [
+                        round(a, 6) for a in (self._super or {}).get("align", [])
+                    ],
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        return payload
+
+    def propagate_gates(self, super_gates: np.ndarray) -> list[np.ndarray]:
+        """Downward gate propagation (SCALING.md:58): scale each flushed
+        shard's node gates by its summary's super-level gate.  Returns one
+        effective-gate array per shard (live rows only)."""
+        super_gates = np.asarray(super_gates, dtype=np.float32)
+        if super_gates.shape[0] != self.n_shards:
+            raise ValueError(
+                f"expected {self.n_shards} super gates, got {super_gates.shape[0]}"
+            )
+        sg = np.clip(super_gates, 0.0, 1.0)
+        return [self._node_gates[s] * sg[s] for s in range(self.n_shards)]
+
+    def shard_ustar(self, shard: int) -> np.ndarray:
+        """Settled rows of one flushed shard (live rows only)."""
+        rows = self._shard_rows[shard]
+        return np.asarray(jax.device_get(self._ustars[shard]))[:rows]

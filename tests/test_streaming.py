@@ -1,0 +1,120 @@
+"""Streaming & incremental updates (parallel/streaming.py) — the implemented
+version of the reference's conceptual SCALING.md:61-69 design: buffered
+appends, fixed-shape micro-lattice integration, super-level-only re-solve,
+delta receipts, and downward gate propagation."""
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.parallel.hierarchical import hierarchical_settle
+from oscillink_tpu.parallel.streaming import StreamingLattice
+
+
+def _data(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = rng.standard_normal(d).astype(np.float32)
+    psi /= np.linalg.norm(psi)
+    return Y, psi
+
+
+def test_append_buffers_then_autoflushes():
+    Y, psi = _data(70, 16)
+    sl = StreamingLattice(psi, shard_size=32, max_shards=8, kneighbors=4)
+    r = sl.append(Y[:10])
+    assert r == [] and sl.buffered == 10 and sl.n_shards == 0
+    r = sl.append(Y[10:70])  # 70 rows total -> two flushes, 6 left buffered
+    assert len(r) == 2
+    assert sl.n_shards == 2 and sl.buffered == 6 and sl.total_rows == 70
+    assert r[0]["new_shard"]["rows"] == 32
+    assert r[1]["seq"] == 2
+
+
+def test_partial_flush_padding_is_inert():
+    """A partial bucket (zero-padded to shard_size) must produce the same
+    shard receipt and summary as a bucket sized exactly to the rows."""
+    Y, psi = _data(20, 12, seed=3)
+    a = StreamingLattice(psi, shard_size=32, max_shards=4, kneighbors=4)
+    a.append(Y)
+    ra = a.flush()
+    b = StreamingLattice(psi, shard_size=20, max_shards=4, kneighbors=4)
+    b.append(Y)  # auto-flushes at exactly 20 rows
+    rb = b.delta_receipt()
+    sa, sb = ra["new_shard"], rb["shard_receipts"][0]
+    assert sa["rows"] == sb["rows"] == 20
+    np.testing.assert_allclose(sa["deltaH"], sb["deltaH"], rtol=1e-5)
+    np.testing.assert_allclose(sa["align"], sb["align"], rtol=1e-5)
+    np.testing.assert_allclose(a.shard_ustar(0), b.shard_ustar(0), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_matches_hierarchical_composition():
+    """A fully-flushed streaming lattice composes the receipts the batch
+    hierarchical tier produces on the same shard partition."""
+    n_shards, ns, d = 4, 24, 16
+    Y, psi = _data(n_shards * ns, d, seed=1)
+    batch = hierarchical_settle(
+        Y, psi, n_shards=n_shards, kneighbors=4, super_k=3
+    )
+    # same super-k clamp: min(3, max_shards-1) == min(3, n_shards-1) == 3
+    sl = StreamingLattice(
+        psi, shard_size=ns, max_shards=8, kneighbors=4, super_k=3
+    )
+    sl.append(Y)
+    rec = sl.delta_receipt()
+    assert rec["n_shards"] == n_shards
+    for s in range(n_shards):
+        np.testing.assert_allclose(
+            rec["shard_receipts"][s]["deltaH"],
+            batch["shard_receipts"][s]["deltaH"],
+            rtol=1e-4,
+        )
+    np.testing.assert_allclose(
+        rec["super"]["deltaH"], batch["super"]["deltaH"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        rec["super"]["align"], batch["super"]["align"], rtol=1e-4, atol=1e-6
+    )
+    assert rec["super"]["ranking"] == batch["super"]["ranking"]
+
+
+def test_delta_receipts_accumulate():
+    Y, psi = _data(96, 16, seed=2)
+    sl = StreamingLattice(psi, shard_size=32, max_shards=8, kneighbors=4)
+    receipts = sl.append(Y)  # three flushes
+    assert len(receipts) == 3
+    total = sum(r["deltaH_since_last"] for r in receipts)
+    np.testing.assert_allclose(total, receipts[-1]["deltaH_composed"], rtol=1e-5)
+    # composed deltaH is monotone under appends of coupled data here, and
+    # deltaH_since_last consumes the delta
+    follow = sl.delta_receipt()
+    assert follow["deltaH_since_last"] == 0.0
+    assert follow["composition_sig"] == receipts[-1]["composition_sig"]
+
+
+def test_gate_propagation_scales_children():
+    Y, psi = _data(64, 16, seed=4)
+    sl = StreamingLattice(psi, shard_size=32, max_shards=4, kneighbors=4)
+    gates = np.linspace(0.2, 1.0, 64).astype(np.float32)
+    sl.append(Y, gates=gates)
+    eff = sl.propagate_gates([1.0, 0.25])
+    np.testing.assert_allclose(eff[0], gates[:32], rtol=1e-6)
+    np.testing.assert_allclose(eff[1], gates[32:] * 0.25, rtol=1e-6)
+    with pytest.raises(ValueError):
+        sl.propagate_gates([1.0])
+
+
+def test_validation_and_capacity():
+    _, psi = _data(4, 8)
+    sl = StreamingLattice(psi, shard_size=4, max_shards=1, kneighbors=2)
+    with pytest.raises(ValueError):
+        sl.append(np.zeros((2, 5), dtype=np.float32))  # wrong dim
+    with pytest.raises(ValueError):
+        sl.append(np.zeros((2, 8)), gates=np.ones(3))
+    sl.append(np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32))
+    assert sl.n_shards == 1
+    sl.append(np.zeros((1, 8), dtype=np.float32))
+    with pytest.raises(RuntimeError):
+        sl.flush()
+    with pytest.raises(ValueError):
+        StreamingLattice(psi, lamG=0.0)
