@@ -13,7 +13,13 @@ import hmac
 import json
 from typing import Any, Optional
 
-__all__ = ["sign_payload", "verify_receipt", "verify_receipt_mode"]
+__all__ = [
+    "sign_payload",
+    "verify_receipt",
+    "verify_receipt_mode",
+    "sign_component",
+    "verify_component",
+]
 
 
 def _as_bytes(secret: bytes | str) -> bytes:
@@ -91,3 +97,36 @@ def verify_receipt_mode(
         return False, None
     except Exception:
         return False, None
+
+
+def sign_component(payload: dict, secret: bytes | str) -> dict:
+    """Signature block for a composition-tier component receipt (shard /
+    super / composed — SCALING.md section 6: each shard produces an
+    independently verifiable receipt).  Same HMAC-SHA256-over-canonical-JSON
+    contract as the lattice receipt's meta.signature block; attached at the
+    component's top level as ``receipt["signature"]``."""
+    return {
+        "algorithm": "HMAC-SHA256",
+        "payload": payload,
+        "signature": sign_payload(payload, secret),
+    }
+
+
+def verify_component(receipt: dict, secret: bytes | str) -> bool:
+    """Verify a composition component receipt signed by `sign_component`.
+    Never raises; also checks that the signed payload's scalar fields match
+    the receipt's own (a tampered receipt with an intact signed payload
+    fails)."""
+    try:
+        block = receipt.get("signature")
+        if not block or block.get("algorithm") != "HMAC-SHA256":
+            return False
+        payload = block.get("payload")
+        claimed = block.get("signature")
+        if payload is None or claimed is None:
+            return False
+        if not hmac.compare_digest(sign_payload(payload, secret), str(claimed)):
+            return False
+        return all(receipt.get(k) == v for k, v in payload.items())
+    except Exception:
+        return False

@@ -87,11 +87,15 @@ def hierarchical_settle(
     lamQ: float = 4.0,
     tol: float = 1e-4,
     max_iters: int = 64,
+    receipt_secret: Optional[bytes | str] = None,
 ) -> dict[str, Any]:
     """Shard -> local settle -> summary super-lattice -> composed receipt.
 
     N must be divisible by ``n_shards`` (pad upstream).  Returns the composed
-    receipt plus per-shard diagnostics and the settled U* per shard.
+    receipt plus per-shard diagnostics and the settled U* per shard.  With
+    ``receipt_secret``, every shard receipt and the composed receipt carry
+    independently verifiable HMAC blocks (SCALING.md:71-76 fault-domain
+    contract; `core.receipts.verify_component`).
     """
     Y = np.asarray(Y, dtype=np.float32)
     psi = np.asarray(psi, dtype=np.float32)
@@ -136,6 +140,11 @@ def hierarchical_settle(
         }
         for s in range(n_shards)
     ]
+    if receipt_secret is not None:
+        from ..core.receipts import sign_component
+
+        for r in shard_receipts:
+            r["signature"] = sign_component(dict(r), receipt_secret)
     order = np.argsort(-np.asarray(super_align)).tolist()
 
     import hashlib
@@ -153,7 +162,7 @@ def hierarchical_settle(
         ).encode()
     ).hexdigest()
 
-    return {
+    out = {
         "n_shards": n_shards,
         "shard_receipts": shard_receipts,
         "deltaH_composed": float(np.sum(dHs)) + float(super_dH),
@@ -168,3 +177,15 @@ def hierarchical_settle(
         "Ustar_shards": Ustars,
         "summaries": summaries,
     }
+    if receipt_secret is not None:
+        from ..core.receipts import sign_component
+
+        out["signature"] = sign_component(
+            {
+                "n_shards": n_shards,
+                "deltaH_composed": out["deltaH_composed"],
+                "composition_sig": comp_sig,
+            },
+            receipt_secret,
+        )
+    return out

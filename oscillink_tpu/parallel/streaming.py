@@ -22,7 +22,10 @@ emit delta receipts (deltaH_since_last).  Here it is implemented TPU-first:
     SCALING.md's step 4;
   * gates propagate downward (SCALING.md:58: a suppressed shard summary
     scales its children's effective gates): `propagate_gates` maps
-    super-level gates onto per-node effective gates.
+    super-level gates onto per-node effective gates;
+  * with ``receipt_secret``, every shard receipt and every delta receipt
+    carry independently verifiable HMAC blocks (SCALING.md:71-76
+    fault-domain contract; verify with `core.receipts.verify_component`).
 
 Shard solves match `parallel.hierarchical.hierarchical_settle` semantics
 (same energy, same summary convention), so a fully-flushed streaming
@@ -107,6 +110,7 @@ class StreamingLattice:
         lamQ: float = 4.0,
         tol: float = 1e-4,
         max_iters: int = 64,
+        receipt_secret: Optional[bytes | str] = None,
     ):
         psi = np.asarray(psi, dtype=np.float32)
         if psi.ndim != 1:
@@ -126,6 +130,7 @@ class StreamingLattice:
         self.lam = EnergyParams.make(lamG, lamC, lamQ, 0.0)
         self.tol = float(tol)
         self.max_iters = int(max_iters)
+        self.receipt_secret = receipt_secret
 
         self._buf_rows: list[np.ndarray] = []
         self._buf_gates: list[np.ndarray] = []
@@ -225,6 +230,12 @@ class StreamingLattice:
             "iters": int(iters_h),
             "res": float(res_h),
         }
+        if self.receipt_secret is not None:
+            from ..core.receipts import sign_component
+
+            shard_receipt["signature"] = sign_component(
+                dict(shard_receipt), self.receipt_secret
+            )
         self._shard_receipts.append(shard_receipt)
         self._resolve_super()
         self._seq += 1
@@ -295,6 +306,19 @@ class StreamingLattice:
                 sort_keys=True,
             ).encode()
         ).hexdigest()
+        if self.receipt_secret is not None:
+            from ..core.receipts import sign_component
+
+            payload["signature"] = sign_component(
+                {
+                    "seq": payload["seq"],
+                    "n_shards": payload["n_shards"],
+                    "deltaH_composed": payload["deltaH_composed"],
+                    "deltaH_since_last": payload["deltaH_since_last"],
+                    "composition_sig": payload["composition_sig"],
+                },
+                self.receipt_secret,
+            )
         return payload
 
     def propagate_gates(self, super_gates: np.ndarray) -> list[np.ndarray]:

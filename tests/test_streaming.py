@@ -118,3 +118,30 @@ def test_validation_and_capacity():
         sl.flush()
     with pytest.raises(ValueError):
         StreamingLattice(psi, lamG=0.0)
+
+
+def test_component_receipt_signing():
+    """SCALING.md section 6: shard + composed receipts independently
+    verifiable with HMAC (both composition tiers)."""
+    from oscillink_tpu.core.receipts import verify_component
+
+    Y, psi = _data(64, 16, seed=5)
+    sl = StreamingLattice(
+        psi, shard_size=32, max_shards=4, kneighbors=4, receipt_secret="s3cret"
+    )
+    receipts = sl.append(Y)
+    for r in receipts:
+        assert verify_component(r, "s3cret")
+        assert not verify_component(r, "wrong")
+        assert verify_component(r["new_shard"], "s3cret")
+    tampered = dict(receipts[-1])
+    tampered["deltaH_composed"] = 0.0
+    assert not verify_component(tampered, "s3cret")
+
+    batch = hierarchical_settle(
+        Y, psi, n_shards=2, kneighbors=4, receipt_secret="s3cret"
+    )
+    assert verify_component(batch, "s3cret")
+    for r in batch["shard_receipts"]:
+        assert verify_component(r, "s3cret")
+        assert not verify_component(r, "wrong")
