@@ -279,6 +279,7 @@ collectives ride ICI there):
    windowed-halo, picked from measured halo stats + plan coverage)
 2. `sharded_serve` — the serving tier: full receipt computed under the mesh
 3. `hierarchical_settle` — lattice-of-lattices composition
+4. `StreamingLattice` — append-only incremental updates with delta receipts
 """,
     ),
     _cell(
@@ -349,6 +350,23 @@ for r in hier["shard_receipts"][:4]:
 """,
     ),
     _cell(
+        "code",
+        """
+# 4. streaming & incremental updates: append-only corpora, delta receipts
+from oscillink_tpu.parallel.streaming import StreamingLattice
+
+sl = StreamingLattice(psi, shard_size=2048, max_shards=16, kneighbors=k)
+for day in range(3):  # three arrival batches; full buckets auto-integrate
+    rows = Y[day * 3000:(day + 1) * 3000]
+    for r in sl.append(rows):
+        print(f"integrated shard {r['new_shard']['shard']}: "
+              f"deltaH_since_last={r['deltaH_since_last']:.1f}")
+final = sl.flush()  # integrate the tail buffer
+print("composed deltaH:", round(final["deltaH_composed"], 1),
+      "| shards:", final["n_shards"], "| rows:", final["total_rows"])
+""",
+    ),
+    _cell(
         "markdown",
         """
 The same settle through the service: set `OSCILLINK_SHARDED_MIN_N` and any
@@ -373,9 +391,9 @@ RERANK_CELLS = [
   context window. Combined with gating it suppresses trap passages.
 - **`diversify=False`** (rerank mode): the raw score ordering
   `alpha*z(coherence_drop) + (1-alpha)*cos(U*, psi)` — built for
-  *ranking*. On the vendored real-text corpus it holds cosine-parity
-  nDCG@10 (0.859 vs 0.868) and beats cosine recall@5 (0.731 vs 0.723),
-  where the MMR mode loses ~0.25 nDCG if misused as a ranking
+  *ranking*. On the vendored real-text corpus (52 queries) it holds
+  cosine-parity nDCG@10 (0.871 vs 0.880) at equal recall@5 (0.746),
+  where the MMR mode loses ~0.24 nDCG if misused as a ranking
   (`benchmarks/quality_real_lsa_latest.json`).
 
 This notebook reproduces the comparison on a synthetic topical corpus.
