@@ -145,3 +145,20 @@ def test_component_receipt_signing():
     for r in batch["shard_receipts"]:
         assert verify_component(r, "s3cret")
         assert not verify_component(r, "wrong")
+
+
+def test_tiny_bucket_k_clamp_equivalence():
+    """A bucket with fewer live rows than kneighbors+1 behaves exactly like
+    an exact-size lattice with k clamped to live-1 (zero-sim padded
+    candidates never displace positive live edges)."""
+    Y, psi = _data(3, 12, seed=7)
+    a = StreamingLattice(psi, shard_size=32, max_shards=2, kneighbors=6)
+    a.append(Y)
+    ra = a.flush()
+    b = StreamingLattice(psi, shard_size=3, max_shards=2, kneighbors=2)
+    rb = b.append(Y)[0]
+    np.testing.assert_allclose(
+        ra["new_shard"]["deltaH"], rb["new_shard"]["deltaH"], rtol=1e-5
+    )
+    np.testing.assert_allclose(a.shard_ustar(0), b.shard_ustar(0), rtol=2e-5,
+                               atol=1e-6)
