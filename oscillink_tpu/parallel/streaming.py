@@ -25,7 +25,14 @@ emit delta receipts (deltaH_since_last).  Here it is implemented TPU-first:
     super-level gates onto per-node effective gates;
   * with ``receipt_secret``, every shard receipt and every delta receipt
     carry independently verifiable HMAC blocks (SCALING.md:71-76
-    fault-domain contract; verify with `core.receipts.verify_component`).
+    fault-domain contract; verify with `core.receipts.verify_component`);
+  * when the summary table fills, `consolidate()` (automatic by default)
+    applies the reference design's RECURSION clause (SCALING.md:49-60,
+    lattice-of-lattices): the current summaries are themselves settled as a
+    micro-lattice — reusing the same compiled executable — and collapse
+    into one consolidated pseudo-shard whose receipt absorbs its children,
+    so append streams are unbounded with `deltaH_composed`/`total_rows`
+    continuous across generations.
 
 Shard solves match `parallel.hierarchical.hierarchical_settle` semantics
 (same energy, same summary convention), so a fully-flushed streaming
@@ -111,6 +118,7 @@ class StreamingLattice:
         tol: float = 1e-4,
         max_iters: int = 64,
         receipt_secret: Optional[bytes | str] = None,
+        auto_consolidate: bool = True,
     ):
         psi = np.asarray(psi, dtype=np.float32)
         if psi.ndim != 1:
@@ -121,6 +129,13 @@ class StreamingLattice:
             raise ValueError("max_shards must be >= 1")
         if lamG <= 0:
             raise ValueError("lamG must be > 0 (SPD)")
+        if auto_consolidate and max_shards > shard_size:
+            # consolidation reuses the [shard_size, D] micro-solve executable
+            # on the summary table, so the table must fit one bucket
+            raise ValueError(
+                "auto_consolidate requires max_shards <= shard_size "
+                f"(got {max_shards} > {shard_size})"
+            )
         self.psi = psi
         self.dim = int(psi.shape[0])
         self.shard_size = int(shard_size)
@@ -131,18 +146,21 @@ class StreamingLattice:
         self.tol = float(tol)
         self.max_iters = int(max_iters)
         self.receipt_secret = receipt_secret
+        self.auto_consolidate = bool(auto_consolidate)
 
         self._buf_rows: list[np.ndarray] = []
         self._buf_gates: list[np.ndarray] = []
         self._summaries = np.zeros((max_shards, self.dim), dtype=np.float32)
         self._live = np.zeros(max_shards, dtype=np.float32)
-        self._shard_rows: list[int] = []  # live row count per flushed shard
+        self._shard_rows: list[int] = []  # PHYSICAL live rows per shard
         self._shard_receipts: list[dict[str, Any]] = []
         self._ustars: list[jax.Array] = []  # padded [shard_size, D] per shard
         self._node_gates: list[np.ndarray] = []  # live gates per shard
         self._super: Optional[dict[str, Any]] = None
         self._deltaH_last = 0.0
         self._seq = 0
+        self._rows_integrated = 0  # logical corpus rows ever integrated
+        self._generation = 0  # consolidation (recursion) depth
 
     # ------------------------------------------------------------------ #
 
@@ -156,7 +174,12 @@ class StreamingLattice:
 
     @property
     def total_rows(self) -> int:
-        return sum(self._shard_rows) + self.buffered
+        return self._rows_integrated + self.buffered
+
+    @property
+    def generation(self) -> int:
+        """Consolidation (recursion) depth — 0 until the first merge."""
+        return self._generation
 
     def append(self, Y_new: np.ndarray, gates: Optional[np.ndarray] = None):
         """Buffer rows (SCALING.md step 1); integrates automatically every
@@ -185,10 +208,13 @@ class StreamingLattice:
         if self.buffered == 0:
             return None
         if self.n_shards >= self.max_shards:
-            raise RuntimeError(
-                f"summary table full ({self.max_shards} shards); raise "
-                "max_shards or consolidate (export + rebuild)"
-            )
+            if self.auto_consolidate and self.n_shards >= 2:
+                self.consolidate()
+            else:
+                raise RuntimeError(
+                    f"summary table full ({self.max_shards} shards); raise "
+                    "max_shards or call consolidate()"
+                )
         Y = np.concatenate(self._buf_rows, axis=0)
         g = np.concatenate(self._buf_gates, axis=0)
         take = Y.shape[0] if _partial_ok else min(Y.shape[0], self.shard_size)
@@ -220,10 +246,12 @@ class StreamingLattice:
         self._summaries[slot] = summary_h
         self._live[slot] = 1.0
         self._shard_rows.append(take)
+        self._rows_integrated += take
         self._ustars.append(Ustar)
         self._node_gates.append(g_take)
         shard_receipt = {
             "shard": slot,
+            "generation": self._generation,
             "rows": int(take),
             "deltaH": float(dH_h),
             "align": float(align_h),
@@ -240,6 +268,72 @@ class StreamingLattice:
         self._resolve_super()
         self._seq += 1
         return self.delta_receipt(new_shard=shard_receipt)
+
+    def consolidate(self) -> dict[str, Any]:
+        """Recursive lattice-of-lattices merge (the reference SCALING.md's
+        recursion clause, applied incrementally): settle a micro-lattice over
+        the CURRENT summary table and collapse every shard into one
+        consolidated pseudo-shard, freeing ``max_shards - 1`` slots for new
+        appends.  The merge reuses the same [shard_size, D] compiled
+        executable as ordinary flushes (guaranteed by the
+        ``max_shards <= shard_size`` init check).
+
+        The consolidated receipt absorbs its children: its ``deltaH`` is the
+        children's total plus the merge solve's own drop, and ``rows`` is the
+        children's logical row total — `deltaH_composed` and `total_rows`
+        stay continuous across generations.  Children's per-node gates and
+        settled rows are released (their fault-domain receipts were already
+        emitted at flush time); `propagate_gates` then addresses the
+        consolidated shard as one unit."""
+        s_old = self.n_shards
+        if s_old < 2:
+            raise RuntimeError("nothing to consolidate (need >= 2 shards)")
+        child_dH = float(sum(r["deltaH"] for r in self._shard_receipts))
+        child_rows = int(sum(r["rows"] for r in self._shard_receipts))
+
+        pad = self.shard_size - s_old
+        Y_sum = np.pad(self._summaries[:s_old], ((0, pad), (0, 0)))
+        g_sum = np.pad(np.ones(s_old, dtype=np.float32), (0, pad))
+        k_local = min(self.kneighbors, self.shard_size - 1)
+        Ustar, summary, dH, align, iters, res = _micro_solve(
+            jnp.asarray(Y_sum),
+            jnp.asarray(self.psi),
+            jnp.asarray(g_sum),
+            self.lam,
+            k_local,
+            jnp.float32(self.tol),
+            jnp.int32(self.max_iters),
+        )
+        summary_h, dH_h, align_h, iters_h, res_h = jax.device_get(
+            (summary, dH, align, iters, res)
+        )
+        self._generation += 1
+        receipt = {
+            "shard": 0,
+            "rows": child_rows,
+            "deltaH": child_dH + float(dH_h),
+            "align": float(align_h),
+            "iters": int(iters_h),
+            "res": float(res_h),
+            "consolidated": True,
+            "generation": self._generation,
+            "children": s_old,
+        }
+        if self.receipt_secret is not None:
+            from ..core.receipts import sign_component
+
+            receipt["signature"] = sign_component(dict(receipt), self.receipt_secret)
+
+        self._summaries = np.zeros_like(self._summaries)
+        self._live = np.zeros_like(self._live)
+        self._summaries[0] = summary_h
+        self._live[0] = 1.0
+        self._shard_rows = [s_old]  # physical rows in the merge solve
+        self._shard_receipts = [receipt]
+        self._ustars = [Ustar]
+        self._node_gates = [np.ones(0, dtype=np.float32)]
+        self._resolve_super()
+        return receipt
 
     def _resolve_super(self):
         k_super = min(self.super_k, max(1, self.max_shards - 1))
@@ -280,6 +374,7 @@ class StreamingLattice:
         payload = {
             "seq": self._seq,
             "n_shards": self.n_shards,
+            "generation": self._generation,
             "total_rows": self.total_rows,
             "buffered": self.buffered,
             "deltaH_composed": composed,

@@ -162,3 +162,59 @@ def test_tiny_bucket_k_clamp_equivalence():
     )
     np.testing.assert_allclose(a.shard_ustar(0), b.shard_ustar(0), rtol=2e-5,
                                atol=1e-6)
+
+
+def test_consolidation_recursion_unbounds_the_stream():
+    """When the summary table fills, consolidate() collapses the shards into
+    one pseudo-shard (the reference design's recursion clause) and the
+    stream continues with continuous total_rows / deltaH_composed."""
+    Y, psi = _data(32 * 6, 16, seed=8)
+    sl = StreamingLattice(
+        psi, shard_size=32, max_shards=3, kneighbors=4, receipt_secret="k"
+    )
+    from oscillink_tpu.core.receipts import verify_component
+
+    r1 = sl.append(Y[: 32 * 3])  # fills the table exactly
+    assert sl.n_shards == 3 and sl.generation == 0
+    before = r1[-1]["deltaH_composed"]
+
+    r2 = sl.append(Y[32 * 3 : 32 * 4])  # triggers auto-consolidation
+    assert sl.generation == 1
+    assert sl.n_shards == 2  # consolidated + the new shard
+    assert sl.total_rows == 32 * 4
+    cons = r2[0]["shard_receipts"][0]
+    assert cons["consolidated"] and cons["children"] == 3
+    assert cons["rows"] == 32 * 3  # logical rows absorbed
+    assert r2[0]["deltaH_composed"] > before > 0
+    assert verify_component(cons, "k")
+
+    # a second consolidation stacks the recursion (the 2nd of these two
+    # flushes finds the table full again)
+    sl.append(Y[32 * 4 :])
+    assert sl.generation == 2 and sl.n_shards == 2
+    sl.append(_data(32, 16, seed=9)[0])
+    assert sl.n_shards == 3 and sl.generation == 2
+    assert sl.total_rows == 32 * 7
+
+    # gates propagate per current-generation unit; the consolidated
+    # pseudo-shard has no addressable children
+    eff = sl.propagate_gates(np.ones(sl.n_shards, dtype=np.float32))
+    assert len(eff) == sl.n_shards and eff[0].shape == (0,)
+
+
+def test_consolidate_guards():
+    _, psi = _data(4, 8)
+    sl = StreamingLattice(psi, shard_size=8, max_shards=4, kneighbors=2)
+    with pytest.raises(RuntimeError):
+        sl.consolidate()  # nothing to merge
+    with pytest.raises(ValueError):
+        StreamingLattice(psi, shard_size=8, max_shards=16)  # table > bucket
+    # opting out of auto-consolidation restores the hard error
+    sl2 = StreamingLattice(
+        psi, shard_size=4, max_shards=2, kneighbors=2, auto_consolidate=False
+    )
+    rng = np.random.default_rng(0)
+    sl2.append(rng.standard_normal((8, 8)).astype(np.float32))
+    sl2.append(rng.standard_normal((1, 8)).astype(np.float32))
+    with pytest.raises(RuntimeError):
+        sl2.flush()
