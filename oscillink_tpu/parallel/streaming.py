@@ -32,7 +32,14 @@ emit delta receipts (deltaH_since_last).  Here it is implemented TPU-first:
     micro-lattice — reusing the same compiled executable — and collapse
     into one consolidated pseudo-shard whose receipt absorbs its children,
     so append streams are unbounded with `deltaH_composed`/`total_rows`
-    continuous across generations.
+    continuous across generations;
+  * the reference's future-API sketch (SCALING.md:96-104 — ``hl.ingest``,
+    ``hl.receipt()``, ``hl.bundle(k)``) is served directly: `ingest` is an
+    alias of `append`, `receipt()` reads the composed receipt without
+    consuming the delta, and `bundle(k)` retrieves cross-stream from a
+    bounded pool of per-flush top settled rows (SCALING.md:88 "compress
+    node diagnostics") that survives consolidation, with the reference's
+    MMR diversification rule.
 
 Shard solves match `parallel.hierarchical.hierarchical_settle` semantics
 (same energy, same summary convention), so a fully-flushed streaming
@@ -77,6 +84,21 @@ def _micro_solve(Y_s, psi, B_s, lam, k, tol, max_iters):
     return Ustar, summary, dH, align, iters, res
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _pool_topk(Ustar, psi, take, m):
+    """Top-``m`` settled rows by query alignment (live rows only): the
+    per-shard compressed node diagnostics the bundle draws from
+    (SCALING.md:88 'Compress node diagnostics').  Returns (aligns, local
+    row ids, settled rows); padded entries carry -inf."""
+    u_n = Ustar / (jnp.linalg.norm(Ustar, axis=1, keepdims=True) + 1e-12)
+    psi_n = psi / (jnp.linalg.norm(psi) + 1e-12)
+    align = u_n @ psi_n
+    rows = jnp.arange(Ustar.shape[0], dtype=jnp.int32)
+    align = jnp.where(rows < take, align, -jnp.inf)
+    vals, idx = jax.lax.top_k(align, m)
+    return vals, idx.astype(jnp.int32), Ustar[idx]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _super_solve_gated(summaries, psi, live, lam, k, tol, max_iters):
     """Super-level solve over the preallocated summary table.  ``live`` is
@@ -119,6 +141,8 @@ class StreamingLattice:
         max_iters: int = 64,
         receipt_secret: Optional[bytes | str] = None,
         auto_consolidate: bool = True,
+        candidate_pool: int = 32,
+        pool_cap: int = 1024,
     ):
         psi = np.asarray(psi, dtype=np.float32)
         if psi.ndim != 1:
@@ -161,6 +185,16 @@ class StreamingLattice:
         self._seq = 0
         self._rows_integrated = 0  # logical corpus rows ever integrated
         self._generation = 0  # consolidation (recursion) depth
+
+        # cross-stream bundle pool: each flush contributes its top
+        # ``candidate_pool`` settled rows (global id, settled alignment,
+        # settled vector); bounded at ``pool_cap`` (best-align kept) so the
+        # pool survives consolidation without unbounded growth
+        self.candidate_pool = int(min(candidate_pool, shard_size))
+        self.pool_cap = int(pool_cap)
+        self._pool_ids = np.zeros(0, dtype=np.int64)
+        self._pool_align = np.zeros(0, dtype=np.float32)
+        self._pool_vecs = np.zeros((0, self.dim), dtype=np.float32)
 
     # ------------------------------------------------------------------ #
 
@@ -246,7 +280,21 @@ class StreamingLattice:
         self._summaries[slot] = summary_h
         self._live[slot] = 1.0
         self._shard_rows.append(take)
+        rows_before = self._rows_integrated
         self._rows_integrated += take
+
+        # contribute this bucket's top settled rows to the bundle pool
+        if self.candidate_pool > 0:
+            vals, idx, vecs = jax.device_get(
+                _pool_topk(
+                    Ustar, jnp.asarray(self.psi), jnp.int32(take),
+                    self.candidate_pool,
+                )
+            )
+            keep = np.isfinite(vals)
+            self._pool_insert(
+                rows_before + idx[keep].astype(np.int64), vals[keep], vecs[keep]
+            )
         self._ustars.append(Ustar)
         self._node_gates.append(g_take)
         shard_receipt = {
@@ -366,11 +414,22 @@ class StreamingLattice:
             sum(r["deltaH"] for r in self._shard_receipts) + self._super["deltaH"]
         )
 
+    def receipt(self) -> dict[str, Any]:
+        """Composed receipt WITHOUT consuming the since-last delta (the
+        SCALING.md:96-104 API sketch's ``hl.receipt()`` read)."""
+        return self._compose(consume=False)
+
     def delta_receipt(self, new_shard: Optional[dict] = None) -> dict[str, Any]:
         """Composed receipt + deltaH_since_last (consumes the delta)."""
+        return self._compose(consume=True, new_shard=new_shard)
+
+    def _compose(
+        self, consume: bool, new_shard: Optional[dict] = None
+    ) -> dict[str, Any]:
         composed = self._deltaH_composed()
         since = composed - self._deltaH_last
-        self._deltaH_last = composed
+        if consume:
+            self._deltaH_last = composed
         payload = {
             "seq": self._seq,
             "n_shards": self.n_shards,
@@ -416,6 +475,60 @@ class StreamingLattice:
             )
         return payload
 
+    def _pool_insert(
+        self, gids: np.ndarray, aligns: np.ndarray, vecs: np.ndarray
+    ) -> None:
+        self._pool_ids = np.concatenate([self._pool_ids, gids])
+        self._pool_align = np.concatenate([self._pool_align, aligns])
+        self._pool_vecs = np.concatenate([self._pool_vecs, vecs], axis=0)
+        if self._pool_ids.shape[0] > self.pool_cap:
+            keep = np.argsort(-self._pool_align)[: self.pool_cap]
+            self._pool_ids = self._pool_ids[keep]
+            self._pool_align = self._pool_align[keep]
+            self._pool_vecs = self._pool_vecs[keep]
+
+    def bundle(
+        self, k: int = 10, *, diversify: bool = True, lambda_div: float = 0.5
+    ) -> list[dict[str, Any]]:
+        """Cross-stream top-``k`` (the API sketch's ``hl.bundle(k)``): draw
+        from the bounded candidate pool of per-flush top settled rows, so
+        retrieval spans every generation — including shards long since
+        consolidated.  Ids are global arrival indices.  ``diversify`` applies
+        the reference's MMR rule (lambda_div trade-off, first pick pure
+        score) over the stored settled vectors."""
+        n = self._pool_ids.shape[0]
+        if n == 0:
+            return []
+        k = min(k, n)
+        order = np.argsort(-self._pool_align)
+        if not diversify:
+            sel = order[:k]
+        else:
+            vn = self._pool_vecs / (
+                np.linalg.norm(self._pool_vecs, axis=1, keepdims=True) + 1e-12
+            )
+            chosen: list[int] = [int(order[0])]
+            max_sim = vn @ vn[order[0]]
+            cand = set(order[1:].tolist())
+            while len(chosen) < k and cand:
+                rest = np.fromiter(cand, dtype=np.int64)
+                val = (1.0 - lambda_div) * self._pool_align[rest] - (
+                    lambda_div * max_sim[rest]
+                )
+                pick = int(rest[np.argmax(val)])
+                chosen.append(pick)
+                cand.remove(pick)
+                max_sim = np.maximum(max_sim, vn @ vn[pick])
+            sel = np.asarray(chosen, dtype=np.int64)
+        return [
+            {
+                "id": int(self._pool_ids[i]),
+                "score": float(self._pool_align[i]),
+                "align": float(self._pool_align[i]),
+            }
+            for i in sel
+        ]
+
     def propagate_gates(self, super_gates: np.ndarray) -> list[np.ndarray]:
         """Downward gate propagation (SCALING.md:58): scale each flushed
         shard's node gates by its summary's super-level gate.  Returns one
@@ -432,3 +545,6 @@ class StreamingLattice:
         """Settled rows of one flushed shard (live rows only)."""
         rows = self._shard_rows[shard]
         return np.asarray(jax.device_get(self._ustars[shard]))[:rows]
+
+    # SCALING.md:96-104 API-sketch name: hl.ingest(batch) == append(batch)
+    ingest = append

@@ -218,3 +218,46 @@ def test_consolidate_guards():
     sl2.append(rng.standard_normal((1, 8)).astype(np.float32))
     with pytest.raises(RuntimeError):
         sl2.flush()
+
+
+def test_bundle_spans_generations():
+    """bundle(k) retrieves globally (the SCALING.md API sketch's
+    hl.bundle): ids from shards that were consolidated away remain
+    retrievable through the bounded candidate pool."""
+    rng = np.random.default_rng(11)
+    d = 16
+    psi = rng.standard_normal(d).astype(np.float32)
+    psi /= np.linalg.norm(psi)
+    # plant strongly aligned rows at known global arrival indices
+    Y = rng.standard_normal((32 * 4, d)).astype(np.float32)
+    planted = [3, 40, 70, 100]
+    for g in planted:
+        Y[g] = 5.0 * psi + 0.01 * rng.standard_normal(d).astype(np.float32)
+    sl = StreamingLattice(
+        psi, shard_size=32, max_shards=3, kneighbors=4, candidate_pool=8
+    )
+    sl.ingest(Y)  # 4 flushes -> one consolidation along the way
+    assert sl.generation >= 1
+    got = [e["id"] for e in sl.bundle(k=4, diversify=False)]
+    assert set(got) == set(planted)
+    # diversified mode returns k entries led by the top-aligned candidate
+    div = sl.bundle(k=4)
+    assert len(div) == 4 and div[0]["id"] == got[0]
+    # receipt() peeks without consuming the delta: a direct consolidate()
+    # changes the composed deltaH without emitting a delta receipt
+    sl.consolidate()
+    before = sl.receipt()["deltaH_since_last"]
+    assert sl.receipt()["deltaH_since_last"] == before  # unchanged by peek
+    assert sl.delta_receipt()["deltaH_since_last"] == before  # consumes
+    assert sl.receipt()["deltaH_since_last"] == 0.0
+
+
+def test_pool_cap_bounds_memory():
+    Y, psi = _data(32 * 3, 8, seed=12)
+    sl = StreamingLattice(
+        psi, shard_size=32, max_shards=8, kneighbors=4,
+        candidate_pool=16, pool_cap=20,
+    )
+    sl.append(Y)
+    assert sl._pool_ids.shape[0] <= 20
+    assert len(sl.bundle(k=50, diversify=False)) <= 20
