@@ -241,6 +241,15 @@ def cmd_settle(args: argparse.Namespace) -> int:
             e["id"]
             for e in lat.bundle(k=args.bundle_k, diversify=not args.rerank)
         ]
+    if args.debug_report:
+        if args.light:
+            print("warning: --debug-report forces full receipt detail",
+                  file=sys.stderr)
+            lat.set_receipt_detail("full")
+        from .utils.debug_report import generate_debug_report
+
+        generate_debug_report(lat, args.debug_report)
+        out["debug_report"] = args.debug_report
     print(json.dumps(out, indent=2))
     return 0
 
@@ -293,6 +302,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="derive gates by screened diffusion before settling")
     p.add_argument("--diffusion-beta", type=float, default=1.0)
     p.add_argument("--diffusion-gamma", type=float, default=0.1)
+    p.add_argument("--debug-report", default=None, metavar="OUT.html",
+                   help="write the self-contained HTML debug report")
     p.set_defaults(fn=cmd_settle)
 
     p = sub.add_parser("serve", help="run the cloud service")
