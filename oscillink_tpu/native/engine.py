@@ -176,6 +176,16 @@ class NativeEngine:
         self._path_src = np.zeros(0, dtype=np.int32)
         self._path_dst = np.zeros(0, dtype=np.int32)
         self._path_wn = np.zeros(0, dtype=np.float32)
+        # U* / per-node caches, invalidated on any state change (psi, gates,
+        # chain) — mirrors the JAX lattice's signature-keyed cache semantics
+        # (core/lattice.py solve_Ustar); without them the serving flow paid
+        # for THREE CG solves per request (receipt, per-node, bundle)
+        self._ustar_cache: dict = {}
+        self._pernode_cache: dict = {}
+
+    def _invalidate(self) -> None:
+        self._ustar_cache.clear()
+        self._pernode_cache.clear()
 
     def set_query(self, psi: np.ndarray, gates: Optional[np.ndarray] = None) -> None:
         psi = np.ascontiguousarray(psi, dtype=np.float32)
@@ -184,6 +194,7 @@ class NativeEngine:
             # out-of-bounds heap read, not a wrong answer
             raise ValueError(f"psi must have shape ({self.D},), got {psi.shape}")
         self.psi = psi
+        self._invalidate()
         if gates is not None:
             gates = np.ascontiguousarray(gates, dtype=np.float32)
             if gates.shape != (self.N,):
@@ -201,12 +212,14 @@ class NativeEngine:
         self._path_dst = np.ascontiguousarray(np.asarray(pg.dst), dtype=np.int32)
         self._path_wn = np.ascontiguousarray(np.asarray(pg.wn), dtype=np.float32)
         self.lamP = float(lamP)
+        self._invalidate()
 
     def clear_chain(self) -> None:
         self.lamP = 0.0
         self._path_src = np.zeros(0, dtype=np.int32)
         self._path_dst = np.zeros(0, dtype=np.int32)
         self._path_wn = np.zeros(0, dtype=np.float32)
+        self._invalidate()
 
     def settle(self, dt=1.0, max_iters=12, tol=1e-3):
         out = np.zeros_like(self.U)
@@ -231,7 +244,10 @@ class NativeEngine:
         self.U = out
         return {"iters": int(iters), "res": float(res.value)}
 
-    def solve_ustar(self, tol=1e-4, max_iters=64):
+    def solve_ustar(self, tol=1e-4, max_iters=64, use_cache: bool = True):
+        key = (float(tol), int(max_iters))
+        if use_cache and key in self._ustar_cache:
+            return self._ustar_cache[key]
         out = np.zeros_like(self.Y)
         res = ctypes.c_float(0.0)
         if self.lamP > 0 and len(self._path_src):
@@ -250,7 +266,10 @@ class NativeEngine:
                 np.float32(self.lamQ), np.float32(tol), np.int32(max_iters),
                 out, ctypes.byref(res),
             )
-        return out, int(iters), float(res.value)
+        result = (out, int(iters), float(res.value))
+        if use_cache:
+            self._ustar_cache[key] = result
+        return result
 
     def deltaH(self, U: np.ndarray, Ustar: np.ndarray) -> float:
         Uc = np.ascontiguousarray(U, dtype=np.float32)
@@ -274,6 +293,11 @@ class NativeEngine:
         )
 
     def per_node(self, Ustar: np.ndarray):
+        cached = self._pernode_cache.get("entry")
+        # identity check holds a reference to the keyed array, so a freed
+        # id can never alias a new allocation
+        if cached is not None and cached[0] is Ustar:
+            return cached[1]
         coh = np.zeros(self.N, dtype=np.float32)
         anchor = np.zeros(self.N, dtype=np.float32)
         query = np.zeros(self.N, dtype=np.float32)
@@ -283,6 +307,10 @@ class NativeEngine:
             self.N, self.k, self.D, np.float32(self.lamG), np.float32(self.lamC),
             np.float32(self.lamQ), coh, anchor, query,
         )
+        # keyed by Ustar object identity: the cached-U* path hands the same
+        # array back, so receipt + bundle share one computation; a mutated
+        # in-place array would be a caller bug (none mutate)
+        self._pernode_cache = {"entry": (Ustar, (coh, anchor, query))}
         return coh, anchor, query
 
     def null_points(self, Ustar: np.ndarray, z_th: float = 3.0):

@@ -102,3 +102,39 @@ def test_native_speed_small_n():
     eng2.settle(max_iters=12, tol=1e-3)
     ms = 1000 * (time.perf_counter() - t0)
     assert ms < 250.0  # small-N E2E stays well under accelerator RPC latency
+
+
+def test_ustar_cache_and_invalidation():
+    """solve_ustar/per_node cache across receipt+bundle (three CG solves per
+    serving request without it) and invalidate on any state change."""
+    import numpy as np
+
+    from oscillink_tpu.native.engine import NativeEngine
+
+    rng = np.random.default_rng(3)
+    Y = rng.standard_normal((80, 16)).astype(np.float32)
+    psi = (Y[:8].mean(0) / np.linalg.norm(Y[:8].mean(0))).astype(np.float32)
+    eng = NativeEngine(Y, kneighbors=4)
+    eng.set_query(psi)
+    U1, i1, r1 = eng.solve_ustar()
+    U2, i2, r2 = eng.solve_ustar()
+    assert U2 is U1 and (i2, r2) == (i1, r1)  # cache hit returns same buffer
+    pn1 = eng.per_node(U1)
+    assert eng.per_node(U2)[0] is pn1[0]  # per-node cached on the same U*
+    # a different query must invalidate both caches
+    psi2 = (Y[-8:].mean(0) / np.linalg.norm(Y[-8:].mean(0))).astype(np.float32)
+    eng.set_query(psi2)
+    U3, _, _ = eng.solve_ustar()
+    assert U3 is not U1
+    assert not np.allclose(U3, U1)
+    # chain add/clear invalidates too
+    eng.add_chain([0, 1, 2], lamP=0.2)
+    U4, _, _ = eng.solve_ustar()
+    assert U4 is not U3
+    eng.clear_chain()
+    U5, _, _ = eng.solve_ustar()
+    assert U5 is not U4
+    np.testing.assert_allclose(U5, U3, rtol=1e-5, atol=1e-6)
+    # use_cache=False bypasses without clobbering correctness
+    U6, _, _ = eng.solve_ustar(use_cache=False)
+    np.testing.assert_allclose(U6, U5, rtol=1e-6)
