@@ -74,11 +74,16 @@ def _validate(vecs: np.ndarray, n_texts: int, normalize: bool) -> np.ndarray:
 
 
 class _ValidatedProvider:
-    """Wrap a raw provider with the validation/normalization contract."""
+    """Wrap a raw provider with the validation/normalization contract.
+
+    ``cache_tag`` distinguishes providers of the same backend with
+    different models (``hash:256`` vs ``hash:384``) so `CachedEmbedder`
+    keys never collide across embedding spaces; defaults to ``name``."""
 
     def __init__(self, name: str, fn: Callable[[list[str]], np.ndarray],
-                 normalize: bool = True):
+                 normalize: bool = True, cache_tag: Optional[str] = None):
         self.name = name
+        self.cache_tag = cache_tag or name
         self._fn = fn
         self._normalize = normalize
 
@@ -96,7 +101,8 @@ def _hash_provider(model: Optional[str] = None) -> _ValidatedProvider:
     from .text import simple_text_embed
 
     d = int(model) if model else 384  # "hash:256" -> 256-dim
-    return _ValidatedProvider("hash", lambda ts: simple_text_embed(ts, d=d))
+    return _ValidatedProvider("hash", lambda ts: simple_text_embed(ts, d=d),
+                              cache_tag=f"hash:{d}")
 
 
 def _st_provider(model: Optional[str] = None) -> _ValidatedProvider:
@@ -113,7 +119,7 @@ def _st_provider(model: Optional[str] = None) -> _ValidatedProvider:
     def fn(ts):  # pragma: no cover — optional dependency
         return m.encode(ts, show_progress_bar=False, convert_to_numpy=True)
 
-    return _ValidatedProvider("st", fn)
+    return _ValidatedProvider("st", fn, cache_tag=f"st:{name}")
 
 
 def _lsa_provider(model: Optional[str] = None) -> _ValidatedProvider:
@@ -130,7 +136,9 @@ def _lsa_provider(model: Optional[str] = None) -> _ValidatedProvider:
             return emb.fit(ts)
         return emb.embed(ts)
 
-    return _ValidatedProvider("lsa", fn)
+    # each LSA instance is its own embedding space (corpus-fit), so the
+    # cache tag carries the instance identity, not just the dim
+    return _ValidatedProvider("lsa", fn, cache_tag=f"lsa:{emb.dim}:{id(emb)}")
 
 
 def _api_provider(pkg: str, key_env: str, default_model: str,
@@ -148,7 +156,8 @@ def _api_provider(pkg: str, key_env: str, default_model: str,
             raise RuntimeError(f"provider needs {key_env} set")
         mod = __import__(pkg)
         mdl = model or default_model
-        return _ValidatedProvider(pkg, lambda ts: call(mod, mdl, ts))
+        return _ValidatedProvider(pkg, lambda ts: call(mod, mdl, ts),
+                                  cache_tag=f"{pkg}:{mdl}")
 
     return factory
 
@@ -263,8 +272,10 @@ class CachedEmbedder:
         self.misses = 0
 
     def _key(self, text: str) -> str:
-        tag = f"{self.provider.name}\x00{text}"
-        return hashlib.sha256(tag.encode("utf-8")).hexdigest()
+        # cache_tag folds the model in (hash:256 vs hash:384 never collide);
+        # bare .name is the fallback for third-party providers without one
+        prov = getattr(self.provider, "cache_tag", None) or self.provider.name
+        return hashlib.sha256(f"{prov}\x00{text}".encode("utf-8")).hexdigest()
 
     def embed(self, texts: Iterable[str]) -> np.ndarray:
         texts_list = list(texts)

@@ -268,6 +268,9 @@ class NativeEngine:
             )
         result = (out, int(iters), float(res.value))
         if use_cache:
+            # the cached buffer is handed to every caller: freeze it so an
+            # in-place mutation raises instead of corrupting later receipts
+            out.flags.writeable = False
             self._ustar_cache[key] = result
         return result
 
@@ -340,16 +343,9 @@ class NativeEngine:
         z = (coh - float(np.mean(coh))) / sigma
         score = alpha * z + (1 - alpha) * align
         Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
-        chosen: list[int] = []
-        simmax = np.full(self.N, -np.inf, dtype=np.float32)
-        mask = np.zeros(self.N, dtype=bool)
-        for t in range(min(k, self.N)):
-            div = np.zeros(self.N, dtype=np.float32) if t == 0 else simmax
-            val = np.where(mask, -np.inf, 0.5 * score - 0.5 * div)
-            pick = int(np.argmax(val))
-            chosen.append(pick)
-            mask[pick] = True
-            simmax = np.maximum(simmax, Yn @ Yn[pick])
+        from ..ops.graph import mmr_select_np
+
+        chosen = mmr_select_np(Yn, score.astype(np.float32), min(k, self.N))
         return [
             {"id": int(i), "score": float(score[i]), "align": float(align[i])}
             for i in chosen

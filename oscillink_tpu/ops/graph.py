@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "lap_matvec",
     "normalize_rows",
     "mmr_select",
+    "mmr_select_np",
     "resolve_similarity",
     "SIMILARITY_RECALL",
     "FAST_SIMILARITY_N",
@@ -431,3 +433,25 @@ def mmr_select(
     init = (jnp.zeros(n, dtype=bool), jnp.full(n, -jnp.inf, dtype=jnp.float32))
     _, picks = lax.scan(step, init, jnp.arange(k))
     return picks
+
+
+def mmr_select_np(
+    Yn: np.ndarray, scores: np.ndarray, k: int, lambda_div: float = 0.5
+) -> list[int]:
+    """Host-NumPy twin of `mmr_select` — same rule, same tie-break
+    (argmax = lowest index on ties).  For tiny host-side candidate pools
+    (native engine bundle, streaming bundle) where a device dispatch per
+    pick would dominate.  Returns the selected indices in pick order."""
+    n = Yn.shape[0]
+    k = min(k, n)
+    chosen: list[int] = []
+    mask = np.zeros(n, dtype=bool)
+    simmax = np.full(n, -np.inf, dtype=np.float32)
+    for t in range(k):
+        div = np.zeros(n, dtype=np.float32) if t == 0 else simmax
+        val = np.where(mask, -np.inf, (1.0 - lambda_div) * scores - lambda_div * div)
+        pick = int(np.argmax(val))
+        chosen.append(pick)
+        mask[pick] = True
+        simmax = np.maximum(simmax, Yn @ Yn[pick])
+    return chosen

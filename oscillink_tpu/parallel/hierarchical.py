@@ -31,27 +31,36 @@ from ..ops.graph import build_graph
 __all__ = ["hierarchical_settle"]
 
 
+def shard_solve_body(Y_s, psi, B_s, lam, k, tol, max_iters):
+    """One shard's local solve — THE shared definition of the composition
+    contract's per-shard receipt (graph build + stationary solve + energy
+    drop proxy + gate-weighted summary + alignment).  Used by the batch
+    tier's lax.map below and by the streaming tier's micro-solve
+    (parallel/streaming.py), so the two tiers cannot drift apart."""
+    g = build_graph(Y_s, k)
+    Ustar, iters, res = solve_stationary(
+        g, None, Y_s, psi, B_s, lam, tol=tol, max_iters=max_iters
+    )
+    diff = Ustar - Y_s
+    # per-shard energy drop proxy: anchor displacement + query alignment
+    dH = jnp.sum(diff * (lam.lamG * diff))
+    # summary embedding: gate-weighted mean of settled rows
+    wsum = jnp.sum(B_s) + 1e-12
+    summary = jnp.sum(Ustar * B_s[:, None], axis=0) / wsum
+    align = jnp.dot(
+        summary / (jnp.linalg.norm(summary) + 1e-12),
+        psi / (jnp.linalg.norm(psi) + 1e-12),
+    )
+    return Ustar, summary, dH, align, iters, res
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _shard_solve(Y_shards, psi, B_shards, lam, k, tol, max_iters):
     """lax.map over [S, n_s, D] shards: build + stationary solve each."""
 
     def one(args):
         Y_s, B_s = args
-        g = build_graph(Y_s, k)
-        Ustar, iters, res = solve_stationary(
-            g, None, Y_s, psi, B_s, lam, tol=tol, max_iters=max_iters
-        )
-        diff = Ustar - Y_s
-        # per-shard energy drop proxy: anchor displacement + query alignment
-        dH = jnp.sum(diff * (lam.lamG * diff))
-        # summary embedding: gate-weighted mean of settled rows
-        wsum = jnp.sum(B_s) + 1e-12
-        summary = jnp.sum(Ustar * B_s[:, None], axis=0) / wsum
-        align = jnp.dot(
-            summary / (jnp.linalg.norm(summary) + 1e-12),
-            psi / (jnp.linalg.norm(psi) + 1e-12),
-        )
-        return Ustar, summary, dH, align, iters, res
+        return shard_solve_body(Y_s, psi, B_s, lam, k, tol, max_iters)
 
     return jax.lax.map(one, (Y_shards, B_shards))
 
@@ -180,11 +189,14 @@ def hierarchical_settle(
     if receipt_secret is not None:
         from ..core.receipts import sign_component
 
+        # sign every JSON-serializable field of the composed receipt
+        # (tampering with an unsigned field — super ranking, shard list —
+        # would otherwise pass verify_component); device arrays stay out
         out["signature"] = sign_component(
             {
-                "n_shards": n_shards,
-                "deltaH_composed": out["deltaH_composed"],
-                "composition_sig": comp_sig,
+                k: v
+                for k, v in out.items()
+                if k not in ("Ustar_shards", "summaries")
             },
             receipt_secret,
         )

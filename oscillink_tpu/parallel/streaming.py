@@ -60,28 +60,15 @@ import numpy as np
 
 from ..models.coherence import EnergyParams, solve_stationary
 from ..ops.graph import build_graph
+from .hierarchical import shard_solve_body
 
 __all__ = ["StreamingLattice"]
 
-
-@partial(jax.jit, static_argnames=("k",))
-def _micro_solve(Y_s, psi, B_s, lam, k, tol, max_iters):
-    """One shard: graph build + stationary solve + summary (fixed shape —
-    the executable is compiled once and reused by every flush)."""
-    g = build_graph(Y_s, k)
-    Ustar, iters, res = solve_stationary(
-        g, None, Y_s, psi, B_s, lam, tol=tol, max_iters=max_iters
-    )
-    diff = Ustar - Y_s
-    # per-shard energy-drop proxy, hierarchical.py convention
-    dH = jnp.sum(diff * (lam.lamG * diff))
-    wsum = jnp.sum(B_s) + 1e-12
-    summary = jnp.sum(Ustar * B_s[:, None], axis=0) / wsum
-    align = jnp.dot(
-        summary / (jnp.linalg.norm(summary) + 1e-12),
-        psi / (jnp.linalg.norm(psi) + 1e-12),
-    )
-    return Ustar, summary, dH, align, iters, res
+# One shard: graph build + stationary solve + summary.  The body is the
+# SHARED per-shard contract from hierarchical.py (so the streaming and
+# batch tiers compose identical receipts by construction); jitted here at
+# fixed [shard_size, D] so every flush reuses one compiled executable.
+_micro_solve = partial(jax.jit, static_argnames=("k",))(shard_solve_body)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -160,6 +147,13 @@ class StreamingLattice:
                 "auto_consolidate requires max_shards <= shard_size "
                 f"(got {max_shards} > {shard_size})"
             )
+        if auto_consolidate and max_shards < 2:
+            # a 1-slot table can never merge (consolidation needs >= 2
+            # shards), so the stream would dead-end after one flush
+            raise ValueError(
+                "auto_consolidate requires max_shards >= 2; pass "
+                "auto_consolidate=False for a single-shard lattice"
+            )
         self.psi = psi
         self.dim = int(psi.shape[0])
         self.shard_size = int(shard_size)
@@ -233,26 +227,30 @@ class StreamingLattice:
         self._buf_gates.append(g)
         receipts = []
         while self.buffered >= self.shard_size:
-            receipts.append(self.flush(_partial_ok=False))
+            receipts.append(self.flush())
         return receipts
 
-    def flush(self, _partial_ok: bool = True) -> Optional[dict[str, Any]]:
-        """Integrate the buffer as one micro-lattice solve (steps 2-3) and
-        return the delta receipt (step 4); None when nothing is buffered."""
+    def flush(self) -> Optional[dict[str, Any]]:
+        """Integrate up to ``shard_size`` buffered rows as one micro-lattice
+        solve (steps 2-3) and return the delta receipt (step 4); None when
+        nothing is buffered."""
         if self.buffered == 0:
             return None
         if self.n_shards >= self.max_shards:
             if self.auto_consolidate and self.n_shards >= 2:
                 self.consolidate()
             else:
+                hint = (
+                    "call consolidate()"
+                    if 2 <= self.n_shards <= self.shard_size
+                    else "rebuild with a larger max_shards"
+                )
                 raise RuntimeError(
-                    f"summary table full ({self.max_shards} shards); raise "
-                    "max_shards or call consolidate()"
+                    f"summary table full ({self.max_shards} shards); {hint}"
                 )
         Y = np.concatenate(self._buf_rows, axis=0)
         g = np.concatenate(self._buf_gates, axis=0)
-        take = Y.shape[0] if _partial_ok else min(Y.shape[0], self.shard_size)
-        take = min(take, self.shard_size)
+        take = min(Y.shape[0], self.shard_size)
         Y_take, g_take = Y[:take], g[:take]
         rest_Y, rest_g = Y[take:], g[take:]
         self._buf_rows = [rest_Y] if rest_Y.shape[0] else []
@@ -336,6 +334,13 @@ class StreamingLattice:
         s_old = self.n_shards
         if s_old < 2:
             raise RuntimeError("nothing to consolidate (need >= 2 shards)")
+        if s_old > self.shard_size:
+            # the merge reuses the [shard_size, D] executable, so the table
+            # must fit one bucket (guaranteed at init when auto_consolidate)
+            raise RuntimeError(
+                f"cannot consolidate {s_old} shards into a {self.shard_size}-"
+                "row bucket; rebuild with shard_size >= max_shards"
+            )
         child_dH = float(sum(r["deltaH"] for r in self._shard_receipts))
         child_rows = int(sum(r["rows"] for r in self._shard_receipts))
 
@@ -463,14 +468,12 @@ class StreamingLattice:
         if self.receipt_secret is not None:
             from ..core.receipts import sign_component
 
+            # sign EVERY field of the composed receipt (tampering with any
+            # unsigned field would otherwise pass verify_component); the
+            # shard receipts carry their own blocks and are additionally
+            # covered here verbatim
             payload["signature"] = sign_component(
-                {
-                    "seq": payload["seq"],
-                    "n_shards": payload["n_shards"],
-                    "deltaH_composed": payload["deltaH_composed"],
-                    "deltaH_since_last": payload["deltaH_since_last"],
-                    "composition_sig": payload["composition_sig"],
-                },
+                {k: v for k, v in payload.items() if k != "new_shard"},
                 self.receipt_secret,
             )
         return payload
@@ -496,30 +499,19 @@ class StreamingLattice:
         consolidated.  Ids are global arrival indices.  ``diversify`` applies
         the reference's MMR rule (lambda_div trade-off, first pick pure
         score) over the stored settled vectors."""
+        from ..ops.graph import mmr_select_np
+
         n = self._pool_ids.shape[0]
         if n == 0:
             return []
         k = min(k, n)
-        order = np.argsort(-self._pool_align)
         if not diversify:
-            sel = order[:k]
+            sel = np.argsort(-self._pool_align)[:k]
         else:
             vn = self._pool_vecs / (
                 np.linalg.norm(self._pool_vecs, axis=1, keepdims=True) + 1e-12
             )
-            chosen: list[int] = [int(order[0])]
-            max_sim = vn @ vn[order[0]]
-            cand = set(order[1:].tolist())
-            while len(chosen) < k and cand:
-                rest = np.fromiter(cand, dtype=np.int64)
-                val = (1.0 - lambda_div) * self._pool_align[rest] - (
-                    lambda_div * max_sim[rest]
-                )
-                pick = int(rest[np.argmax(val)])
-                chosen.append(pick)
-                cand.remove(pick)
-                max_sim = np.maximum(max_sim, vn @ vn[pick])
-            sel = np.asarray(chosen, dtype=np.int64)
+            sel = mmr_select_np(vn, self._pool_align, k, lambda_div)
         return [
             {
                 "id": int(self._pool_ids[i]),

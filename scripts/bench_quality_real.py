@@ -126,11 +126,14 @@ def gated_study(docs, queries, Y, emb, *, k=5, trap_gate=0.01, offtopic_gate=0.6
         else:
             Ys, gs, ks, idx_map = Yc, gates, kn, np.arange(len(cand))
 
+        # one lattice + settle serves both bundle modes (diversify only
+        # affects the bundle call, not the solve)
+        lat = OscillinkLattice(Ys, kneighbors=ks, lamQ=2.0)
+        lat.set_gates(gs)
+        lat.set_query(qv)
+        lat.settle(max_iters=12, tol=1e-3)
+
         def bundle_pred(diversify):
-            lat = OscillinkLattice(Ys, kneighbors=ks, lamQ=2.0)
-            lat.set_gates(gs)
-            lat.set_query(qv)
-            lat.settle(max_iters=12, tol=1e-3)
             # alpha=0 = pure gated alignment (reference lattice.py:546
             # documents alpha as the anomaly/alignment trade-off; retrieval
             # wants alignment)
@@ -271,13 +274,24 @@ def rerank_cv_study(docs, queries, Y, emb, *, topk=30):
     for d in docs:
         by_topic.setdefault(d["topic"], []).append(d)
 
-    def eval_q(q, lamQ, lamC, kn_):
+    # per-query precompute: the embedding, candidate set, and cosine
+    # baseline are grid-independent — computing them once per query removes
+    # ~1400 redundant embed/argsort/metric evaluations from the CV sweep
+    pre = {}
+    for q in queries:
         qv = emb.embed([q["text"]])[0]
         qrels = {d["id"]: 1 for d in by_topic[q["topic"]] if not d["trap"]}
-        sims = Y @ qv
-        order = np.argsort(-sims)
+        order = np.argsort(-(Y @ qv))
         cand = [int(i) for i in order[:topk]]
-        Yc = Y[cand].astype(np.float32)
+        cos_ranked = [doc_ids[i] for i in order]
+        pre[q["qid"]] = (
+            qv, qrels, cand, Y[cand].astype(np.float32),
+            ndcg_at_k(cos_ranked, qrels, 10),
+            recall_at_k(cos_ranked, qrels, 5),
+        )
+
+    def eval_q(q, lamQ, lamC, kn_):
+        qv, qrels, cand, Yc, cos_nd, cos_r5 = pre[q["qid"]]
         kn = min(kn_, len(cand) - 1)
         lat = OscillinkLattice(Yc, kneighbors=kn, lamQ=lamQ, lamC=lamC)
         lat.set_query(qv)
@@ -285,11 +299,9 @@ def rerank_cv_study(docs, queries, Y, emb, *, topk=30):
         rr = [int(e["id"]) for e in
               lat.bundle(k=len(cand), alpha=0.0, diversify=False)]
         rr_ranked = [doc_ids[cand[i]] for i in rr]
-        cos_ranked = [doc_ids[i] for i in order]
         return (ndcg_at_k(rr_ranked, qrels, 10),
                 recall_at_k(rr_ranked, qrels, 5),
-                ndcg_at_k(cos_ranked, qrels, 10),
-                recall_at_k(cos_ranked, qrels, 5))
+                cos_nd, cos_r5)
 
     grid = list(itertools.product([0.5, 1.0, 2.0], [0.5, 1.0, 2.0], [4, 6, 8]))
     folds = [[q for i, q in enumerate(queries) if i % 2 == 0],

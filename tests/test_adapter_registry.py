@@ -131,3 +131,14 @@ def test_cache_key_includes_provider_name():
     p2 = _ValidatedProvider("p2", lambda ts: 2 * np.ones((len(ts), 2), dtype=np.float32))
     c1, c2 = CachedEmbedder(p1), CachedEmbedder(p2)
     assert c1._key("x") != c2._key("x")
+
+
+def test_cache_key_includes_model():
+    """Review fix: hash:256 and hash:384 (same provider name) must never
+    share cache entries."""
+    c1 = CachedEmbedder(resolve_provider("hash:256"))
+    c2 = CachedEmbedder(resolve_provider("hash:384"))
+    assert c1._key("x") != c2._key("x")
+    v = c1.embed(["x"])
+    assert v.shape == (1, 256)
+    assert c2.embed(["x"]).shape == (1, 384)

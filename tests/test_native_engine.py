@@ -138,3 +138,23 @@ def test_ustar_cache_and_invalidation():
     # use_cache=False bypasses without clobbering correctness
     U6, _, _ = eng.solve_ustar(use_cache=False)
     np.testing.assert_allclose(U6, U5, rtol=1e-6)
+
+
+def test_cached_ustar_is_frozen():
+    """Review fix: the cached U* buffer is shared across callers; in-place
+    mutation must raise instead of silently corrupting later receipts."""
+    import numpy as np
+    import pytest
+
+    from oscillink_tpu.native.engine import NativeEngine
+
+    rng = np.random.default_rng(4)
+    Y = rng.standard_normal((40, 8)).astype(np.float32)
+    eng = NativeEngine(Y, kneighbors=3)
+    eng.set_query((Y[0] / np.linalg.norm(Y[0])).astype(np.float32))
+    U, _, _ = eng.solve_ustar()
+    with pytest.raises(ValueError):
+        U[0, 0] = 99.0
+    # uncached solves stay writable (fresh private buffer)
+    U2, _, _ = eng.solve_ustar(use_cache=False)
+    U2[0, 0] = 99.0

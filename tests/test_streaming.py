@@ -106,7 +106,8 @@ def test_gate_propagation_scales_children():
 
 def test_validation_and_capacity():
     _, psi = _data(4, 8)
-    sl = StreamingLattice(psi, shard_size=4, max_shards=1, kneighbors=2)
+    sl = StreamingLattice(psi, shard_size=4, max_shards=1, kneighbors=2,
+                          auto_consolidate=False)
     with pytest.raises(ValueError):
         sl.append(np.zeros((2, 5), dtype=np.float32))  # wrong dim
     with pytest.raises(ValueError):
@@ -118,6 +119,17 @@ def test_validation_and_capacity():
         sl.flush()
     with pytest.raises(ValueError):
         StreamingLattice(psi, lamG=0.0)
+    # a 1-slot table dead-ends after one flush, so auto mode rejects it
+    with pytest.raises(ValueError, match="max_shards >= 2"):
+        StreamingLattice(psi, shard_size=4, max_shards=1)
+    # manual consolidation of a table larger than one bucket is a clear
+    # error, not an np.pad crash
+    sl2 = StreamingLattice(psi, shard_size=4, max_shards=6, kneighbors=2,
+                           auto_consolidate=False)
+    rng = np.random.default_rng(1)
+    sl2.append(rng.standard_normal((4 * 6, 8)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="shard_size >= max_shards"):
+        sl2.consolidate()
 
 
 def test_component_receipt_signing():
@@ -261,3 +273,33 @@ def test_pool_cap_bounds_memory():
     sl.append(Y)
     assert sl._pool_ids.shape[0] <= 20
     assert len(sl.bundle(k=50, diversify=False)) <= 20
+
+
+def test_composed_receipt_signature_covers_every_field():
+    """Review fix: tampering with ANY field of a signed composed/delta
+    receipt must fail verification (previously total_rows / generation /
+    super were unsigned)."""
+    from oscillink_tpu.core.receipts import verify_component
+
+    Y, psi = _data(64, 16, seed=13)
+    sl = StreamingLattice(
+        psi, shard_size=32, max_shards=4, kneighbors=4, receipt_secret="s"
+    )
+    rec = sl.append(Y)[-1]
+    for field, forged in [
+        ("total_rows", 10**6),
+        ("generation", 7),
+        ("buffered", 99),
+        ("super", {**rec["super"], "ranking": rec["super"]["ranking"][::-1]}),
+    ]:
+        bad = dict(rec)
+        bad[field] = forged
+        assert not verify_component(bad, "s"), field
+    assert verify_component(rec, "s")
+
+    batch = hierarchical_settle(Y, psi, n_shards=2, kneighbors=4,
+                                receipt_secret="s")
+    forged = dict(batch)
+    forged["super"] = {**batch["super"], "ranking": batch["super"]["ranking"][::-1]}
+    assert not verify_component(forged, "s")
+    assert verify_component(batch, "s")
