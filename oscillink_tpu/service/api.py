@@ -24,7 +24,7 @@ from .. import __version__
 from ..core.lattice import OscillinkLattice
 from ..preprocess.autocorrect import smart_correct
 from .billing import TIERS, price_map, tier_info
-from .cache import BundleCache
+from .cache import BundleCache, ReplayCache
 from .cli_sessions import CliSessionStore
 from .config import env_flag, get_settings
 from .features import resolve_features
@@ -99,6 +99,7 @@ class ServiceState:
         self.metrics = Metrics()
         self.jobs = JobStore()
         self.bundle_cache = BundleCache()
+        self.replay_cache = ReplayCache()
         self.learners = Learners()
         self.cli_sessions = CliSessionStore()
         self.webhooks = WebhookProcessor(self.keystore, self.cli_sessions)
@@ -448,6 +449,22 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     )
     _validate_diffusion(sreq)
 
+    # idempotent replay (opt-in, OSCILLINK_REPLAY_CACHE_TTL): an exact
+    # retry within the TTL is answered without recompute / quota charge /
+    # usage append — the work was already paid for.  Keyed AFTER auth so a
+    # revoked key can never replay, and per api key so tenants are isolated.
+    replay_sig = None
+    if ReplayCache.ttl() > 0:
+        endpoint = f"settle:{include_receipt}"
+        replay_sig = ReplayCache.key(endpoint, req.json(), ctx["api_key"])
+        hit = state.replay_cache.get(ctx["api_key"], replay_sig)
+        if hit is not None:
+            body = json.loads(json.dumps(hit))  # defensive copy
+            body.setdefault("meta", {})["request_id"] = (
+                req.header(REQUEST_ID_HEADER) or ""
+            )
+            return ApiResponse(body=body, headers={"X-Replay-Cache": "hit"})
+
     Y_req, N, D, k_eff, eff, profile_id = _validate_and_overrides(
         state, sreq, ctx["api_key"]
     )
@@ -559,6 +576,9 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
         },
     }
     resp = ApiResponse(body=body)
+    if replay_sig is not None:
+        state.replay_cache.put(ctx["api_key"], replay_sig, body)
+        resp.headers["X-Replay-Cache"] = "miss"
     _usage_and_headers(resp, state, monthly_ctx, remaining, limit, reset_at, profile_id)
     append_usage(
         {
