@@ -1431,6 +1431,8 @@ def handle(state: ServiceState, req: ApiRequest) -> ApiResponse:
         else:
             resp = ApiResponse(status=404, body={"detail": "not found"})
     except ApiError as e:
+        if e.kind:
+            state.metrics.rejections.labels(kind=e.kind).inc()
         resp = ApiResponse(status=e.status, body={"detail": e.detail}, headers=dict(e.headers))
     except Exception as e:  # pragma: no cover — defense in depth
         resp = ApiResponse(status=500, body={"detail": f"internal error: {e}"})

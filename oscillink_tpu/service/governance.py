@@ -30,13 +30,19 @@ __all__ = [
 
 
 class ApiError(Exception):
-    """HTTP-mappable error raised by governance / handlers."""
+    """HTTP-mappable error raised by governance / handlers.
 
-    def __init__(self, status: int, detail: str, headers: Optional[dict] = None):
+    ``kind`` tags governance rejections (quota_window / monthly_cap /
+    payload / rate_limit) for the rejection counter; None for ordinary
+    request errors."""
+
+    def __init__(self, status: int, detail: str, headers: Optional[dict] = None,
+                 kind: Optional[str] = None):
         super().__init__(detail)
         self.status = status
         self.detail = detail
         self.headers = headers or {}
+        self.kind = kind
 
 
 def current_period() -> str:
@@ -75,7 +81,10 @@ class QuotaState:
         if q_limit <= 0 or key is None:
             return -1, 0, 0
         if units > q_limit:
-            raise ApiError(413, f"request units {units} exceed per-key limit {q_limit}")
+            raise ApiError(
+                413, f"request units {units} exceed per-key limit {q_limit}",
+                kind="payload",
+            )
         with self._lock:
             now = time.time()
             rec = self._usage.get(key)
@@ -100,6 +109,7 @@ class QuotaState:
                         "X-Quota-Remaining": "0",
                         "X-Quota-Reset": str(int(reset_at)),
                     },
+                    kind="quota_window",
                 )
             rec.used += units
             remaining = q_limit - int(rec.used)
@@ -180,7 +190,10 @@ class MonthlyUsage:
 
     def _raise_if_over(self, cap: int, used: int, units: int) -> None:
         if units > cap:
-            raise ApiError(413, f"request units {units} exceed monthly cap {cap}")
+            raise ApiError(
+                413, f"request units {units} exceed monthly cap {cap}",
+                kind="payload",
+            )
         if used + units > cap:
             raise ApiError(
                 429,
@@ -189,6 +202,7 @@ class MonthlyUsage:
                     "X-MonthCap-Limit": str(cap),
                     "X-MonthCap-Remaining": str(max(cap - used, 0)),
                 },
+                kind="monthly_cap",
             )
 
     def peek(self, key: Optional[str], units: int, keystore: KeyStore) -> None:
@@ -299,7 +313,8 @@ class RateLimiter:
                 retry = self._check(bucket, limit, window)
         if retry is not None:
             raise ApiError(
-                429, detail, headers={"Retry-After": str(int(retry) + 1)}
+                429, detail, headers={"Retry-After": str(int(retry) + 1)},
+                kind="rate_limit",
             )
 
     def check_global(self) -> None:

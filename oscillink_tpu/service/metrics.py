@@ -99,6 +99,16 @@ class Metrics:
             "stripe webhook events",
             labelnames=("outcome",),
         )
+        # governance rejections (reference PROD_READINESS checklist item:
+        # "Prometheus counters for quota/monthly cap rejections" — never
+        # implemented upstream); kind: quota_window / monthly_cap /
+        # rate_limit / payload
+        self.rejections = _get_or_create(
+            Counter if HAVE_PROMETHEUS else None,
+            "oscillink_governance_rejections_total",
+            "requests rejected by governance checks",
+            labelnames=("kind",),
+        )
 
     @staticmethod
     def render() -> Optional[bytes]:

@@ -106,3 +106,30 @@ def test_replay_ttl_expires(client, monkeypatch):
         rec["ts"] -= 120.0
     r = client.post("/v1/settle", json_body=p)
     assert r.headers.get("X-Replay-Cache") == "miss"
+
+
+def test_governance_rejections_counted(client, monkeypatch):
+    """Reference PROD_READINESS checklist (unchecked upstream): Prometheus
+    counters for quota/monthly-cap rejections."""
+    from oscillink_tpu.service.metrics import HAVE_PROMETHEUS
+
+    if not HAVE_PROMETHEUS:
+        pytest.skip("prometheus_client not installed")
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "kr")
+    monkeypatch.setenv("OSCILLINK_KEY_NODE_UNITS_LIMIT", "500")  # one 384-unit fit
+    counter = client.state.metrics.rejections.labels(kind="quota_window")
+    before = counter._value.get()
+    assert client.post("/v1/settle", json_body=_payload(),
+                       headers={"X-API-Key": "kr"}).status_code == 200
+    r = client.post("/v1/settle", json_body=_payload(seed=9),
+                    headers={"X-API-Key": "kr"})
+    assert r.status_code == 429
+    assert counter._value.get() == before + 1
+    # an over-limit single request counts as a payload rejection
+    pay = client.state.metrics.rejections.labels(kind="payload")
+    pbefore = pay._value.get()
+    monkeypatch.setenv("OSCILLINK_KEY_NODE_UNITS_LIMIT", "100")
+    r = client.post("/v1/settle", json_body=_payload(seed=10),
+                    headers={"X-API-Key": "kr"})
+    assert r.status_code == 413
+    assert pay._value.get() == pbefore + 1
