@@ -524,6 +524,7 @@ class OscillinkLattice:
         self._Ustar_sig: Optional[str] = None
         self.stats: dict[str, int] = {"ustar_solves": 0, "ustar_cache_hits": 0}
         self._receipt_secret: Optional[bytes] = None
+        self._receipt_secret_kid: Optional[str] = None
         self._signature_mode: str = "minimal"
         self._receipt_detail: str = "full"
         self._last_dynamics: Optional[dict[str, Any]] = None
@@ -1491,6 +1492,11 @@ class OscillinkLattice:
                 "payload": payload,
                 "signature": sign_payload(payload, self._receipt_secret),
             }
+            if self._receipt_secret_kid is not None:
+                # key-rotation id (reference PROD_READINESS "multi-secret
+                # receipt signing" item): verifiers with a {kid: secret}
+                # map pick the right key without trial verification
+                meta["signature"]["kid"] = self._receipt_secret_kid
 
         out: dict[str, Any] = {
             "version": str(pkg_version),
@@ -2270,13 +2276,20 @@ class OscillinkLattice:
             except Exception:
                 pass
 
-    def set_receipt_secret(self, secret: bytes | str | None) -> None:
+    def set_receipt_secret(
+        self, secret: bytes | str | None, kid: Optional[str] = None
+    ) -> None:
+        """``kid`` (optional) stamps the signature block with a key id so
+        verifiers holding a rotation map {kid: secret} pick the right key
+        (reference roadmap: multi-secret receipt signing)."""
         if secret is None:
             self._receipt_secret = None
+            self._receipt_secret_kid = None
         else:
             self._receipt_secret = (
                 secret.encode("utf-8") if isinstance(secret, str) else secret
             )
+            self._receipt_secret_kid = kid
 
     def set_signature_mode(self, mode: str) -> None:
         m = mode.lower().strip()

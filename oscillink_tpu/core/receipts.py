@@ -35,8 +35,29 @@ def sign_payload(payload: dict, secret: bytes | str) -> str:
     return hmac.new(_as_bytes(secret), canonical_json(payload), hashlib.sha256).hexdigest()
 
 
-def verify_receipt(receipt: dict, secret: bytes | str) -> bool:
-    """Verify a signed receipt's meta.signature block. Never raises."""
+def _candidate_secrets(
+    block: dict, secret: "bytes | str | dict[str, bytes | str]"
+) -> list:
+    """Resolve the secret(s) to try: a plain secret is tried as-is; a
+    {kid: secret} rotation map narrows to the block's kid when stamped,
+    else tries every mapped secret (rotation-safe, like the Stripe
+    webhook verify)."""
+    if not isinstance(secret, dict):
+        return [secret]
+    kid = block.get("kid")
+    if kid is not None:
+        s = secret.get(kid)
+        return [s] if s is not None else []
+    return list(secret.values())
+
+
+def verify_receipt(
+    receipt: dict, secret: "bytes | str | dict[str, bytes | str]"
+) -> bool:
+    """Verify a signed receipt's meta.signature block. Never raises.
+
+    ``secret`` may be a single secret or a {kid: secret} rotation map
+    (reference roadmap: multi-secret receipt signing with key ids)."""
     try:
         block = receipt.get("meta", {}).get("signature")
         if not block or block.get("algorithm") != "HMAC-SHA256":
@@ -45,14 +66,17 @@ def verify_receipt(receipt: dict, secret: bytes | str) -> bool:
         claimed = block.get("signature")
         if payload is None or claimed is None:
             return False
-        return hmac.compare_digest(sign_payload(payload, secret), str(claimed))
+        return any(
+            hmac.compare_digest(sign_payload(payload, s), str(claimed))
+            for s in _candidate_secrets(block, secret)
+        )
     except Exception:
         return False
 
 
 def verify_receipt_mode(
     receipt: dict,
-    secret: bytes | str,
+    secret: "bytes | str | dict[str, bytes | str]",
     require_mode: Optional[str] = None,
     minimal_subset: bool = False,
     required_sig_v: Optional[int] = None,
@@ -82,7 +106,11 @@ def verify_receipt_mode(
             return False, None
         if required_sig_v is not None and payload.get("sig_v") != required_sig_v:
             return False, None
-        if hmac.compare_digest(sign_payload(payload, secret), str(sig_hex)):
+        candidates = _candidate_secrets(block, secret)
+        if any(
+            hmac.compare_digest(sign_payload(payload, s), str(sig_hex))
+            for s in candidates
+        ):
             return True, payload
         if minimal_subset and mode == "extended":
             minimal_payload: dict[str, Any] = {
@@ -91,7 +119,10 @@ def verify_receipt_mode(
                 "state_sig": payload.get("state_sig"),
                 "deltaH_total": payload.get("deltaH_total"),
             }
-            ok = hmac.compare_digest(sign_payload(minimal_payload, secret), str(sig_hex))
+            ok = any(
+                hmac.compare_digest(sign_payload(minimal_payload, s), str(sig_hex))
+                for s in candidates
+            )
             if ok and require_mode in (None, "minimal"):
                 return True, minimal_payload
         return False, None

@@ -106,3 +106,37 @@ def test_invalid_modes_raise():
         lat.set_signature_mode("bogus")
     with pytest.raises(ValueError):
         lat.set_receipt_detail("bogus")
+
+
+def test_key_rotation_with_kid():
+    """Reference roadmap (unchecked upstream): multi-secret receipt signing.
+    set_receipt_secret(secret, kid=...) stamps the block; verifiers holding
+    a {kid: secret} rotation map verify without trial-and-error, and maps
+    without the kid still rotate through every secret."""
+    import numpy as np
+
+    from oscillink_tpu import OscillinkLattice, verify_receipt, verify_receipt_mode
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((30, 8)).astype(np.float32)
+    lat = OscillinkLattice(Y, kneighbors=4)
+    lat.set_query((Y[0] / np.linalg.norm(Y[0])).astype(np.float32))
+    lat.settle(max_iters=8, tol=1e-3)
+    lat.set_receipt_secret("new-secret", kid="2026-08")
+    rec = lat.receipt()
+    assert rec["meta"]["signature"]["kid"] == "2026-08"
+
+    rotation = {"2026-07": "old-secret", "2026-08": "new-secret"}
+    assert verify_receipt(rec, rotation)
+    assert verify_receipt(rec, "new-secret")  # plain secret still works
+    assert not verify_receipt(rec, {"2026-07": "old-secret"})  # kid unknown
+    assert not verify_receipt(rec, {"2026-08": "wrong"})
+    ok, payload = verify_receipt_mode(rec, rotation)
+    assert ok and payload["state_sig"]
+
+    # a receipt signed WITHOUT a kid verifies against any mapped secret
+    lat.set_receipt_secret("old-secret")
+    rec2 = lat.receipt()
+    assert "kid" not in rec2["meta"]["signature"]
+    assert verify_receipt(rec2, rotation)
+    assert not verify_receipt(rec2, {"k": "neither"})
