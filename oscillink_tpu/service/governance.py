@@ -64,6 +64,8 @@ class QuotaState:
     def __init__(self) -> None:
         self._usage: Dict[str, _Window] = {}
         self._lock = threading.Lock()
+        # keys whose last consume went through Redis (refund routing)
+        self._redis_keys: Dict[str, str] = {}
 
     def check_and_consume(
         self, key: Optional[str], units: int, keystore: KeyStore
@@ -85,6 +87,37 @@ class QuotaState:
                 413, f"request units {units} exceed per-key limit {q_limit}",
                 kind="payload",
             )
+        # shared windows when OSCILLINK_STATE_BACKEND=redis (reference
+        # readiness-checklist item "Redis backend for quota", unchecked
+        # upstream): INCRBY-consume, DECRBY-refund on rejection, window =
+        # key TTL — so horizontally-scaled replicas enforce ONE budget.
+        # Any Redis failure falls through to the in-memory window.
+        from .redis_backend import get_redis_state
+
+        rs = get_redis_state()
+        if rs is not None:
+            rkey = f"osc:quota:{key}"
+            res = rs.incrby_with_window(rkey, units, q_window)
+            if res is not None:
+                used_after, ttl = res
+                now = time.time()
+                reset_at = now + max(ttl, 0)
+                if used_after > q_limit:
+                    rs.decrby(rkey, units)  # this consume never happened
+                    raise ApiError(
+                        429,
+                        "quota exceeded",
+                        headers={
+                            "Retry-After": str(int(max(ttl, 0)) + 1),
+                            "X-Quota-Limit": str(q_limit),
+                            "X-Quota-Remaining": "0",
+                            "X-Quota-Reset": str(int(reset_at)),
+                        },
+                        kind="quota_window",
+                    )
+                self._redis_keys[key] = rkey
+                return q_limit - used_after, q_limit, reset_at
+
         with self._lock:
             now = time.time()
             rec = self._usage.get(key)
@@ -121,6 +154,13 @@ class QuotaState:
         atomic under concurrency)."""
         if key is None:
             return
+        rkey = self._redis_keys.get(key)
+        if rkey is not None:
+            from .redis_backend import get_redis_state
+
+            rs = get_redis_state()
+            if rs is not None and rs.decrby(rkey, units):
+                return
         with self._lock:
             rec = self._usage.get(key)
             if rec is not None:

@@ -142,6 +142,30 @@ class RedisState:
         except Exception:
             return None
 
+    def incrby_with_window(
+        self, key: str, amount: int, window_seconds: int
+    ) -> Optional[tuple[int, int]]:
+        """Fixed-window accumulator (quota units): INCRBY + EXPIRE on first
+        touch, with the same TTL self-repair as `incr_with_window`.
+        Returns (count_after, ttl_remaining_seconds) or None on failure."""
+        try:
+            count = int(self.client.command("INCRBY", key, int(amount)))
+            ttl = self.client.command("TTL", key)
+            if not isinstance(ttl, int) or ttl < 0:
+                self.client.command("EXPIRE", key, window_seconds)
+                ttl = window_seconds
+            return count, int(ttl)
+        except Exception:
+            return None
+
+    def decrby(self, key: str, amount: int) -> bool:
+        """Refund quota units (a consume whose request was then rejected)."""
+        try:
+            self.client.command("DECRBY", key, int(amount))
+            return True
+        except Exception:
+            return False
+
     def get(self, key: str) -> Optional[bytes]:
         try:
             v = self.client.command("GET", key)

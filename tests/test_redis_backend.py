@@ -97,6 +97,13 @@ class FakeRedis:
             v = int(self.data.get(args[1], b"0")) + 1
             self.data[args[1]] = str(v).encode()
             return b":%d\r\n" % v
+        if cmd in (b"INCRBY", b"DECRBY"):
+            if self._expired(args[1]):
+                pass
+            delta = int(args[2]) * (1 if cmd == b"INCRBY" else -1)
+            v = int(self.data.get(args[1], b"0")) + delta
+            self.data[args[1]] = str(v).encode()
+            return b":%d\r\n" % v
         if cmd == b"EXPIRE":
             self.expiry[args[1]] = time.time() + int(args[2])
             return b":1\r\n"
@@ -199,3 +206,40 @@ def test_incr_with_window_ttl_self_repair(fake_redis):
     count = state.incr_with_window("oscillink:rl:stuck", 60)
     assert count == 64  # 64 % 64 == 0 -> TTL check fires
     assert b"oscillink:rl:stuck" in fake_redis.expiry  # healed
+
+
+def test_quota_windows_ride_redis(fake_redis, monkeypatch):
+    """Reference readiness-checklist item (unchecked upstream): Redis
+    backend for quota. Two QuotaState INSTANCES (two replicas) share one
+    per-key unit budget; a rejected consume is refunded; refund after a
+    later check's rejection routes to Redis."""
+    from oscillink_tpu.service import redis_backend
+    from oscillink_tpu.service.governance import ApiError, QuotaState
+    from oscillink_tpu.service.keystore import InMemoryKeyStore
+
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", f"redis://127.0.0.1:{fake_redis.port}")
+    monkeypatch.setenv("OSCILLINK_KEY_NODE_UNITS_LIMIT", "1000")
+    monkeypatch.setenv("OSCILLINK_KEY_WINDOW_SECONDS", "60")
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+
+    ks = InMemoryKeyStore()
+    a, b = QuotaState(), QuotaState()
+    rem_a, limit, _ = a.check_and_consume("k1", 400, ks)
+    assert (rem_a, limit) == (600, 1000)
+    rem_b, _, _ = b.check_and_consume("k1", 400, ks)
+    assert rem_b == 200  # instance B sees instance A's consumption
+    with pytest.raises(ApiError) as ei:
+        b.check_and_consume("k1", 400, ks)  # would be 1200 > 1000
+    assert ei.value.status == 429 and ei.value.kind == "quota_window"
+    # the rejected consume was refunded: 200 units still available
+    rem_a2, _, _ = a.check_and_consume("k1", 200, ks)
+    assert rem_a2 == 0
+    # an explicit refund (monthly-cap race path) restores shared units
+    a.refund("k1", 200)
+    rem_b2, _, _ = b.check_and_consume("k1", 200, ks)
+    assert rem_b2 == 0
+    # per-key isolation
+    rem_other, _, _ = b.check_and_consume("k2", 100, ks)
+    assert rem_other == 900
