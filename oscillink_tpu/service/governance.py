@@ -195,6 +195,41 @@ class MonthlyUsage:
     seeded from and written through to Firestore (reference main.py:202-244)
     so caps survive restarts and apply across instances."""
 
+    class _RedisPersistence:
+        """Monthly-usage persistence on Redis (same load/add contract as
+        FirestoreMonthlyPersistence): INCRBY composes across replicas;
+        keys carry a 40-day TTL so closed periods self-expire.  Used when
+        Firestore is unconfigured and OSCILLINK_STATE_BACKEND=redis —
+        semi-durable (a Redis flush loses the month), so Firestore stays
+        the billing-grade option."""
+
+        _TTL = 40 * 24 * 3600
+
+        @staticmethod
+        def _key(api_key: str, period: str) -> str:
+            return f"osc:month:{api_key}:{period}"
+
+        def load(self, api_key: str, period: str):
+            from .redis_backend import get_redis_state
+
+            rs = get_redis_state()
+            if rs is None:
+                return None
+            raw = rs.get(self._key(api_key, period))
+            try:
+                return int(raw) if raw is not None else None
+            except ValueError:
+                return None
+
+        def add(self, api_key: str, period: str, units: int):
+            from .redis_backend import get_redis_state
+
+            rs = get_redis_state()
+            if rs is None:
+                return None
+            res = rs.incrby_with_window(self._key(api_key, period), units, self._TTL)
+            return res[0] if res is not None else None
+
     def __init__(self, persistence=None) -> None:
         self._records: Dict[str, dict] = {}
         self._lock = threading.Lock()
@@ -202,6 +237,12 @@ class MonthlyUsage:
             from ._firestore_stores import make_monthly_persistence
 
             persistence = make_monthly_persistence()
+        import os
+
+        if persistence is None and os.getenv(
+            "OSCILLINK_STATE_BACKEND", ""
+        ).strip().lower() == "redis":
+            persistence = MonthlyUsage._RedisPersistence()
         self.persistence = persistence
 
     @staticmethod

@@ -243,3 +243,31 @@ def test_quota_windows_ride_redis(fake_redis, monkeypatch):
     # per-key isolation
     rem_other, _, _ = b.check_and_consume("k2", 100, ks)
     assert rem_other == 900
+
+
+def test_monthly_usage_rides_redis(fake_redis, monkeypatch):
+    """With Firestore unconfigured and OSCILLINK_STATE_BACKEND=redis,
+    monthly usage persists to Redis: INCRBY composes across replicas."""
+    from oscillink_tpu.service import redis_backend
+    from oscillink_tpu.service.governance import ApiError, MonthlyUsage
+    from oscillink_tpu.service.keystore import InMemoryKeyStore
+
+    monkeypatch.delenv("OSCILLINK_MONTHLY_USAGE_COLLECTION", raising=False)
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", f"redis://127.0.0.1:{fake_redis.port}")
+    monkeypatch.setenv("OSCILLINK_MONTHLY_CAP", "1000")
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "km")
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+
+    ks = InMemoryKeyStore()
+    a, b = MonthlyUsage(), MonthlyUsage()
+    assert a.persistence is not None and b.persistence is not None
+    ctx = a.check_and_consume("km", 600, ks)
+    assert ctx["used"] == 600
+    # a fresh replica seeds from Redis and sees the global total
+    ctx_b = b.check_and_consume("km", 300, ks)
+    assert ctx_b["used"] == 900
+    with pytest.raises(ApiError) as ei:
+        b.check_and_consume("km", 300, ks)  # 1200 > 1000
+    assert ei.value.status == 429 and ei.value.kind == "monthly_cap"
