@@ -1158,7 +1158,10 @@ class OscillinkLattice:
                 try:
                     cb(self, self.last)
                 except Exception:
-                    pass
+                    # reference lattice.py:224-229 swallows; strict mode
+                    # (readiness-checklist item) surfaces the failure
+                    if _env_flag("OSCILLINK_STRICT_LOGGING"):
+                        raise
         return self.last
 
     def _solve_ustar_device(
@@ -2274,7 +2277,11 @@ class OscillinkLattice:
             try:
                 self._logger(event, payload)
             except Exception:
-                pass
+                # strict mode (OSCILLINK_STRICT_LOGGING): a broken logger
+                # is a deployment bug worth failing loudly on; default
+                # keeps the reference's swallow-errors contract
+                if _env_flag("OSCILLINK_STRICT_LOGGING"):
+                    raise
 
     def set_receipt_secret(
         self, secret: bytes | str | None, kid: Optional[str] = None

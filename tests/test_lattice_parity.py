@@ -72,3 +72,34 @@ def test_null_points_parity():
     edges_tpu = {tuple(n["edge"]) for n in rec["null_points"]}
     edges_orc = {tuple(n["edge"]) for n in nulls_orc}
     assert edges_tpu == edges_orc
+
+
+def test_strict_logging_mode(monkeypatch):
+    """OSCILLINK_STRICT_LOGGING surfaces logger/callback failures
+    (reference checklist item; default keeps the swallow contract)."""
+    import numpy as np
+    import pytest
+
+    import oscillink_tpu as ot
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((20, 8)).astype(np.float32)
+    lat = ot.Oscillink(Y, kneighbors=3)
+
+    def bad_logger(event, payload):
+        raise RuntimeError("broken sink")
+
+    lat.set_logger(bad_logger)
+    lat.settle(max_iters=4, tol=1e-2)  # default: swallowed
+
+    monkeypatch.setenv("OSCILLINK_STRICT_LOGGING", "1")
+    with pytest.raises(RuntimeError, match="broken sink"):
+        lat.settle(max_iters=4, tol=1e-2)
+
+    monkeypatch.delenv("OSCILLINK_STRICT_LOGGING")
+    lat.set_logger(None)
+    lat.add_settle_callback(lambda lattice, last: 1 / 0)
+    lat.settle(max_iters=4, tol=1e-2)  # swallowed
+    monkeypatch.setenv("OSCILLINK_STRICT_LOGGING", "1")
+    with pytest.raises(ZeroDivisionError):
+        lat.settle(max_iters=4, tol=1e-2)

@@ -108,3 +108,4 @@ def test_quality_harness_end_to_end(tmp_path):
     # cosine — within 2 points of nDCG@10 and at/above its recall@5
     assert rr["oscillink_rerank"]["ndcg10"] >= rr["cosine"]["ndcg10"] - 0.02
     assert rr["oscillink_rerank"]["recall5"] >= rr["cosine"]["recall5"]
+
