@@ -1316,8 +1316,32 @@ def h_admin_put_key(state: ServiceState, req: ApiRequest, api_key: str = "", **_
 
 
 def h_admin_webhook_events(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Webhook-event introspection with pagination + filtering (reference
+    checklist item 'Pagination & filtering for admin webhook events',
+    unchecked upstream): ?limit=&offset=&type=&since= (epoch seconds)."""
     _admin_guard(req)
-    return ApiResponse(body={"events": state.webhooks.events()})
+    events = state.webhooks.events()
+    etype = (req.query.get("type") or "").strip()
+    if etype:
+        events = [e for e in events if e.get("type") == etype]
+    since = req.query.get("since")
+    if since:
+        try:
+            ts = float(since)
+            events = [e for e in events if float(e.get("processed_at", 0)) >= ts]
+        except ValueError:
+            raise ApiError(422, "since must be an epoch timestamp") from None
+    total = len(events)
+    try:
+        offset = max(0, int(req.query.get("offset", "0")))
+        limit = int(req.query.get("limit", "100"))
+    except ValueError:
+        raise ApiError(422, "limit/offset must be integers") from None
+    limit = max(1, min(limit, 1000))
+    page = events[offset : offset + limit]
+    return ApiResponse(
+        body={"events": page, "total": total, "offset": offset, "limit": limit}
+    )
 
 
 def h_admin_price_map(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:

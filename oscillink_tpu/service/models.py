@@ -8,11 +8,14 @@ from pydantic import BaseModel, Field
 
 
 class Params(BaseModel):
-    lamG: float = 1.0
-    lamC: float = 0.5
-    lamQ: float = 4.0
-    lamP: float = 0.0
-    kneighbors: int = 6
+    # bounds mirror the lattice's SPD guards so invalid energies are 422s
+    # at the API boundary, not 500s from the solver (fuzz-found: the
+    # reference has the same hole — lamG=-1 reaches its lattice ctor)
+    lamG: float = Field(default=1.0, gt=0)
+    lamC: float = Field(default=0.5, ge=0)
+    lamQ: float = Field(default=4.0, ge=0)
+    lamP: float = Field(default=0.0, ge=0)
+    kneighbors: int = Field(default=6, ge=1)
     deterministic_k: bool = False
     neighbor_seed: Optional[int] = None
     # graph-build precision mode: auto (exact below OSCILLINK_FAST_SIM_N,
@@ -22,10 +25,10 @@ class Params(BaseModel):
 
 
 class SettleOptions(BaseModel):
-    max_iters: int = 12
-    tol: float = 1e-3
-    dt: float = 1.0
-    bundle_k: Optional[int] = None
+    max_iters: int = Field(default=12, ge=1, le=10_000)
+    tol: float = Field(default=1e-3, gt=0)
+    dt: float = Field(default=1.0, gt=0)
+    bundle_k: Optional[int] = Field(default=None, ge=0)
     # False = pure score ranking for the inline bundle (rerank mode)
     bundle_diversify: bool = True
     include_receipt: bool = True
