@@ -244,6 +244,9 @@ class MonthlyUsage:
         ).strip().lower() == "redis":
             persistence = MonthlyUsage._RedisPersistence()
         self.persistence = persistence
+        from .alerts import AlertHooks
+
+        self.alerts = AlertHooks()
 
     @staticmethod
     def _cap_for(meta: Optional[KeyMetadata]) -> int:
@@ -329,12 +332,15 @@ class MonthlyUsage:
             if total is not None and int(total) > int(rec["used"]):
                 # adopt the global total when another replica consumed more
                 rec["used"] = int(total)
-            return {
-                "limit": cap,
-                "used": int(rec["used"]),
-                "remaining": cap - int(rec["used"]),
-                "period": period,
-            }
+            used_now = int(rec["used"])
+        # cap-threshold alert hooks (best-effort, fire-and-forget)
+        self.alerts.observe_monthly(key, period, used_now, cap)
+        return {
+            "limit": cap,
+            "used": used_now,
+            "remaining": cap - used_now,
+            "period": period,
+        }
 
     def snapshot(self, key: str) -> Optional[dict]:
         return self._records.get(key)
