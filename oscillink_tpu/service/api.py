@@ -1368,6 +1368,34 @@ def h_admin_usage(state: ServiceState, req: ApiRequest, api_key: str = "", **_) 
     )
 
 
+def h_admin_usage_records(
+    state: ServiceState, req: ApiRequest, api_key: str = "", **_
+) -> ApiResponse:
+    """Signed usage receipts export (reference checklist item: 'Signed
+    usage receipts endpoint + verification helper', unchecked upstream):
+    the key's recent usage JSONL records, each carrying its per-line HMAC
+    when OSCILLINK_USAGE_SIGNING_SECRET is set; ?verify=1 re-checks every
+    signature server-side and reports the count."""
+    from .usage import read_usage_records, verify_usage_line
+
+    _admin_guard(req)
+    try:
+        limit = max(1, min(int(req.query.get("limit", "100")), 10_000))
+    except ValueError:
+        raise ApiError(422, "limit must be an integer") from None
+    records = read_usage_records(api_key=api_key, limit=limit)
+    body: dict = {"api_key": api_key, "records": records, "count": len(records)}
+    if req.query.get("verify") in {"1", "true"}:
+        secret = os.getenv("OSCILLINK_USAGE_SIGNING_SECRET")
+        if not secret:
+            raise ApiError(409, "OSCILLINK_USAGE_SIGNING_SECRET not configured")
+        body["verified"] = sum(
+            1 for r in records if verify_usage_line(r, secret)
+        )
+        body["unverified"] = len(records) - body["verified"]
+    return ApiResponse(body=body)
+
+
 def h_admin_cancel(state: ServiceState, req: ApiRequest, api_key: str = "", **_) -> ApiResponse:
     _admin_guard(req)
     meta = state.keystore.get(api_key)
@@ -1435,6 +1463,7 @@ _route("PUT", "/admin/keys/{api_key}", h_admin_put_key)
 _route("GET", "/admin/webhook/events", h_admin_webhook_events)
 _route("GET", "/admin/billing/price-map", h_admin_price_map)
 _route("GET", "/admin/usage/{api_key}", h_admin_usage)
+_route("GET", "/admin/usage/{api_key}/records", h_admin_usage_records)
 _route("POST", "/admin/billing/cancel/{api_key}", h_admin_cancel)
 _route("GET", "/admin/introspect", h_admin_introspect)
 

@@ -105,3 +105,52 @@ def test_alerts_off_without_url(monkeypatch):
     ks = InMemoryKeyStore()
     m = MonthlyUsage()
     assert m.check_and_consume("ko", 90, ks)["used"] == 90  # no error path
+
+
+def test_signed_usage_records_endpoint(tmp_path, monkeypatch):
+    """Reference checklist: 'Signed usage receipts endpoint + verification
+    helper'. Records export per key with per-line HMACs that
+    verify_usage_line and the ?verify=1 server-side check both accept."""
+    from oscillink_tpu.service.testing import LocalClient
+    from oscillink_tpu.service.usage import verify_usage_line
+
+    log = tmp_path / "usage.jsonl"
+    monkeypatch.setenv("OSCILLINK_USAGE_LOG", str(log))
+    monkeypatch.setenv("OSCILLINK_USAGE_SIGNING_SECRET", "use-sec")
+    monkeypatch.setenv("OSCILLINK_ADMIN_SECRET", "adm")
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "ku1,ku2")
+    monkeypatch.delenv("OSCILLINK_RATE_LIMIT", raising=False)
+    monkeypatch.delenv("OSCILLINK_IP_RATE_LIMIT", raising=False)
+    monkeypatch.delenv("OSCILLINK_MONTHLY_CAP", raising=False)
+
+    client = LocalClient()
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    Y = rng.standard_normal((16, 8)).astype(np.float32)
+    psi = (Y[0] / np.linalg.norm(Y[0])).astype(np.float32)
+    body = {"Y": Y.tolist(), "psi": psi.tolist()}
+    for key in ("ku1", "ku1", "ku2"):
+        assert client.post("/v1/settle", json_body=body,
+                           headers={"X-API-Key": key}).status_code == 200
+
+    h = {"X-Admin-Secret": "adm"}
+    r = client.request("GET", "/admin/usage/ku1/records", headers=h,
+                       query={"verify": "1"})
+    assert r.status_code == 200
+    out = r.json()
+    assert out["count"] == 2 and out["verified"] == 2 and out["unverified"] == 0
+    assert all(rec["api_key"] == "ku1" for rec in out["records"])
+    assert all(verify_usage_line(rec, "use-sec") for rec in out["records"])
+    # tampering breaks the line signature
+    bad = dict(out["records"][0])
+    bad["units"] = 10**9
+    assert not verify_usage_line(bad, "use-sec")
+    assert not verify_usage_line(out["records"][0], "wrong")
+    # the plain /admin/usage/{key} summary route still matches
+    assert client.request("GET", "/admin/usage/ku1", headers=h).status_code == 200
+    # verify without a configured secret is a clear 409
+    monkeypatch.delenv("OSCILLINK_USAGE_SIGNING_SECRET")
+    r = client.request("GET", "/admin/usage/ku1/records", headers=h,
+                       query={"verify": "1"})
+    assert r.status_code == 409
