@@ -90,6 +90,36 @@ class AlertHooks:
         except Exception:
             pass
 
+    def observe_monthly_rejection(
+        self, api_key: str, period: str, used: int, cap: int
+    ) -> None:
+        """Fired when a request is REJECTED by the monthly cap.  Without
+        this, a key whose usage never lands exactly on the cap (used + next
+        request > cap but used < cap) would never trigger the 1.0 alert —
+        the operator must still learn the key is effectively exhausted.
+        Once per (key, period).  Never raises."""
+        try:
+            url = self.url()
+            if not url or cap <= 0:
+                return
+            tag = (api_key, period, -1.0)  # sentinel threshold for rejection
+            with self._lock:
+                if tag in self._fired:
+                    return
+                self._fired.add(tag)
+            self._post(url, {
+                "event": "monthly_cap_rejected",
+                "api_key_hash": hashlib.sha256(
+                    api_key.encode()).hexdigest()[:12],
+                "api_key_suffix": api_key[-4:] if len(api_key) > 8 else "",
+                "period": period,
+                "used": int(used),
+                "limit": int(cap),
+                "ts": time.time(),
+            })
+        except Exception:
+            pass
+
     @staticmethod
     def _post(url: str, payload: dict) -> None:
         body = json.dumps(payload, sort_keys=True).encode("utf-8")

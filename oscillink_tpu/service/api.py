@@ -339,7 +339,7 @@ def _charge(state: ServiceState, api_key: Optional[str], units: int):
     # monthly units (a client honoring Retry-After would otherwise drain
     # its whole month on rejected retries)
     state.monthly.peek(api_key, units, state.keystore)
-    remaining, limit, reset_at = state.quota.check_and_consume(
+    remaining, limit, reset_at, route = state.quota.check_and_consume(
         api_key, units, state.keystore
     )
     try:
@@ -347,8 +347,9 @@ def _charge(state: ServiceState, api_key: Optional[str], units: int):
     except ApiError:
         # peek->consume isn't atomic across concurrent requests: if the
         # monthly cap was raced away between the two, refund the windowed
-        # units this rejection would otherwise burn
-        state.quota.refund(api_key, units)
+        # units this rejection would otherwise burn — back to the SAME
+        # ledger this consume charged (route from check_and_consume)
+        state.quota.refund(api_key, units, route=route)
         raise
     return monthly_ctx, remaining, limit, reset_at
 
@@ -456,7 +457,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     replay_sig = None
     if ReplayCache.ttl() > 0:
         endpoint = f"settle:{include_receipt}"
-        replay_sig = ReplayCache.key(endpoint, req.json(), ctx["api_key"])
+        replay_sig = ReplayCache.key(endpoint, req.body, ctx["api_key"])
         hit = state.replay_cache.get(ctx["api_key"], replay_sig)
         if hit is not None:
             body = json.loads(json.dumps(hit))  # defensive copy

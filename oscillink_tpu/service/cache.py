@@ -1,82 +1,120 @@
-"""Per-key TTL-LRU bundle cache (reference cloud/app/services/cache.py:29-73).
+"""Per-key TTL-LRU caches (reference cloud/app/services/cache.py:29-73).
 
-Keyed by (api_key, state_sig); entries expire after OSCILLINK_BUNDLE_CACHE_TTL
-seconds (default 30) and the per-key LRU holds OSCILLINK_BUNDLE_CACHE_SIZE
-entries (default 64).  Disabled when TTL <= 0.
+One shared, LOCKED structure (`_PerKeyTTLLRU`) backs both the bundle cache
+and the replay cache — `handle()` runs in the aiohttp thread pool, so an
+unlocked OrderedDict's get/move_to_end racing a put/popitem raises
+KeyError on a valid request.  Entry TTL and per-key LRU size come from the
+subclass's env vars; TTL <= 0 disables the cache.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections import OrderedDict
 from typing import Any, Optional
 
 
-def _ttl() -> float:
+def _env_float(name: str, default: float) -> float:
     try:
-        return float(os.getenv("OSCILLINK_BUNDLE_CACHE_TTL", "30"))
+        return float(os.getenv(name, str(default)))
     except ValueError:
-        return 30.0
+        return default
 
 
-def _size() -> int:
+def _env_int(name: str, default: int) -> int:
     try:
-        return int(os.getenv("OSCILLINK_BUNDLE_CACHE_SIZE", "64"))
+        return int(os.getenv(name, str(default)))
     except ValueError:
-        return 64
+        return default
 
 
-class BundleCache:
+class _PerKeyTTLLRU:
+    """Thread-safe per-api-key TTL-LRU of small records.
+
+    Subclasses define `ttl()` / `size()` (read per call so env hot-reload
+    keeps working).  Values are opaque; expiry is stamped at put time.
+    A periodic sweep (every 256 puts) drops expired entries and empty
+    buckets so rotated keys don't pin memory forever."""
+
     def __init__(self) -> None:
         self._per_key: dict[str, OrderedDict[str, dict]] = {}
         self._puts = 0
+        self._lock = threading.Lock()
 
-    def get(self, api_key: Optional[str], state_sig: str) -> Optional[dict]:
-        ttl = _ttl()
+    @staticmethod
+    def ttl() -> float:  # pragma: no cover — overridden
+        return 0.0
+
+    @staticmethod
+    def size() -> int:  # pragma: no cover — overridden
+        return 64
+
+    def _get(self, api_key: Optional[str], sig: str) -> Optional[dict]:
+        ttl = self.ttl()
         if ttl <= 0:
             return None
-        bucket = self._per_key.get(api_key or "_anon_")
-        if not bucket:
-            return None
-        rec = bucket.get(state_sig)
-        if rec is None:
-            return None
-        if time.time() - rec["ts"] > ttl:
-            bucket.pop(state_sig, None)
-            return None
-        bucket.move_to_end(state_sig)
-        return rec
+        with self._lock:
+            bucket = self._per_key.get(api_key or "_anon_")
+            if not bucket:
+                return None
+            rec = bucket.get(sig)
+            if rec is None:
+                return None
+            if time.time() - rec["ts"] > ttl:
+                bucket.pop(sig, None)
+                return None
+            bucket.move_to_end(sig)
+            return rec
 
-    def put(self, api_key: Optional[str], state_sig: str, bundle: list[dict[str, Any]]):
-        ttl = _ttl()
+    def _put(self, api_key: Optional[str], sig: str, rec: dict) -> None:
+        ttl = self.ttl()
         if ttl <= 0:
             return
-        bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
         now = time.time()
-        bucket[state_sig] = {"ts": now, "bundle": bundle}
-        bucket.move_to_end(state_sig)
-        while len(bucket) > _size():
-            bucket.popitem(last=False)
-        # periodic sweep: without it, expired bundles linger until the same
-        # (key, sig) repeats, and buckets for rotated/revoked keys live
-        # forever — unbounded memory on a long-lived instance
-        self._puts += 1
-        if self._puts % 256 == 0:
-            for key in list(self._per_key):
-                b = self._per_key[key]
-                for sig in [s for s, r in list(b.items()) if now - r["ts"] > ttl]:
-                    b.pop(sig, None)
-                if not b:
-                    self._per_key.pop(key, None)
+        with self._lock:
+            bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
+            bucket[sig] = {"ts": now, **rec}
+            bucket.move_to_end(sig)
+            while len(bucket) > self.size():
+                bucket.popitem(last=False)
+            self._puts += 1
+            if self._puts % 256 == 0:
+                for key in list(self._per_key):
+                    b = self._per_key[key]
+                    for s in [s for s, r in list(b.items()) if now - r["ts"] > ttl]:
+                        b.pop(s, None)
+                    if not b:
+                        self._per_key.pop(key, None)
 
 
-class ReplayCache:
+class BundleCache(_PerKeyTTLLRU):
+    """Keyed by (api_key, state_sig); `OSCILLINK_BUNDLE_CACHE_TTL` seconds
+    (default 30), `OSCILLINK_BUNDLE_CACHE_SIZE` entries per key."""
+
+    @staticmethod
+    def ttl() -> float:
+        return _env_float("OSCILLINK_BUNDLE_CACHE_TTL", 30.0)
+
+    @staticmethod
+    def size() -> int:
+        return _env_int("OSCILLINK_BUNDLE_CACHE_SIZE", 64)
+
+    def get(self, api_key: Optional[str], state_sig: str) -> Optional[dict]:
+        return self._get(api_key, state_sig)
+
+    def put(self, api_key: Optional[str], state_sig: str,
+            bundle: list[dict[str, Any]]) -> None:
+        self._put(api_key, state_sig, {"bundle": bundle})
+
+
+class ReplayCache(_PerKeyTTLLRU):
     """Idempotent-replay cache for settle-family responses (the reference
     CLOUD_ARCH_GCP.md open question — "ephemeral object cache … for
     idempotent replay? Possibly enterprise only" — implemented, opt-in).
 
-    Keyed by SHA-256 of (endpoint, canonical JSON body, api key): an exact
+    Keyed by SHA-256 of (endpoint, raw request bytes, api key): an exact
     retry of a recent request is answered from cache WITHOUT recompute,
     quota charge, or usage append (retry semantics — the work was already
     paid for).  Off by default: enable with OSCILLINK_REPLAY_CACHE_TTL
@@ -84,64 +122,32 @@ class ReplayCache:
     Within the TTL, adaptive-learner exploration jitter is deliberately
     not re-rolled (identical body => identical response)."""
 
-    def __init__(self) -> None:
-        self._per_key: dict[str, OrderedDict[str, dict]] = {}
-        self._puts = 0
-
     @staticmethod
     def ttl() -> float:
-        try:
-            return float(os.getenv("OSCILLINK_REPLAY_CACHE_TTL", "0"))
-        except ValueError:
-            return 0.0
+        return _env_float("OSCILLINK_REPLAY_CACHE_TTL", 0.0)
 
     @staticmethod
-    def _size() -> int:
-        try:
-            return int(os.getenv("OSCILLINK_REPLAY_CACHE_SIZE", "32"))
-        except ValueError:
-            return 32
+    def size() -> int:
+        return _env_int("OSCILLINK_REPLAY_CACHE_SIZE", 32)
 
     @staticmethod
-    def key(endpoint: str, body: Any, api_key: Optional[str]) -> str:
+    def key(endpoint: str, raw_body: bytes, api_key: Optional[str]) -> str:
+        """Hash the RAW bytes: an exact retry resends identical bytes, and
+        hashing them avoids a second full json parse + canonical dump of a
+        multi-MB Y matrix on every request."""
         import hashlib
-        import json as _json
 
-        canon = _json.dumps(body, sort_keys=True, separators=(",", ":"))
-        tag = f"{endpoint}\x00{api_key or ''}\x00{canon}"
-        return hashlib.sha256(tag.encode("utf-8")).hexdigest()
+        h = hashlib.sha256()
+        h.update(endpoint.encode("utf-8"))
+        h.update(b"\x00")
+        h.update((api_key or "").encode("utf-8"))
+        h.update(b"\x00")
+        h.update(raw_body)
+        return h.hexdigest()
 
     def get(self, api_key: Optional[str], sig: str) -> Optional[dict]:
-        ttl = self.ttl()
-        if ttl <= 0:
-            return None
-        bucket = self._per_key.get(api_key or "_anon_")
-        if not bucket:
-            return None
-        rec = bucket.get(sig)
-        if rec is None:
-            return None
-        if time.time() - rec["ts"] > ttl:
-            bucket.pop(sig, None)
-            return None
-        bucket.move_to_end(sig)
-        return rec["body"]
+        rec = self._get(api_key, sig)
+        return rec["body"] if rec is not None else None
 
     def put(self, api_key: Optional[str], sig: str, body: dict) -> None:
-        ttl = self.ttl()
-        if ttl <= 0:
-            return
-        bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
-        now = time.time()
-        bucket[sig] = {"ts": now, "body": body}
-        bucket.move_to_end(sig)
-        while len(bucket) > self._size():
-            bucket.popitem(last=False)
-        self._puts += 1
-        if self._puts % 256 == 0:
-            for key in list(self._per_key):
-                b = self._per_key[key]
-                for s in [s for s, r in list(b.items()) if now - r["ts"] > ttl]:
-                    b.pop(s, None)
-                if not b:
-                    self._per_key.pop(key, None)
+        self._put(api_key, sig, {"body": body})

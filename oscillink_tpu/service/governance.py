@@ -64,13 +64,15 @@ class QuotaState:
     def __init__(self) -> None:
         self._usage: Dict[str, _Window] = {}
         self._lock = threading.Lock()
-        # keys whose last consume went through Redis (refund routing)
-        self._redis_keys: Dict[str, str] = {}
 
     def check_and_consume(
         self, key: Optional[str], units: int, keystore: KeyStore
-    ) -> tuple[int, int, float]:
-        """Returns (remaining, limit, reset_epoch); (-1, 0, 0) when disabled."""
+    ) -> tuple[int, int, float, str]:
+        """Returns (remaining, limit, reset_epoch, route); (-1, 0, 0, "none")
+        when disabled.  ``route`` says where THIS consume landed ("redis" or
+        "memory") so a later rejection's refund goes back to the same
+        ledger — routing by the key's history misrefunds when Redis flaps
+        between two requests."""
         q = get_quota_config()
         q_limit, q_window = q.limit, q.window
         if key:
@@ -81,7 +83,7 @@ class QuotaState:
                 if meta.quota_window_seconds is not None:
                     q_window = int(meta.quota_window_seconds)
         if q_limit <= 0 or key is None:
-            return -1, 0, 0
+            return -1, 0, 0, "none"
         if units > q_limit:
             raise ApiError(
                 413, f"request units {units} exceed per-key limit {q_limit}",
@@ -115,8 +117,7 @@ class QuotaState:
                         },
                         kind="quota_window",
                     )
-                self._redis_keys[key] = rkey
-                return q_limit - used_after, q_limit, reset_at
+                return q_limit - used_after, q_limit, reset_at, "redis"
 
         with self._lock:
             now = time.time()
@@ -146,21 +147,25 @@ class QuotaState:
                 )
             rec.used += units
             remaining = q_limit - int(rec.used)
-            return remaining, q_limit, rec.window_start + q_window
+            return remaining, q_limit, rec.window_start + q_window, "memory"
 
-    def refund(self, key: Optional[str], units: int) -> None:
+    def refund(self, key: Optional[str], units: int, route: str = "memory") -> None:
         """Return units consumed for a request that was then rejected by a
         later check (the peek/consume pair around the monthly cap is not
-        atomic under concurrency)."""
-        if key is None:
+        atomic under concurrency).  ``route`` must be the value returned by
+        the check_and_consume that charged these units."""
+        if key is None or route == "none":
             return
-        rkey = self._redis_keys.get(key)
-        if rkey is not None:
+        if route == "redis":
             from .redis_backend import get_redis_state
 
             rs = get_redis_state()
-            if rs is not None and rs.decrby(rkey, units):
+            if rs is not None and rs.decrby(f"osc:quota:{key}", units):
                 return
+            # Redis gone mid-request: the units are stranded in the shared
+            # ledger until the window expires — never refund them from the
+            # LOCAL window, which never charged them
+            return
         with self._lock:
             rec = self._usage.get(key)
             if rec is not None:
@@ -299,9 +304,18 @@ class MonthlyUsage:
         cap = self._cap_for(keystore.get(key))
         if cap <= 0:
             return
+        period = current_period()
         with self._lock:
-            rec = self._record(key, current_period())
-            self._raise_if_over(cap, int(rec["used"]), units)
+            rec = self._record(key, period)
+            used = int(rec["used"])
+        try:
+            self._raise_if_over(cap, used, units)
+        except ApiError as e:
+            if e.kind == "monthly_cap":
+                # a key that never lands exactly on the cap would otherwise
+                # never fire the 100% alert — tell the operator it's capped
+                self.alerts.observe_monthly_rejection(key, period, used, cap)
+            raise
 
     def check_and_consume(
         self, key: Optional[str], units: int, keystore: KeyStore
@@ -315,7 +329,12 @@ class MonthlyUsage:
         with self._lock:
             rec = self._record(key, period)
             used = int(rec["used"])
-            self._raise_if_over(cap, used, units)
+            try:
+                self._raise_if_over(cap, used, units)
+            except ApiError as e:
+                if e.kind == "monthly_cap":
+                    self.alerts.observe_monthly_rejection(key, period, used, cap)
+                raise
             rec["used"] = used + units
         # the Firestore transactional increment is a blocking network RPC —
         # holding the process-wide lock across it would stall every other

@@ -113,14 +113,43 @@ class RespClient:
 
 
 class RedisState:
-    """Service state operations over Redis, best-effort."""
+    """Operation wrapper with a failure circuit: every op records
+    success/failure; after ``_BREAK_AFTER`` consecutive failures the
+    circuit opens for ``_BREAK_FOR`` seconds and `get_redis_state` serves
+    None (memory fallbacks) instead of letting every request re-pay a
+    connect timeout against a blackholed server."""
+
+    _BREAK_AFTER = 3
+    _BREAK_FOR = 30.0
 
     def __init__(self, client: RespClient):
         self.client = client
+        self._fails = 0
+        self._open_until = 0.0
+
+    def _cmd(self, *args):
+        """client.command with circuit accounting: consecutive transport
+        failures open the circuit; any success closes it."""
+        try:
+            out = self.client.command(*args)
+        except RedisReplyError:
+            # an application-level error reply IS a live server
+            self._fails = 0
+            raise
+        except Exception:
+            self._fails += 1
+            if self._fails >= self._BREAK_AFTER:
+                self._open_until = time.time() + self._BREAK_FOR
+            raise
+        self._fails = 0
+        return out
+
+    def circuit_open(self) -> bool:
+        return time.time() < self._open_until
 
     def ping(self) -> bool:
         try:
-            return self.client.command("PING") == "PONG"
+            return self._cmd("PING") == "PONG"
         except Exception:
             return False
 
@@ -133,11 +162,11 @@ class RedisState:
         would live forever and the window would 429 permanently.  On later
         increments we cheaply re-check/heal the TTL every 64 counts."""
         try:
-            count = int(self.client.command("INCR", key))
+            count = int(self._cmd("INCR", key))
             if count == 1 or count % 64 == 0:
-                ttl = self.client.command("TTL", key)
+                ttl = self._cmd("TTL", key)
                 if isinstance(ttl, int) and ttl < 0:
-                    self.client.command("EXPIRE", key, window_seconds)
+                    self._cmd("EXPIRE", key, window_seconds)
             return count
         except Exception:
             return None
@@ -149,39 +178,49 @@ class RedisState:
         touch, with the same TTL self-repair as `incr_with_window`.
         Returns (count_after, ttl_remaining_seconds) or None on failure."""
         try:
-            count = int(self.client.command("INCRBY", key, int(amount)))
-            ttl = self.client.command("TTL", key)
+            count = int(self._cmd("INCRBY", key, int(amount)))
+            ttl = self._cmd("TTL", key)
             if not isinstance(ttl, int) or ttl < 0:
-                self.client.command("EXPIRE", key, window_seconds)
+                self._cmd("EXPIRE", key, window_seconds)
                 ttl = window_seconds
             return count, int(ttl)
         except Exception:
             return None
 
     def decrby(self, key: str, amount: int) -> bool:
-        """Refund quota units (a consume whose request was then rejected)."""
+        """Refund quota units (a consume whose request was then rejected).
+
+        Guarded: if the window key already expired there is nothing to
+        refund (the consume died with it) — a blind DECRBY would recreate
+        the key NEGATIVE with no TTL and grant double budget next window.
+        A refund that lands at <= 0 deletes the key for the same reason."""
         try:
-            self.client.command("DECRBY", key, int(amount))
+            exists = self._cmd("EXISTS", key)
+            if not isinstance(exists, int) or exists == 0:
+                return True  # expired window: nothing owed
+            v = int(self._cmd("DECRBY", key, int(amount)))
+            if v <= 0:
+                self._cmd("DEL", key)
             return True
         except Exception:
             return False
 
     def get(self, key: str) -> Optional[bytes]:
         try:
-            v = self.client.command("GET", key)
+            v = self._cmd("GET", key)
             return v if isinstance(v, (bytes, type(None))) else str(v).encode()
         except Exception:
             return None
 
     def set_with_ttl(self, key: str, value: str | bytes, ttl_seconds: int) -> bool:
         try:
-            return self.client.command("SET", key, value, "EX", ttl_seconds) == "OK"
+            return self._cmd("SET", key, value, "EX", ttl_seconds) == "OK"
         except Exception:
             return False
 
     def delete(self, key: str) -> bool:
         try:
-            self.client.command("DEL", key)
+            self._cmd("DEL", key)
             return True
         except Exception:
             return False
@@ -199,6 +238,16 @@ def get_redis_state() -> Optional[RedisState]:
         return None
     now = time.time()
     if _state is not None:
+        # circuit open (consecutive transport failures against a cached
+        # state): serve memory fallbacks instead of paying a fresh connect
+        # timeout on every operation of every request; after the cooldown
+        # one cheap ping decides whether to close the circuit
+        if _state.circuit_open():
+            return None
+        if _state._fails >= RedisState._BREAK_AFTER:
+            if _state.ping():
+                return _state
+            return None
         return _state
     if now - _checked_at < 30.0:
         return None

@@ -154,3 +154,30 @@ def test_signed_usage_records_endpoint(tmp_path, monkeypatch):
     r = client.request("GET", "/admin/usage/ku1/records", headers=h,
                        query={"verify": "1"})
     assert r.status_code == 409
+
+
+def test_cap_rejection_alert_fires(sink, monkeypatch):
+    """Review fix: a key whose usage never lands exactly on the cap still
+    alerts the operator when requests start being rejected."""
+    monkeypatch.setenv(
+        "OSCILLINK_ALERT_WEBHOOK_URL",
+        f"http://127.0.0.1:{sink.server_address[1]}/alerts",
+    )
+    monkeypatch.setenv("OSCILLINK_ALERT_THRESHOLDS", "0.99")  # never crossed
+    monkeypatch.setenv("OSCILLINK_MONTHLY_CAP", "1000")
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "key-reject-99")
+    monkeypatch.delenv("OSCILLINK_MONTHLY_USAGE_COLLECTION", raising=False)
+    monkeypatch.delenv("OSCILLINK_STATE_BACKEND", raising=False)
+    ks = InMemoryKeyStore()
+    m = MonthlyUsage()
+    m.check_and_consume("key-reject-99", 768, ks)  # 76.8%
+    with pytest.raises(Exception):
+        m.check_and_consume("key-reject-99", 384, ks)  # rejected at 76.8%
+    assert _wait_for(1) == 1
+    payload = _Sink.received[0][1]
+    assert payload["event"] == "monthly_cap_rejected"
+    assert payload["used"] == 768 and payload["limit"] == 1000
+    # once per key/period: a second rejection stays quiet
+    with pytest.raises(Exception):
+        m.check_and_consume("key-reject-99", 384, ks)
+    assert _wait_for(1, timeout=0.4) == 1

@@ -117,7 +117,12 @@ class FakeRedis:
         if cmd == b"DEL":
             existed = args[1] in self.data
             self.data.pop(args[1], None)
+            self.expiry.pop(args[1], None)
             return b":%d\r\n" % (1 if existed else 0)
+        if cmd == b"EXISTS":
+            if self._expired(args[1]):
+                return b":0\r\n"
+            return b":%d\r\n" % (1 if args[1] in self.data else 0)
         return b"-ERR unknown\r\n"
 
     def stop(self):
@@ -226,22 +231,23 @@ def test_quota_windows_ride_redis(fake_redis, monkeypatch):
 
     ks = InMemoryKeyStore()
     a, b = QuotaState(), QuotaState()
-    rem_a, limit, _ = a.check_and_consume("k1", 400, ks)
+    rem_a, limit, _, route = a.check_and_consume("k1", 400, ks)
+    assert route == "redis"
     assert (rem_a, limit) == (600, 1000)
-    rem_b, _, _ = b.check_and_consume("k1", 400, ks)
+    rem_b, _, _, _ = b.check_and_consume("k1", 400, ks)
     assert rem_b == 200  # instance B sees instance A's consumption
     with pytest.raises(ApiError) as ei:
         b.check_and_consume("k1", 400, ks)  # would be 1200 > 1000
     assert ei.value.status == 429 and ei.value.kind == "quota_window"
     # the rejected consume was refunded: 200 units still available
-    rem_a2, _, _ = a.check_and_consume("k1", 200, ks)
+    rem_a2, _, _, _ = a.check_and_consume("k1", 200, ks)
     assert rem_a2 == 0
     # an explicit refund (monthly-cap race path) restores shared units
-    a.refund("k1", 200)
-    rem_b2, _, _ = b.check_and_consume("k1", 200, ks)
+    a.refund("k1", 200, route="redis")
+    rem_b2, _, _, _ = b.check_and_consume("k1", 200, ks)
     assert rem_b2 == 0
     # per-key isolation
-    rem_other, _, _ = b.check_and_consume("k2", 100, ks)
+    rem_other, _, _, _ = b.check_and_consume("k2", 100, ks)
     assert rem_other == 900
 
 
@@ -271,3 +277,85 @@ def test_monthly_usage_rides_redis(fake_redis, monkeypatch):
     with pytest.raises(ApiError) as ei:
         b.check_and_consume("km", 300, ks)  # 1200 > 1000
     assert ei.value.status == 429 and ei.value.kind == "monthly_cap"
+
+
+def test_refund_routes_to_the_consuming_ledger(fake_redis, monkeypatch):
+    """Review fix: a consume that landed in the MEMORY window (Redis down
+    for that request) must refund to memory even if Redis is back — and a
+    redis-routed refund never touches the local window."""
+    from oscillink_tpu.service import redis_backend
+    from oscillink_tpu.service.governance import QuotaState
+    from oscillink_tpu.service.keystore import InMemoryKeyStore
+
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", f"redis://127.0.0.1:{fake_redis.port}")
+    monkeypatch.setenv("OSCILLINK_KEY_NODE_UNITS_LIMIT", "1000")
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+    ks = InMemoryKeyStore()
+    q = QuotaState()
+    _, _, _, route1 = q.check_and_consume("kr1", 300, ks)
+    assert route1 == "redis"
+    # Redis flap: force the memory path for the second consume
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", time.time())
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "memory")
+    _, _, _, route2 = q.check_and_consume("kr1", 200, ks)
+    assert route2 == "memory"
+    # refund the MEMORY consume while Redis is reachable again
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+    q.refund("kr1", 200, route=route2)
+    # redis ledger untouched (still 300), memory ledger back to 0
+    assert int(fake_redis.data[b"osc:quota:kr1"]) == 300
+    assert q._usage["kr1"].used == 0.0
+
+
+def test_decrby_never_recreates_expired_window(fake_redis):
+    """Review fix: a refund after the window key expired must not recreate
+    it negative with no TTL (double budget next window)."""
+    state = RedisState(RespClient("127.0.0.1", fake_redis.port))
+    # no key at all: refund is a no-op success
+    assert state.decrby("osc:quota:gone", 400)
+    assert b"osc:quota:gone" not in fake_redis.data
+    # a refund landing at zero deletes the key
+    state.incrby_with_window("osc:quota:z", 400, 60)
+    assert state.decrby("osc:quota:z", 400)
+    assert b"osc:quota:z" not in fake_redis.data
+
+
+def test_circuit_breaker_stops_repaying_timeouts(fake_redis, monkeypatch):
+    """Review fix: after consecutive transport failures the circuit opens
+    and get_redis_state serves None (memory fallback) instead of paying a
+    connect timeout per operation per request."""
+    from oscillink_tpu.service import redis_backend
+
+    monkeypatch.setenv("OSCILLINK_STATE_BACKEND", "redis")
+    monkeypatch.setenv("OSCILLINK_REDIS_URL", f"redis://127.0.0.1:{fake_redis.port}")
+    monkeypatch.setattr(redis_backend, "_state", None)
+    monkeypatch.setattr(redis_backend, "_checked_at", 0.0)
+    st = redis_backend.get_redis_state()
+    assert st is not None and st.incr_with_window("cb", 60) == 1
+    # server dies; three failed ops open the circuit
+    fake_redis.stop()
+    st.client.close()
+    st.client.port = 1  # blackhole-ish: connection refused
+    for _ in range(3):
+        assert st.incr_with_window("cb", 60) is None
+    assert st.circuit_open()
+    assert redis_backend.get_redis_state() is None  # memory fallback now
+    # cooldown elapses: one ping probes; still dead -> stays None AND the
+    # failed probe re-arms the circuit for another cooldown
+    st._open_until = 0.0
+    assert redis_backend.get_redis_state() is None
+    assert st.circuit_open()
+    # server back: after the next cooldown the probe closes the circuit
+    revived = FakeRedis()
+    try:
+        st.client.port = revived.port
+        st.client.close()
+        st._open_until = 0.0
+        assert redis_backend.get_redis_state() is st
+        assert st.incr_with_window("cb2", 60) == 1
+    finally:
+        revived.stop()
