@@ -1257,6 +1257,44 @@ def h_billing_cli_poll(state: ServiceState, req: ApiRequest, code: str = "", **_
 
 
 def h_billing_success(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
+    """Payment Link landing page.
+
+    With ?session_id={CHECKOUT_SESSION_ID} (the redirect target
+    scripts/stripe_payment_link.py configures), shows the API key the
+    webhook provisioned for that checkout — reference
+    docs/cloud/DEPLOY_STRIPE_CLOUD.md's self-serve onboarding, served from
+    the webhook-recorded mapping instead of a live Stripe fetch.  Without a
+    session id (CLI pairing flow) it stays a static confirmation page.
+    """
+    import html as _html
+
+    session_id = (req.query.get("session_id") or "").strip()
+    if session_id:
+        rec = state.webhooks.lookup_checkout(session_id)
+        if rec is None:
+            # Stripe's browser redirect can arrive before its webhook does;
+            # tell the user to refresh rather than implying failure.
+            body = (
+                "<html><body><h1>Payment received</h1>"
+                "<p>Your API key is still being provisioned &mdash; refresh "
+                "this page in a few seconds.</p></body></html>"
+            )
+            return ApiResponse(body=body.encode(), content_type="text/html")
+        key = _html.escape(str(rec.get("api_key", "")))
+        tier = _html.escape(str(rec.get("tier", "")))
+        note = (
+            "<p>This key is pending manual activation; you will be contacted "
+            "shortly.</p>"
+            if rec.get("key_status") == "pending"
+            else ""
+        )
+        body = (
+            "<html><body><h1>Payment complete</h1>"
+            f"<p>Your <b>{tier}</b> API key:</p><pre><code>{key}</code></pre>"
+            "<p>Store it now &mdash; this page expires in 24 hours.</p>"
+            f"{note}</body></html>"
+        )
+        return ApiResponse(body=body.encode(), content_type="text/html")
     html = (
         "<html><body><h1>Payment complete</h1>"
         "<p>You can close this window and return to the CLI.</p></body></html>"

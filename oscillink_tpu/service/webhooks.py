@@ -69,6 +69,7 @@ class WebhookProcessor:
         self.cli_sessions = cli_sessions
         self._events: Dict[str, dict] = {}  # idempotency store
         self._sub_event_ts: Dict[str, float] = {}  # per-key newest sub event
+        self._checkouts: Dict[str, dict] = {}  # checkout session -> key record
         from ._firestore_stores import make_event_store
 
         self._fs_events = make_event_store()
@@ -117,6 +118,59 @@ class WebhookProcessor:
 
     def events(self) -> list[dict]:
         return list(self._events.values())
+
+    # -- checkout-session -> provisioned-key map ---------------------------
+    # The Payment Link flow redirects the buyer's browser to
+    # /billing/success?session_id={CHECKOUT_SESSION_ID}; the success page
+    # shows the key the webhook provisioned for that checkout (reference
+    # docs/cloud/DEPLOY_STRIPE_CLOUD.md flow — the reference fetches the
+    # session live from Stripe; with no egress here the webhook records the
+    # mapping instead).  Same memory->Redis->Firestore tiering as events so
+    # the redirect can land on a different replica than the webhook did.
+
+    CHECKOUT_TTL = 86400.0  # browser gets 24 h to load the page
+    MAX_CHECKOUTS = 10_000  # memory-tier bound (unauthenticated surface)
+
+    def record_checkout(self, session_id: str, rec: dict) -> None:
+        rec = {**rec, "ts": time.time()}
+        if len(self._checkouts) >= self.MAX_CHECKOUTS:
+            oldest = min(self._checkouts, key=lambda s: self._checkouts[s]["ts"])
+            self._checkouts.pop(oldest, None)
+        self._checkouts[session_id] = rec
+        from .redis_backend import get_redis_state
+
+        rs = get_redis_state()
+        if rs is not None:
+            try:
+                rs.set_with_ttl(
+                    f"oscillink:checkout:{session_id}",
+                    json.dumps(rec),
+                    int(self.CHECKOUT_TTL),
+                )
+            except Exception:
+                pass
+        if self._fs_events is not None:
+            self._fs_events.put(f"checkout:{session_id}", rec)
+
+    def lookup_checkout(self, session_id: str) -> Optional[dict]:
+        rec = self._checkouts.get(session_id)
+        if rec is None:
+            from .redis_backend import get_redis_state
+
+            rs = get_redis_state()
+            if rs is not None:
+                raw = rs.get(f"oscillink:checkout:{session_id}")
+                if raw:
+                    try:
+                        rec = json.loads(raw)
+                    except Exception:
+                        rec = None
+        if rec is None and self._fs_events is not None:
+            rec = self._fs_events.get(f"checkout:{session_id}")
+        if rec is not None and time.time() - float(rec.get("ts", 0.0)) > self.CHECKOUT_TTL:
+            self._checkouts.pop(session_id, None)
+            return None
+        return rec
 
     # -- processing --------------------------------------------------------
 
@@ -182,6 +236,10 @@ class WebhookProcessor:
         cli_done = False
         if session_id:
             cli_done = self.cli_sessions.complete_by_session_id(str(session_id), api_key)
+            self.record_checkout(
+                str(session_id),
+                {"api_key": api_key, "tier": tier, "key_status": status},
+            )
         return {
             "action": "provisioned",
             "api_key": api_key,

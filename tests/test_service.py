@@ -263,6 +263,55 @@ def test_stripe_webhook_unverified_and_idempotent(client, monkeypatch):
     assert r2.json()["status"] == "duplicate"
 
 
+def test_billing_success_shows_provisioned_key(client, monkeypatch):
+    """Payment Link onboarding: /billing/success?session_id=... renders the
+    key the checkout webhook provisioned (reference DEPLOY_STRIPE_CLOUD flow)."""
+    monkeypatch.setenv("OSCILLINK_ALLOW_UNVERIFIED_STRIPE", "1")
+    # redirect beats webhook: page must say "provisioning", not fail
+    early = client.get("/billing/success", query={"session_id": "cs_pl_1"})
+    assert early.status_code == 200
+    assert "provisioned" in early.text
+    evt = {
+        "id": "evt_pl_1",
+        "type": "checkout.session.completed",
+        "data": {"object": {"id": "cs_pl_1", "metadata": {"tier": "beta"}}},
+    }
+    key = client.post("/stripe/webhook", json_body=evt).json()["api_key"]
+    page = client.get("/billing/success", query={"session_id": "cs_pl_1"})
+    assert page.status_code == 200
+    assert key in page.text and "beta" in page.text
+    # no session id: static CLI confirmation, never someone else's key
+    plain = client.get("/billing/success")
+    assert key not in plain.text
+
+
+def test_billing_success_pending_enterprise(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_ALLOW_UNVERIFIED_STRIPE", "1")
+    evt = {
+        "id": "evt_pl_2",
+        "type": "checkout.session.completed",
+        "data": {"object": {"id": "cs_pl_2", "metadata": {"tier": "enterprise"}}},
+    }
+    client.post("/stripe/webhook", json_body=evt)
+    page = client.get("/billing/success", query={"session_id": "cs_pl_2"})
+    assert "pending" in page.text
+
+
+def test_checkout_record_expires(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_ALLOW_UNVERIFIED_STRIPE", "1")
+    evt = {
+        "id": "evt_pl_3",
+        "type": "checkout.session.completed",
+        "data": {"object": {"id": "cs_pl_3", "metadata": {"tier": "free"}}},
+    }
+    client.post("/stripe/webhook", json_body=evt)
+    rec = client.state.webhooks._checkouts["cs_pl_3"]
+    rec["ts"] -= client.state.webhooks.CHECKOUT_TTL + 1
+    assert client.state.webhooks.lookup_checkout("cs_pl_3") is None
+    page = client.get("/billing/success", query={"session_id": "cs_pl_3"})
+    assert "provisioned" in page.text  # expired -> neutral page, no key
+
+
 def test_stripe_webhook_rejected_without_secret(client, monkeypatch):
     monkeypatch.delenv("OSCILLINK_ALLOW_UNVERIFIED_STRIPE", raising=False)
     monkeypatch.delenv("OSCILLINK_STRIPE_WEBHOOK_SECRET", raising=False)
