@@ -22,7 +22,55 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
+
+namespace {
+
+// Top-k of one similarity row (descending value, ties broken by lowest
+// index — the reference's deterministic contract, graph.py:44-52), skipping
+// j == self.  Threshold-skip insertion with a chunked max prefilter: once
+// the running k-th value exceeds a 16-wide chunk's max, the whole chunk is
+// skipped after one vectorizable max-reduce instead of 16 ordered compares.
+// Replaces a std::partial_sort over the full row (~4x slower at N=1200).
+void topk_row(const float* row, int32_t n, int32_t self, int32_t k,
+              float* out_vals, int32_t* out_idx) {
+  int32_t cnt = 0;
+  float thresh = -std::numeric_limits<float>::infinity();
+  auto insert = [&](int32_t j, float v) {
+    int32_t p = (cnt < k) ? cnt : k - 1;
+    while (p > 0 && out_vals[p - 1] < v) {
+      out_vals[p] = out_vals[p - 1];
+      out_idx[p] = out_idx[p - 1];
+      --p;
+    }
+    out_vals[p] = v;
+    out_idx[p] = j;
+    if (cnt < k) ++cnt;
+    if (cnt == k) thresh = out_vals[k - 1];
+  };
+  constexpr int32_t C = 16;
+  int32_t j0 = 0;
+  for (; j0 + C <= n; j0 += C) {
+    float m = row[j0];
+    for (int32_t t = 1; t < C; ++t) m = std::max(m, row[j0 + t]);
+    if (m <= thresh) continue;  // self's 1.0 keeps its chunk alive; fine
+    for (int32_t j = j0; j < j0 + C; ++j) {
+      if (j == self) continue;
+      float v = row[j];
+      if (cnt == k && v <= thresh) continue;
+      insert(j, v);
+    }
+  }
+  for (int32_t j = j0; j < n; ++j) {
+    if (j == self) continue;
+    float v = row[j];
+    if (cnt == k && v <= thresh) continue;
+    insert(j, v);
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -40,24 +88,14 @@ int32_t osc_build_graph_from_sims(const float* S, int32_t n, int32_t k,
     return 0;
   }
   if (k > n - 1) k = n - 1;
-  std::vector<int32_t> order(n);
   std::vector<float> raw_vals((size_t)n * k);
   std::vector<int32_t> raw_idx((size_t)n * k);
   for (int32_t i = 0; i < n; ++i) {
     const float* si = S + (size_t)i * n;
-    int32_t m = 0;
-    for (int32_t j = 0; j < n; ++j)
-      if (j != i) order[m++] = j;
-    std::partial_sort(order.begin(), order.begin() + k, order.begin() + m,
-                      [&](int32_t a, int32_t b) {
-                        if (si[a] != si[b]) return si[a] > si[b];
-                        return a < b;
-                      });
-    for (int32_t a = 0; a < k; ++a) {
-      raw_idx[(size_t)i * k + a] = order[a];
-      float v = si[order[a]];
-      raw_vals[(size_t)i * k + a] = v > 0.0f ? v : 0.0f;
-    }
+    float* rv = raw_vals.data() + (size_t)i * k;
+    topk_row(si, n, i, k, rv, raw_idx.data() + (size_t)i * k);
+    for (int32_t a = 0; a < k; ++a)
+      if (rv[a] < 0.0f) rv[a] = 0.0f;
   }
   auto back_weight = [&](int32_t j, int32_t i) -> float {
     for (int32_t b = 0; b < k; ++b)
@@ -122,7 +160,6 @@ int32_t osc_build_graph(const float* Y, int32_t n, int32_t d, int32_t k,
   }
 
   std::vector<float> sims(n);
-  std::vector<int32_t> order(n);
   std::vector<float> raw_vals((size_t)n * k);
   std::vector<int32_t> raw_idx((size_t)n * k);
 
@@ -138,17 +175,10 @@ int32_t osc_build_graph(const float* Y, int32_t n, int32_t d, int32_t k,
       for (int32_t t = 0; t < d; ++t) s += yi[t] * yj[t];
       sims[j] = s;
     }
-    for (int32_t j = 0; j < n; ++j) order[j] = j;
-    std::partial_sort(order.begin(), order.begin() + k, order.end(),
-                      [&](int32_t a, int32_t b) {
-                        if (sims[a] != sims[b]) return sims[a] > sims[b];
-                        return a < b;  // stable tie-break: lowest index first
-                      });
-    for (int32_t a = 0; a < k; ++a) {
-      raw_idx[(size_t)i * k + a] = order[a];
-      float v = sims[order[a]];
-      raw_vals[(size_t)i * k + a] = v > 0.0f ? v : 0.0f;
-    }
+    float* rv = raw_vals.data() + (size_t)i * k;
+    topk_row(sims.data(), n, i, k, rv, raw_idx.data() + (size_t)i * k);
+    for (int32_t a = 0; a < k; ++a)
+      if (rv[a] < 0.0f) rv[a] = 0.0f;
   }
 
   // mutual mask + max-symmetrize

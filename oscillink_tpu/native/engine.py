@@ -19,44 +19,62 @@ _LIB: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
 
-def _lib_path() -> Path:
-    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+def _base_flags() -> list[str]:
+    # -ffp-contract=off: keep FMA contraction off even under -march so the
+    # engine's accumulation semantics (and hence receipt values) don't
+    # depend on which machine compiled the cached .so
+    return ["-O3", "-std=c++17", "-shared", "-fPIC", "-funroll-loops",
+            "-ffp-contract=off"]
+
+
+def _march() -> str:
+    # vectorize for the serving host by default (the .so cache is
+    # per-machine); OSCILLINK_NATIVE_MARCH="" opts out, or names an arch
+    return os.getenv("OSCILLINK_NATIVE_MARCH", "native")
+
+
+def _lib_path(flags: list[str]) -> Path:
+    key = hashlib.sha256(_SRC.read_bytes() + "\0".join(flags).encode())
     cache_dir = Path(
         os.getenv("OSCILLINK_NATIVE_CACHE", Path.home() / ".cache" / "oscillink_tpu")
     )
     cache_dir.mkdir(parents=True, exist_ok=True)
-    return cache_dir / f"oscnative_{src_hash}.so"
+    return cache_dir / f"oscnative_{key.hexdigest()[:16]}.so"
+
+
+def _compile(flags: list[str]) -> Optional[Path]:
+    lib = _lib_path(flags)
+    if lib.exists():
+        return lib
+    # compile to a temp path and rename: an interrupted/timed-out g++
+    # otherwise leaves a truncated .so at the final path that every
+    # later process "finds" and fails to CDLL-load forever; the rename
+    # also makes concurrent builders race-safe (last writer wins with
+    # a complete artifact)
+    tmp = lib.with_suffix(f".tmp{os.getpid()}.so")
+    cmd = [os.getenv("CXX", "g++"), *flags, str(_SRC), "-o", str(tmp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib)
+        return lib
+    except Exception as e:  # toolchain missing or arch flag unsupported
+        tmp.unlink(missing_ok=True)
+        print(f"oscillink_tpu: native build failed ({flags}): {e}", file=sys.stderr)
+        return None
 
 
 def _build() -> Optional[ctypes.CDLL]:
     global _BUILD_FAILED
-    lib = _lib_path()
-    if not lib.exists():
-        # compile to a temp path and rename: an interrupted/timed-out g++
-        # otherwise leaves a truncated .so at the final path that every
-        # later process "finds" and fails to CDLL-load forever; the rename
-        # also makes concurrent builders race-safe (last writer wins with
-        # a complete artifact)
-        tmp = lib.with_suffix(f".tmp{os.getpid()}.so")
-        cmd = [
-            os.getenv("CXX", "g++"),
-            "-O3",
-            "-std=c++17",
-            "-shared",
-            "-fPIC",
-            "-funroll-loops",
-            str(_SRC),
-            "-o",
-            str(tmp),
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(tmp, lib)
-        except Exception as e:  # pragma: no cover — toolchain missing
-            _BUILD_FAILED = True
-            tmp.unlink(missing_ok=True)
-            print(f"oscillink_tpu: native build failed: {e}", file=sys.stderr)
-            return None
+    lib = None
+    march = _march()
+    if march:
+        lib = _compile(_base_flags() + [f"-march={march}"])
+    if lib is None:
+        # cross-compilers / exotic hosts without -march=native support
+        lib = _compile(_base_flags())
+    if lib is None:
+        _BUILD_FAILED = True
+        return None
     try:
         dll = ctypes.CDLL(str(lib))
     except OSError as e:  # pragma: no cover — corrupt cached artifact

@@ -28,6 +28,30 @@ def test_native_graph_matches_oracle():
     assert np.array_equal(A_native > 0, orc.A > 0)
 
 
+def test_native_graph_matches_oracle_blas_path():
+    """n > 192 routes through osc_build_graph_from_sims (BLAS sims + C++
+    threshold-skip top-k); same oracle contract must hold there."""
+    Y, _ = _data(n=400, d=24, seed=3)
+    eng = NativeEngine(Y, kneighbors=6)
+    orc = DenseOracle(Y, k=6, deterministic_k=True)
+    A_native = eng.dense_adjacency()
+    np.testing.assert_allclose(A_native, orc.A, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(A_native > 0, orc.A > 0)
+
+
+def test_native_topk_tie_break_matches_oracle():
+    """Duplicate-heavy rows (quantized coordinates -> exact sim ties) must
+    pick the lowest-index neighbor first, like the reference's
+    deterministic lexsort (graph.py:44-52)."""
+    rng = np.random.default_rng(7)
+    # coarse quantization forces many identical cosine similarities
+    Y = (rng.integers(-1, 2, size=(300, 8))).astype(np.float32)
+    Y[Y.sum(axis=1) == 0, 0] = 1.0  # avoid zero rows
+    eng = NativeEngine(Y, kneighbors=4)
+    orc = DenseOracle(Y, k=4, deterministic_k=True)
+    np.testing.assert_allclose(eng.dense_adjacency(), orc.A, rtol=1e-4, atol=1e-5)
+
+
 def test_native_ustar_matches_oracle():
     Y, psi = _data(seed=1)
     eng = NativeEngine(Y, kneighbors=5)
