@@ -447,6 +447,11 @@ def _window_spmv3(
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the [S_max, D] straggler scratch + double-buffered window
+            # blocks sit ~0.4 MB over Mosaic's 16 MB default scoped-vmem
+            # budget at the 125k/768 shard (measured: 16.35 MB); the chip
+            # has 128 MB physical VMEM — lift the soft cap
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(
         *[plan.cs[w] for w in range(n_win)],
