@@ -144,6 +144,30 @@ def _jit_settle_windowed(ctx, U, Y, psi, B, lam, opts, x0, use_jacobi):
 
 
 @jax.jit
+def _jit_solve_ustar_windowed_fused(ctx, Y, psi, B, lam, opts, x0=None):
+    """Fused-operator windowed U* solve (router guarantees λ_C ≠ 0)."""
+    from ..models.coherence import solve_stationary_windowed_fused
+
+    tol, max_iters = opts[0], opts[1].astype(jnp.int32)
+    Ustar, iters, res = solve_stationary_windowed_fused(
+        ctx, Y, psi, B, lam, tol=tol, max_iters=max_iters, x0=x0
+    )
+    return Ustar, iters, res, res <= tol
+
+
+@partial(jax.jit, static_argnames=("use_jacobi",))
+def _jit_settle_windowed_fused(ctx, U, Y, psi, B, lam, opts, x0, use_jacobi):
+    """Fused-operator windowed settle (router guarantees dt·λ_C ≠ 0)."""
+    from ..models.coherence import settle_step_windowed_fused
+
+    dt, tol, max_iters = opts[0], opts[1], opts[2].astype(jnp.int32)
+    return settle_step_windowed_fused(
+        ctx, U, Y, psi, B, lam, dt=dt, tol=tol, max_iters=max_iters, x0=x0,
+        use_jacobi=use_jacobi,
+    )
+
+
+@jax.jit
 def _jit_deltaH(g, pg, U, Ustar, lam, B):
     return deltaH_trace(g, pg, U, Ustar, lam, B)
 
@@ -327,6 +351,16 @@ def _jit_dynamics(g, pg, U_prev, U_next, lam, B):
 
 def _env_flag(name: str) -> bool:
     return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
+
+
+def _fused_windowed_enabled() -> bool:
+    """The fused windowed operator is the default; OSCILLINK_WINDOWED_FUSED=0
+    restores the unfused kernel + XLA λ-combine/denominator passes."""
+    return os.getenv("OSCILLINK_WINDOWED_FUSED", "1").strip().lower() not in {
+        "0",
+        "false",
+        "no",
+    }
 
 
 def _null_cap_env() -> int:
@@ -1062,9 +1096,19 @@ class OscillinkLattice:
                 x0=x0,
                 use_jacobi=precond == "jacobi",
                 col_chunks=self._auto_col_chunks(),
+                fused=_fused_windowed_enabled()
+                and self.lamC != 0.0
+                and float(dt) != 0.0,
             )
         elif self._window_ctx is not None and self._path is None:
-            U_plus, iters, res = _jit_settle_windowed(
+            settle_fn = (
+                _jit_settle_windowed_fused
+                if _fused_windowed_enabled()
+                and self.lamC != 0.0
+                and float(dt) != 0.0
+                else _jit_settle_windowed
+            )
+            U_plus, iters, res = settle_fn(
                 self._window_ctx,
                 self._U_dev,
                 self._Y_dev,
@@ -1211,6 +1255,7 @@ class OscillinkLattice:
                 max_iters=jnp.int32(max_iters),
                 col_chunks=col_chunks,
                 x0=ustar_x0,
+                fused=_fused_windowed_enabled() and self.lamC != 0.0,
             )
             converged = res <= tol
         elif gather_cc > 1 and (self._window_ctx is None or self._path is not None):
@@ -1232,7 +1277,12 @@ class OscillinkLattice:
             )
             converged = res <= tol
         elif self._window_ctx is not None and self._path is None:
-            Ustar, iters, res, converged = _jit_solve_ustar_windowed(
+            solve_fn = (
+                _jit_solve_ustar_windowed_fused
+                if _fused_windowed_enabled() and self.lamC != 0.0
+                else _jit_solve_ustar_windowed
+            )
+            Ustar, iters, res, converged = solve_fn(
                 self._window_ctx,
                 self._Y_dev,
                 self._psi_dev,

@@ -29,7 +29,7 @@ from jax import lax
 
 from ..ops.graph import Graph, lap_matvec
 from ..ops.path import PathGraph, path_lap_matvec
-from ..ops.solver import LOWMEM_SOLVE_BYTES, cg_solve, cg_solve_lowmem
+from ..ops.solver import LOWMEM_SOLVE_BYTES, cg_solve, cg_solve_kpap, cg_solve_lowmem
 
 
 def _pick_cg(b: jax.Array):
@@ -342,9 +342,87 @@ def solve_stationary_windowed(
     return jnp.take(Up, ctx.inv_order, axis=0), iters, res
 
 
+def solve_stationary_windowed_fused(
+    ctx: WindowCtx,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    tol=1e-4,
+    max_iters=64,
+    x0: Optional[jax.Array] = None,
+):
+    """Stationary solve via the fused windowed operator (λ_C ≠ 0 required;
+    the lattice router enforces it host-side).
+
+    One kernel launch per CG iteration computes M p / λ_C AND ⟨p, Mp⟩/λ_C
+    in the same pass (`k_matvec_windowed`), eliminating the separate
+    elementwise λ-combine pass (3 [N, D] blocks of HBM traffic per apply)
+    and the denominator reduction pass (2 blocks per iteration) of the
+    unfused form.  Same CG contract; same permuted-space layout as
+    `solve_stationary_windowed`."""
+    from ..ops.pallas.window_spmv import k_matvec_windowed
+
+    ops = [Y, B[:, None]] + ([x0] if x0 is not None else [])
+    perm = _permuted_operands(ctx, ops)
+    Yp, Bp = perm[0], perm[1][:, 0]
+    x0p = perm[2] if x0 is not None else Yp
+    rhs = lam.lamG * Yp + lam.lamQ * (Bp[:, None] * psi[None, :])
+    M_diag = lam.lamG + lam.lamQ * Bp
+    s = lam.lamC
+    g = ((lam.lamG + lam.lamC + lam.lamQ * Bp) / s)[:, None]
+
+    def K_mul(X):
+        return k_matvec_windowed(ctx.plan, ctx.oh, X, g)
+
+    Up, iters, res = cg_solve_kpap(
+        K_mul, s, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
+    return jnp.take(Up, ctx.inv_order, axis=0), iters, res
+
+
+def settle_step_windowed_fused(
+    ctx: WindowCtx,
+    U: jax.Array,
+    Y: jax.Array,
+    psi: jax.Array,
+    B: jax.Array,
+    lam: EnergyParams,
+    dt=1.0,
+    tol=1e-3,
+    max_iters=12,
+    x0: Optional[jax.Array] = None,
+    use_jacobi: bool = True,
+):
+    """Implicit Euler step via the fused windowed operator (requires
+    dt·λ_C ≠ 0, enforced by the lattice router): A = I + dt·M = s·K with
+    s = dt·λ_C and diag folded into the kernel's g."""
+    from ..ops.pallas.window_spmv import k_matvec_windowed
+
+    dt = jnp.asarray(dt, dtype=jnp.float32)
+    ops = [U, Y, B[:, None]] + ([x0] if x0 is not None else [])
+    perm = _permuted_operands(ctx, ops)
+    Up0, Yp, Bp = perm[0], perm[1], perm[2][:, 0]
+    x0p = perm[3] if x0 is not None else Up0
+    rhs = Up0 + dt * (lam.lamG * Yp + lam.lamQ * (Bp[:, None] * psi[None, :]))
+    s = dt * lam.lamC
+    g = ((1.0 + dt * (lam.lamG + lam.lamQ * Bp) + dt * lam.lamC) / s)[:, None]
+    M_diag = 1.0 + dt * (lam.lamG + lam.lamQ * Bp) if use_jacobi else None
+
+    def K_mul(X):
+        return k_matvec_windowed(ctx.plan, ctx.oh, X, g)
+
+    Up, iters, res = cg_solve_kpap(
+        K_mul, s, rhs, x0=x0p, M_diag=M_diag, tol=tol, max_iters=max_iters
+    )
+    return jnp.take(Up, ctx.inv_order, axis=0), iters, res
+
+
 _solve_windowed_chunk = jax.jit(solve_stationary_windowed)
 """Per-column-chunk windowed solve; module-level so the shape-keyed compile
 cache is shared across chunks and calls."""
+
+_solve_windowed_fused_chunk = jax.jit(solve_stationary_windowed_fused)
 
 
 def solve_stationary_windowed_chunked(
@@ -357,6 +435,7 @@ def solve_stationary_windowed_chunked(
     max_iters=64,
     col_chunks: int = 2,
     x0: Optional[jax.Array] = None,
+    fused: bool = False,
 ):
     """Column-chunked windowed stationary solve for the N=500k-1M single-chip
     regime.  Unlike the XLA-gather chunked solve, the windowed matvec never
@@ -369,10 +448,12 @@ def solve_stationary_windowed_chunked(
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
 
+    solve = _solve_windowed_fused_chunk if fused else _solve_windowed_chunk
+
     def chunks():
         for c in range(col_chunks):
             sl = slice(c * w, (c + 1) * w)
-            yield c * w, _solve_windowed_chunk(
+            yield c * w, solve(
                 ctx, Y[:, sl], psi[sl], B, lam, tol, max_iters,
                 None if x0 is None else x0[:, sl],
             )
@@ -421,6 +502,10 @@ _settle_windowed_chunk = jax.jit(
     settle_step_windowed, static_argnames=("use_jacobi",)
 )
 
+_settle_windowed_fused_chunk = jax.jit(
+    settle_step_windowed_fused, static_argnames=("use_jacobi",)
+)
+
 
 def settle_step_windowed_chunked(
     ctx: WindowCtx,
@@ -435,6 +520,7 @@ def settle_step_windowed_chunked(
     x0: Optional[jax.Array] = None,
     use_jacobi: bool = True,
     col_chunks: int = 2,
+    fused: bool = False,
 ):
     """Column-chunked windowed settle for the large-N regime: the windowed
     analog of `settle_step_chunked` (no gather temps; same host-loop
@@ -443,11 +529,12 @@ def settle_step_windowed_chunked(
     if d % col_chunks != 0:
         raise ValueError(f"D={d} must divide col_chunks={col_chunks}")
     w = d // col_chunks
+    settle = _settle_windowed_fused_chunk if fused else _settle_windowed_chunk
 
     def chunks():
         for c in range(col_chunks):
             sl = slice(c * w, (c + 1) * w)
-            yield c * w, _settle_windowed_chunk(
+            yield c * w, settle(
                 ctx, U[:, sl], Y[:, sl], psi[sl], B, lam, dt, tol, max_iters,
                 None if x0 is None else x0[:, sl], use_jacobi,
             )

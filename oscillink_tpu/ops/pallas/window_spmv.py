@@ -52,6 +52,7 @@ __all__ = [
     "build_onehot",
     "plan_s_max",
     "lap_matvec_windowed",
+    "k_matvec_windowed",
     "pad_rows",
 ]
 
@@ -463,6 +464,178 @@ def _window_spmv3(
         oh3,
         contrib,
     )
+
+
+def _matmul_kernel3f(W: int, n_win: int, S_max: int, precision):
+    """Fused-operator variant of `_matmul_kernel3`: computes
+    ``out = g ⊙ x − Wn x`` (the caller folds the operator's full diagonal,
+    divided by the off-diagonal scale, into ``g``) and, while the output
+    block is still VMEM-resident, the per-column partial reduction
+    ``pap = Σ_rows x ⊙ out`` — the CG denominator ⟨p, Kp⟩ — so the solver
+    never pays a separate [N, D] reduction pass over p and Ap."""
+
+    def kern(*refs):
+        # refs: c_0..c_{n_win-1}, off, cnt | xblk, g, win_0.., oh, oh3,
+        #       c_hbm | out, pap | c_vmem, sem
+        off_ref = refs[n_win]
+        cnt_ref = refs[n_win + 1]
+        base = n_win + 2
+        xblk = refs[base]
+        gref = refs[base + 1]
+        wins = refs[base + 2 : base + 2 + n_win]
+        oh = refs[base + 2 + n_win]
+        oh3 = refs[base + 3 + n_win]
+        c_hbm = refs[base + 4 + n_win]
+        out = refs[base + 5 + n_win]
+        pap = refs[base + 6 + n_win]
+        c_vmem = refs[base + 7 + n_win]
+        sem = refs[base + 8 + n_win]
+
+        i = pl.program_id(0)
+        has = cnt_ref[i] > 0
+        off = pl.multiple_of(off_ref[i], _LANE)
+
+        @pl.when(has)
+        def _start_dma():
+            pltpu.make_async_copy(
+                c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
+            ).start()
+
+        x = xblk[:]
+        acc = gref[:] * x
+        for w in range(n_win):
+            acc = acc - _window_dot(oh[:, w * W : (w + 1) * W], wins[w][:], precision)
+
+        @pl.when(has)
+        def _correct():
+            pltpu.make_async_copy(
+                c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
+            ).wait()
+            c = c_vmem[:]
+            c_hi = c.astype(jnp.bfloat16)
+            c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
+            corr = corr + jnp.dot(
+                oh3[:], c_lo, preferred_element_type=jnp.float32
+            )
+            res = acc - corr
+            out[:] = res
+            pap[:] = jnp.sum(x * res, axis=0, keepdims=True)
+
+        @pl.when(jnp.logical_not(has))
+        def _passthrough():
+            out[:] = acc
+            pap[:] = jnp.sum(x * acc, axis=0, keepdims=True)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _window_spmv3f(
+    plan: WindowPlan,
+    oh: jax.Array,
+    oh3: jax.Array,
+    Xpad: jax.Array,
+    g: jax.Array,
+    W: int,
+    R: int,
+    S_max: int,
+    precision,
+):
+    n_pad, d = Xpad.shape
+    b = n_pad // R
+    n_win = plan.n_windows
+    contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
+
+    def win_spec(w):
+        return pl.BlockSpec((W, d), lambda i, *pre, w=w: (pre[w][i], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_win + 2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),  # xblk
+            pl.BlockSpec((R, 1), lambda i, *pre: (i, 0)),  # g (diag/scale)
+            *[win_spec(w) for w in range(n_win)],
+            pl.BlockSpec((R, n_win * W), lambda i, *pre: (i, 0)),  # one-hot
+            pl.BlockSpec((R, S_max), lambda i, *pre: (i, 0)),  # strag oh
+            pl.BlockSpec(memory_space=pltpu.ANY),  # contribs stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),
+            pl.BlockSpec((1, d), lambda i, *pre: (i, 0)),  # per-block pap
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S_max, d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, pap = pl.pallas_call(
+        _matmul_kernel3f(W, n_win, S_max, precision),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # see _window_spmv3: the straggler scratch overruns the 16 MB
+            # default scoped-vmem budget at the 125k/768 shard
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(
+        *[plan.cs[w] for w in range(n_win)],
+        plan.strag_off,
+        plan.strag_cnt,
+        Xpad,
+        g,
+        *([Xpad] * n_win),
+        oh,
+        oh3,
+        contrib,
+    )
+    return out, jnp.sum(pap, axis=0)
+
+
+def k_matvec_windowed(
+    plan: WindowPlan,
+    oh: OneHots,
+    Xpad: jax.Array,
+    g: jax.Array,
+    *,
+    W: int | None = None,
+    R: int | None = None,
+    precision="bf16x3",
+) -> tuple[jax.Array, jax.Array]:
+    """Fused operator apply: ``(g ⊙ X − Wn X,  per-column Σ_rows X⊙K(X))``.
+
+    The caller folds the operator's full diagonal, divided by the
+    off-diagonal scale s, into ``g`` ([n_pad, 1] f32): the stationary
+    operator M = λ_G I + λ_C L + λ_Q diag(B) becomes M X = s·K(X) with
+    s = λ_C and g = (λ_G + λ_C + λ_Q B)/s (L X = X − Wn X, so the
+    Laplacian's own identity term joins the diagonal).  The second return
+    is the exact CG denominator ⟨p, Kp⟩ per column, computed in-kernel
+    while the output block is VMEM-resident — replacing the separate
+    [N, D] reduction pass of every CG iteration.  Padded rows contribute 0
+    to both outputs provided Xpad's padding is zero (`pad_rows`
+    zero-fills; the CG invariants keep it zero).
+
+    Non-TPU backends (the virtual test mesh) and non-128-multiple D
+    compose the same quantities from `lap_matvec_windowed`:
+    K(X) = (g − 1) ⊙ X + L_win X.
+    """
+    if W is None:
+        W = oh.main.shape[1] // plan.n_windows
+    if R is None:
+        R = plan.n_pad // plan.n_blocks
+    if jax.default_backend() == "tpu" and Xpad.shape[1] % 128 == 0:
+        return _window_spmv3f(
+            plan, oh.main, oh.strag, Xpad, g, W, R, oh.strag.shape[1], precision
+        )
+    out = (g - 1.0) * Xpad + lap_matvec_windowed(
+        plan, oh, Xpad, W=W, R=R, precision=precision
+    )
+    return out, jnp.sum(Xpad * out, axis=0)
 
 
 def lap_matvec_windowed(

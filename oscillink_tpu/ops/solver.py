@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cg_solve", "cg_solve_lowmem", "LOWMEM_SOLVE_BYTES"]
+__all__ = ["cg_solve", "cg_solve_kpap", "cg_solve_lowmem", "LOWMEM_SOLVE_BYTES"]
 
 # Above this b-block size the coherence solves route to cg_solve_lowmem
 # (models/coherence.py): at N=1M x 768 the classic form's live set
@@ -89,6 +89,71 @@ def cg_solve(
     x, _, _, _, iters, res = lax.while_loop(cond_fn, body_fn, init)
     if b.ndim == 1:
         x = x[:, 0]
+    return x, iters, res
+
+
+def cg_solve_kpap(
+    K_mul: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
+    s: jax.Array,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    M_diag: Optional[jax.Array] = None,
+    tol: float | jax.Array = 1e-3,
+    max_iters: int | jax.Array = 100,
+):
+    """`cg_solve` for A = s·K where the operator returns its own denominator.
+
+    ``K_mul(x)`` returns ``(K x, per-column Σ_rows x⊙Kx)`` — the fused
+    windowed kernel (`ops.pallas.window_spmv.k_matvec_windowed`) computes
+    the reduction while its output block is VMEM-resident, so the CG body
+    never streams p and Ap again for ⟨p, Ap⟩.  The operator's scale s is
+    applied to the SCALARS (alpha·s on the residual update, s·⟨p,Kp⟩ on
+    the denominator), never to the [N, D] blocks: r − α·(s·Kp) ≡
+    r − (α·s)·Kp.  Same epsilon/≥1-iteration/max-col-norm contract as
+    `cg_solve`; ``b`` must be 2-D [N, D].  Requires s ≠ 0 (the host-side
+    router falls back to `cg_solve` when λ_C or dt is 0)."""
+    x = jnp.zeros_like(b) if x0 is None else x0.reshape(b.shape).astype(b.dtype)
+
+    if M_diag is not None:
+        inv_M = 1.0 / (M_diag[:, None] + 1e-12)
+
+        def precond(r):
+            return r * inv_M
+    else:
+
+        def precond(r):
+            return r
+
+    s = jnp.asarray(s, dtype=jnp.float32)
+    tol = jnp.asarray(tol, dtype=jnp.float32)
+    max_iters = jnp.asarray(max_iters, dtype=jnp.int32)
+
+    Kx, _ = K_mul(x)
+    r = b - Kx * s
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=0)
+
+    def cond_fn(carry):
+        _, _, _, _, it, res = carry
+        return (it == 0) | ((it < max_iters) & (res > tol))
+
+    def body_fn(carry):
+        x, r, p, rz, it, _ = carry
+        Kp, pkp = K_mul(p)
+        denom = s * pkp + 1e-18
+        alpha = rz / denom
+        x = x + p * alpha
+        r = r - Kp * (alpha * s)
+        res = jnp.max(jnp.linalg.norm(r, axis=0))
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / (rz + 1e-18)
+        p = z + p * beta
+        return (x, r, p, rz_new, it + 1, res)
+
+    init = (x, r, p, rz, jnp.int32(0), jnp.float32(jnp.inf))
+    x, _, _, _, iters, res = lax.while_loop(cond_fn, body_fn, init)
     return x, iters, res
 
 
