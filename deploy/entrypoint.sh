@@ -20,6 +20,12 @@ if [ -n "${OSCILLINK_USAGE_LOG}" ] && [ -n "${OSCILLINK_USAGE_FLUSH_URL}" ]; the
     python -m oscillink_tpu.tools.usage_flush &
 fi
 
+# Persistent XLA compilation cache: without it every fresh process re-pays
+# cold compiles (measured: 36 min for the 500k window-ctx program, 227 s for
+# the 1M fast-scan build — benchmarks/NORTHSTAR.md). Mount a volume at this
+# path to share compiles across restarts/replicas. Set to "" to disable.
+export OSCILLINK_COMPILE_CACHE_DIR="${OSCILLINK_COMPILE_CACHE_DIR-/var/cache/oscillink/jax}"
+
 # Serving routing policy: requests with N <= this threshold are settled by
 # the C++ host engine when it is available (identical receipts/signatures),
 # dodging the fixed per-request accelerator round-trip that dominates the

@@ -520,12 +520,19 @@ def _matmul_kernel3f(W: int, n_win: int, S_max: int, precision):
             )
             res = acc - corr
             out[:] = res
-            pap[:] = jnp.sum(x * res, axis=0, keepdims=True)
+            # pap block is (1, 8, d) — Mosaic needs the last two dims
+            # (8, d%128==0)-tiled, so the (1, d) partial is broadcast over
+            # the 8 sublanes; the caller reads sublane 0 only
+            pap[:] = jnp.broadcast_to(
+                jnp.sum(x * res, axis=0)[None, None, :], pap.shape
+            )
 
         @pl.when(jnp.logical_not(has))
         def _passthrough():
             out[:] = acc
-            pap[:] = jnp.sum(x * acc, axis=0, keepdims=True)
+            pap[:] = jnp.broadcast_to(
+                jnp.sum(x * acc, axis=0)[None, None, :], pap.shape
+            )
 
     return kern
 
@@ -563,7 +570,10 @@ def _window_spmv3f(
         ],
         out_specs=[
             pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),
-            pl.BlockSpec((1, d), lambda i, *pre: (i, 0)),  # per-block pap
+            # per-block pap partial: (1, 8, d) block so the trailing two
+            # dims satisfy Mosaic's (8, 128) tiling; sublane 0 carries the
+            # value (broadcast in-kernel), the rest is padding
+            pl.BlockSpec((1, 8, d), lambda i, *pre: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((S_max, d), jnp.float32),
@@ -575,7 +585,7 @@ def _window_spmv3f(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, d), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -594,7 +604,7 @@ def _window_spmv3f(
         oh3,
         contrib,
     )
-    return out, jnp.sum(pap, axis=0)
+    return out, jnp.sum(pap[:, 0, :], axis=0)
 
 
 def k_matvec_windowed(

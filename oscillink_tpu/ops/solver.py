@@ -106,10 +106,12 @@ def cg_solve_kpap(
     ``K_mul(x)`` returns ``(K x, per-column Σ_rows x⊙Kx)`` — the fused
     windowed kernel (`ops.pallas.window_spmv.k_matvec_windowed`) computes
     the reduction while its output block is VMEM-resident, so the CG body
-    never streams p and Ap again for ⟨p, Ap⟩.  The operator's scale s is
-    applied to the SCALARS (alpha·s on the residual update, s·⟨p,Kp⟩ on
-    the denominator), never to the [N, D] blocks: r − α·(s·Kp) ≡
-    r − (α·s)·Kp.  Same epsilon/≥1-iteration/max-col-norm contract as
+    never streams p and Ap again for ⟨p, Ap⟩.  Inside the loop the
+    operator's scale s is applied to the SCALARS (alpha·s on the residual
+    update, s·⟨p,Kp⟩ on the denominator), never to the [N, D] blocks:
+    r − α·(s·Kp) ≡ r − (α·s)·Kp.  (The one-time initial residual is the
+    exception: r₀ = b − (Kx₀)·s touches the block once — unavoidable and
+    outside the loop.)  Same epsilon/≥1-iteration/max-col-norm contract as
     `cg_solve`; ``b`` must be 2-D [N, D].  Requires s ≠ 0 (the host-side
     router falls back to `cg_solve` when λ_C or dt is 0)."""
     x = jnp.zeros_like(b) if x0 is None else x0.reshape(b.shape).astype(b.dtype)

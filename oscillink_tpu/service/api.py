@@ -106,6 +106,13 @@ class ServiceState:
 
 
 def create_state() -> ServiceState:
+    # persistent XLA compilation cache: a fresh serving process must not
+    # re-pay the cold compile (measured 36 min for the 500k window-ctx
+    # program — benchmarks/NORTHSTAR.md); enabled whenever
+    # OSCILLINK_COMPILE_CACHE_DIR is set (deploy/entrypoint.sh sets it)
+    from ..utils.compile_cache import configure_compile_cache
+
+    configure_compile_cache()
     return ServiceState()
 
 

@@ -35,6 +35,9 @@ def warm_shapes() -> list[tuple[int, int, int]]:
 
 def run_warmup(verbose: bool = True) -> int:
     """Compile-prime each configured shape; returns the number warmed."""
+    from ..utils.compile_cache import configure_compile_cache
+
+    configure_compile_cache()  # before the first trace so warm compiles persist
     shapes = warm_shapes()
     if not shapes:
         return 0

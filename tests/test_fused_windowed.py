@@ -74,7 +74,10 @@ def test_cg_kpap_matches_cg_solve():
         return kx, jnp.sum(x * kx, axis=0)
 
     x2, i2, r2 = cg_solve_kpap(K_mul, s, b, M_diag=M_diag, tol=1e-5, max_iters=80)
-    assert int(i1) == int(i2)
+    # ±1 iteration tolerance: the denominators (⟨p,Ap⟩ vs s·⟨p,Kp⟩) round
+    # differently, so a borderline res-vs-tol comparison can flip by one
+    # iteration across backends/compiler versions.
+    assert abs(int(i1) - int(i2)) <= 1
     rel = float(jnp.abs(x1 - x2).max() / (jnp.abs(x1).max() + 1e-12))
     assert rel < 1e-4
     # both actually solve the system

@@ -296,3 +296,51 @@ def test_lattice_windowed_chunked_settle(monkeypatch):
     out = lat.settle(max_iters=16, tol=1e-5)
     assert out["res"] <= 1e-4
     assert np.abs(np.asarray(lat._U_dev) - np.asarray(base._U_dev)).max() < 1e-4
+
+
+def test_kernel3f_fused_parity_interpret():
+    """The fused operator kernel (_window_spmv3f: diag fold + in-kernel
+    ⟨p,Kp⟩, TPU-only in production) in interpret mode: out must equal the
+    composition identity (g−1)⊙X + L_win X and pap the exact per-column
+    reduction, across empty and straggler-heavy blocks (both kernel arms
+    write pap)."""
+    from unittest import mock
+
+    from oscillink_tpu.ops.graph import Graph, lap_matvec
+
+    rng = np.random.default_rng(3)
+    n, d, k = 4096, 256, 6
+    idx = (np.arange(n)[:, None] + rng.integers(-200, 200, size=(n, k))) % n
+    idx[1500:1800] = rng.integers(0, n, size=(300, k))  # far-jump band
+    idx = idx.astype(np.int32)
+    wn = (rng.random((n, k)) * 0.1).astype(np.float32)
+    plan, _ = ws.build_window_plan(idx, wn, W=384, n_windows=3)
+    cnt = np.asarray(plan.strag_cnt)
+    assert (cnt == 0).any() and (cnt > 0).any()
+    oh = ws.build_onehot(plan, 384, ws.plan_s_max(plan))
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    g = jnp.asarray((1.5 + rng.random(plan.n_pad)).astype(np.float32)[:, None])
+
+    orig = ws.pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(ws.pl, "pallas_call", interp):
+        out, pap = ws._window_spmv3f(
+            plan, oh.main, oh.strag, Xp, g, 384,
+            plan.n_pad // plan.n_blocks, oh.strag.shape[1], "bf16x3",
+        )
+    gr = Graph(
+        idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),
+        sqrt_deg=jnp.ones(n),
+    )
+    ref = np.array((g - 1.0) * Xp)
+    ref[:n] += np.asarray(lap_matvec(gr, jnp.asarray(X)))
+    rel = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 5e-5, rel
+    pap_ref = (np.asarray(Xp) * ref).sum(axis=0)
+    prel = np.abs(np.asarray(pap) - pap_ref).max() / (np.abs(pap_ref).max() + 1e-12)
+    assert prel < 5e-4, prel
