@@ -2,11 +2,15 @@
 candidate retrieval, then Oscillink rerank of the candidates; nDCG@10 /
 Recall@50.
 
-Requires the `beir` + `ranx` packages and a downloaded dataset; when absent
-(this image has no egress) it runs a synthetic self-check with hash
-embeddings so the harness itself stays exercised.
+Datasets: uses the `beir` package loader when installed, else a native
+reader of the same GenericDataLoader folder format (corpus.jsonl /
+queries.jsonl / qrels/test.tsv) — this image has no egress, so the vendored
+minicorpus converted by scripts/make_beir_dataset.py exercises the real
+BEIR path.  `--synthetic` remains as a loaderless self-check.
 
-  python scripts/bench_beir.py --dataset scifact --data-dir ./beir_data
+  python scripts/make_beir_dataset.py
+  python scripts/bench_beir.py --dataset minicorpus \
+      --data-dir benchmarks/data/beir --embed lsa --n-queries 52
   python scripts/bench_beir.py --synthetic
 """
 
@@ -95,25 +99,70 @@ def run_synthetic(args):
     }
 
 
-def run_beir(args):  # pragma: no cover — requires beir package + dataset
-    try:
-        from beir import util  # type: ignore # noqa: F401
-        from beir.datasets.data_loader import GenericDataLoader  # type: ignore
-    except Exception:
-        print("beir package not installed; use --synthetic", file=sys.stderr)
-        return None
-    corpus, queries, qrels = GenericDataLoader(
-        data_folder=f"{args.data_dir}/{args.dataset}"
-    ).load(split="test")
+def load_beir_folder(folder, split="test"):
+    """Native BEIR GenericDataLoader-format reader (corpus.jsonl /
+    queries.jsonl / qrels/<split>.tsv) so the real BEIR code path runs
+    without the `beir` package (this image has no egress).  Returns the
+    same (corpus, queries, qrels) triple GenericDataLoader.load() does."""
+    corpus = {}
+    with open(os.path.join(folder, "corpus.jsonl")) as f:
+        for ln in f:
+            d = json.loads(ln)
+            corpus[str(d["_id"])] = {
+                "title": d.get("title", ""), "text": d.get("text", "")
+            }
+    queries = {}
+    with open(os.path.join(folder, "queries.jsonl")) as f:
+        for ln in f:
+            q = json.loads(ln)
+            queries[str(q["_id"])] = q["text"]
+    qrels = {}
+    with open(os.path.join(folder, "qrels", f"{split}.tsv")) as f:
+        header = f.readline()
+        assert "query-id" in header, f"unexpected qrels header: {header!r}"
+        for ln in f:
+            qid, did, score = ln.rstrip("\n").split("\t")
+            qrels.setdefault(qid, {})[did] = int(score)
+    # only evaluate queries that have judgments, like the beir loader
+    queries = {qid: t for qid, t in queries.items() if qid in qrels}
+    return corpus, queries, qrels
+
+
+def _embed_corpus(texts, mode):
+    """`hash`: reference text.py hash-embedding contract; `lsa`: real
+    learned co-occurrence embeddings fit on the corpus (adapters/lsa.py).
+    Returns (embed_fn, doc_vecs) where embed_fn handles query texts."""
+    if mode == "lsa":
+        from oscillink_tpu.adapters.lsa import LSAEmbedder
+
+        emb = LSAEmbedder(dim=64)
+        doc_vecs = emb.fit(texts).astype(np.float32)
+        return (lambda ts: emb.embed(ts).astype(np.float32)), doc_vecs
     from oscillink_tpu.adapters.text import embed_texts
 
+    return embed_texts, embed_texts(texts)
+
+
+def run_beir(args):
+    folder = f"{args.data_dir}/{args.dataset}"
+    try:  # pragma: no cover — beir not installed on this image
+        from beir.datasets.data_loader import GenericDataLoader  # type: ignore
+
+        corpus, queries, qrels = GenericDataLoader(data_folder=folder).load(
+            split="test"
+        )
+    except ImportError:
+        corpus, queries, qrels = load_beir_folder(folder)
+
     doc_ids = list(corpus.keys())
-    doc_vecs = embed_texts(
-        [corpus[d].get("title", "") + " " + corpus[d].get("text", "") for d in doc_ids]
+    embed_fn, doc_vecs = _embed_corpus(
+        [corpus[d].get("title", "") + " " + corpus[d].get("text", "")
+         for d in doc_ids],
+        args.embed,
     )
-    results = {"cosine": [], "oscillink": [], "recall50": []}
+    results = {"cosine": [], "oscillink": [], "recall50": [], "cos_recall50": []}
     for qid, qtext in list(queries.items())[: args.n_queries]:
-        qvec = embed_texts([qtext])[0]
+        qvec = embed_fn([qtext])[0]
         dn = doc_vecs / (np.linalg.norm(doc_vecs, axis=1, keepdims=True) + 1e-9)
         sims = dn @ (qvec / (np.linalg.norm(qvec) + 1e-9))
         cand = np.argsort(-sims)[: args.candidates].tolist()
@@ -124,11 +173,16 @@ def run_beir(args):  # pragma: no cover — requires beir package + dataset
         results["cosine"].append(ndcg_at_k(cos_ranked, rel, 10))
         results["oscillink"].append(ndcg_at_k(lat_ranked, rel, 10))
         results["recall50"].append(recall_at_k(lat_ranked, rel, 50))
+        results["cos_recall50"].append(recall_at_k(cos_ranked, rel, 50))
     return {
         "mode": "beir",
         "dataset": args.dataset,
+        "embed": args.embed,
+        "queries": len(results["cosine"]),
+        "candidates": args.candidates,
         "cosine_ndcg@10": float(np.mean(results["cosine"])),
         "oscillink_ndcg@10": float(np.mean(results["oscillink"])),
+        "cosine_recall@50": float(np.mean(results["cos_recall50"])),
         "oscillink_recall@50": float(np.mean(results["recall50"])),
     }
 
@@ -146,6 +200,8 @@ def main(argv=None):
     p.add_argument("--dataset", default="scifact")
     p.add_argument("--data-dir", default="./beir_data")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--embed", default="hash", choices=["hash", "lsa"],
+                   help="document/query embedder for --dataset mode")
     p.add_argument("--candidates", type=int, default=50)
     p.add_argument("--n-queries", type=int, default=20)
     p.add_argument("--n-docs", type=int, default=2000)
