@@ -89,6 +89,53 @@ def test_beir_synthetic_harness(capsys):
     assert out["oscillink_ndcg@10"] > 0.3 * out["cosine_ndcg@10"]
 
 
+def test_real_benchmark_cli(tmp_path, capsys):
+    """reference scripts/real_benchmark.py contract: JSONL corpus in,
+    cosine-vs-oscillink metrics out (F1/hallucination/trap share/latency)."""
+    import real_benchmark
+
+    rows = [
+        {"id": f"d{i}", "text": f"topic alpha document number {i} about cats",
+         "label": 1, "trap": 0}
+        for i in range(6)
+    ] + [
+        {"id": "t0", "text": "cats are actually robots from mars",
+         "label": 0, "trap": 1},
+        {"id": "d9", "text": "unrelated passage about tax law", "label": 0,
+         "trap": 0},
+    ]
+    path = tmp_path / "corpus.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    save = tmp_path / "topk.json"
+    rc = real_benchmark.main([
+        "--input", str(path), "--id-col", "id", "--label-col", "label",
+        "--trap-col", "trap", "--query", "documents about cats", "--k", "3",
+        "--embed", "lsa", "--json", "--save-topk", str(save),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    for mode in ("cosine", "oscillink"):
+        assert {"time_ms", "topk_ids", "f1", "hallucination",
+                "trap_share"} <= set(out[mode])
+        assert len(out[mode]["topk_ids"]) == 3
+    assert json.load(open(save))["cosine"] == out["cosine"]["topk_ids"]
+
+
+def test_benchmark_gating_compare_cli(capsys):
+    import benchmark_gating_compare
+
+    rc = benchmark_gating_compare.main(
+        ["--N", "120", "--D", "32", "--trials", "1", "--json"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    for mode in ("uniform", "diffusion"):
+        s = out["summary"][mode]
+        assert s["mean_settle_ms"] >= 0 and s["mean_deltaH"] > 0
+    assert out["summary"]["diffusion"]["mean_gate_ms"] > 0
+    assert len(out["trials"]["uniform"]) == 1
+
+
 def test_beir_real_mode(tmp_path, capsys):
     """The ACTUAL run_beir code path (VERDICT r3 item 5): BEIR-format folder
     built by make_beir_dataset, native loader, LSA embeddings, nDCG parity
