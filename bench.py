@@ -517,6 +517,15 @@ def main() -> None:
             "N1200_serving_default": _serving_default_1200(
                 r1200_native, fused.get(1200)
             ),
+            "N1200_oneshot_vs_readback_note": (
+                "at N=1200 both paths are tunnel-bound, not compute-bound "
+                "(device compute 0.86 ms, each host sync ~25-50 ms RPC): "
+                "interleaved A/B medians 50.7 vs 46.8 ms with overlapping "
+                "spreads (benchmarks/oneshot_smalln_1200.json), so fused-vs-"
+                "readback ordering in any single run is tunnel drift, not a "
+                "code property; round 3's 60.4-vs-41.8 flip measured the "
+                "paths minutes apart"
+            ),
             "matvec_100k": matvec,
             # NOT this run's measurements: separately recorded large-N rows
             # (a cold 500k-1M pass through this tunnel takes minutes and can

@@ -249,10 +249,15 @@ def sharded_serve(
     chain_weights: Optional[list] = None,
     lamP: float = 0.0,
     axis_name: str = "rows",
+    graph: Optional[Graph] = None,
 ) -> dict[str, Any]:
     """Full sharded settle + receipt over ``mesh``.  N must divide the mesh
     size (route to a divisor mesh upstream).  Returns receipt-sized host
     values plus U / U* as sharded device arrays.
+
+    ``graph`` skips the O(N²) similarity build and serves over a prebuilt
+    `ops.graph.Graph` (cached/rebuilt-graph serving; also how the 500k-row
+    correctness pass stays tractable on the 1-core virtual-mesh CI).
     """
     Y = np.asarray(Y, dtype=np.float32)
     n, d = Y.shape
@@ -260,7 +265,13 @@ def sharded_serve(
     if n % n_dev != 0:
         raise ValueError(f"N={n} must divide mesh size {n_dev}")
 
-    g = build_graph_sharded(mesh, Y, k, similarity=similarity, axis_name=axis_name)
+    g = (
+        graph
+        if graph is not None
+        else build_graph_sharded(
+            mesh, Y, k, similarity=similarity, axis_name=axis_name
+        )
+    )
 
     row = NamedSharding(mesh, P(axis_name, None))
     vec = NamedSharding(mesh, P(axis_name))

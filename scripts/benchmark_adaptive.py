@@ -52,6 +52,22 @@ def _make_trial_data(rng, n, d, n_facts, n_traps):
     return Y, psi, gt, traps
 
 
+def _make_corpus_trial_data(rng, dataset, d, semantic):
+    """Text-corpus trial (reference benchmark_adaptive.py --dataset mars|paris):
+    fixed fact/trap labels, per-trial embeddings (random unless --semantic,
+    which uses the deterministic hash embedder so runs are comparable)."""
+    from proof_hallucination import CORPORA, _embed
+
+    corpus = CORPORA[dataset]
+    texts = [t for t, _ in corpus]
+    gt = {i for i, (_, kind) in enumerate(corpus) if kind == "fact"}
+    traps = {i for i, (_, kind) in enumerate(corpus) if kind == "trap"}
+    Y = _embed(texts, d, semantic, rng)
+    q_idx = min(gt)
+    psi = (Y[q_idx] / (np.linalg.norm(Y[q_idx]) + 1e-9)).astype(np.float32)
+    return Y, psi, gt, traps
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--trials", type=int, default=10)
@@ -61,6 +77,19 @@ def main(argv=None):
     p.add_argument("--n-facts", type=int, default=5)
     p.add_argument("--n-traps", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--dataset",
+        default="synthetic",
+        choices=["synthetic", "astronomy", "capitals", "rivers"],
+        help="synthetic random trials, or a labeled text corpus "
+        "(proof_hallucination.CORPORA; the reference's mars/paris analog)",
+    )
+    p.add_argument(
+        "--semantic",
+        action="store_true",
+        help="content-hash embeddings instead of per-trial random "
+        "(reference --semantic)",
+    )
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -73,14 +102,18 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     n_tune = max(1, args.trials // 2)
 
-    tune_data = [
-        _make_trial_data(rng, args.n, args.d, args.n_facts, args.n_traps)
-        for _ in range(n_tune)
-    ]
-    test_data = [
-        _make_trial_data(rng, args.n, args.d, args.n_facts, args.n_traps)
-        for _ in range(args.trials - n_tune)
-    ]
+    if args.dataset == "synthetic":
+
+        def make(r):
+            return _make_trial_data(r, args.n, args.d, args.n_facts, args.n_traps)
+
+    else:
+
+        def make(r):
+            return _make_corpus_trial_data(r, args.dataset, args.d, args.semantic)
+
+    tune_data = [make(rng) for _ in range(n_tune)]
+    test_data = [make(rng) for _ in range(args.trials - n_tune)]
 
     def avg_f1(params, data):
         scores = [_one_trial(Y, psi, gt, traps, args.k, params)[0] for Y, psi, gt, traps in data]
@@ -94,6 +127,8 @@ def main(argv=None):
             best_params, best_score = params, s
 
     result = {
+        "dataset": args.dataset,
+        "semantic": bool(args.semantic),
         "grid_size": len(grid),
         "tune_trials": n_tune,
         "test_trials": len(test_data),

@@ -213,6 +213,24 @@ def test_adaptive_benchmark(capsys):
     assert out["tuned"]["tune_f1"] >= out["default"]["tune_f1"]
 
 
+def test_adaptive_suite(capsys):
+    # one corpus, semantic leg only: the random leg re-derives the same
+    # compile set, and the corpus path itself is what needs coverage
+    import bench_adaptive_suite
+
+    rc = bench_adaptive_suite.main(
+        ["--trials", "2", "--datasets", "capitals", "--semantic-only"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["suite"] == "adaptive"
+    assert len(out["cases"]) == 1
+    case = out["cases"][0]
+    assert case["dataset"] == "capitals" and case["semantic"] is True
+    assert 0.0 <= case["tuned"]["test_f1"] <= 1.0
+    assert out["summary"][0]["tuned_test_f1"] == case["tuned"]["test_f1"]
+
+
 def test_micro_dynamics(capsys):
     import bench_micro_dynamics
 
