@@ -41,12 +41,17 @@ R1, R2 = 1, 3
 
 
 def slope(fn):
+    # float(device_get(...)) — an actual scalar FETCH, not block_until_ready:
+    # through the axon tunnel the completion sync can return before the
+    # compute finishes (the round-3 "lying completion-sync" failure mode,
+    # which is how this probe's first artifact measured -0.0 ms for a
+    # >=1 s MXU scan); a data fetch cannot complete early.
     for reps in (R1, R2):
-        jax.block_until_ready(fn(reps))
+        float(jax.device_get(fn(reps)))
     ts = []
     for reps in (R1, R2, R1, R2):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(reps))
+        float(jax.device_get(fn(reps)))
         ts.append(1000.0 * (time.perf_counter() - t0))
     return ((ts[1] + ts[3]) / 2 - (ts[0] + ts[2]) / 2) / (R2 - R1)
 
@@ -72,13 +77,20 @@ def main():
     # --- per-chip scan slice: 125k query rows x 1M keys ------------------
     @functools.partial(jax.jit, static_argnums=(2,))
     def scan_slice(Yq, Yn, reps):
-        def body(i, acc):
+        # the scale factor carries a loop dependence so XLA cannot hoist
+        # the (otherwise loop-invariant) scan out of the fori_loop
+        def body(i, carry):
+            acc, scale = carry
             vals, idx = _topk_blocked_fast(
-                Yq, Yn, K, DEFAULT_BLOCK_ROWS, recall_target=0.99, row_offset=0
+                Yq * scale, Yn, K, DEFAULT_BLOCK_ROWS,
+                recall_target=0.99, row_offset=0,
             )
-            return acc + vals.sum() + idx.sum()
+            s = vals.sum()
+            return acc + s + idx.sum(), 1.0 + 1e-12 * s
 
-        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        return lax.fori_loop(
+            0, reps, body, (jnp.float32(0.0), jnp.float32(1.0))
+        )[0]
 
     Yq = Yn[:N_SLICE]
     scan_ms = slope(lambda r: scan_slice(Yq, Yn, r))
@@ -95,11 +107,15 @@ def main():
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def from_topk(vals, idx, reps):
-        def body(i, acc):
-            g = graph_from_topk(vals, idx, row_cap=1.0)
-            return acc + g.wn.sum() + g.sqrt_deg.sum()
+        def body(i, carry):
+            acc, scale = carry
+            g = graph_from_topk(vals * scale, idx, row_cap=1.0)
+            s = g.wn.sum()
+            return acc + s + g.sqrt_deg.sum(), 1.0 + 1e-12 * s
 
-        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        return lax.fori_loop(
+            0, reps, body, (jnp.float32(0.0), jnp.float32(1.0))
+        )[0]
 
     ftk_ms = slope(lambda r: from_topk(vals, idx, r))
     print(f"# graph_from_topk at 1M (replicated stage): {ftk_ms:.1f} ms",
