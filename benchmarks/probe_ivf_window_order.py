@@ -146,19 +146,46 @@ def main():
         if cov > best[0]:
             best = (cov, name, (plan, idx_p, wn_p))
 
-    # PCA-bisection (parallel/reorder.py) for completeness
-    try:
-        from oscillink_tpu.parallel.reorder import pca_bisection_order
+    # PCA-bisection for completeness — host-side NumPy reimplementation of
+    # parallel/reorder.py's recursion: the library version jits a
+    # projection per SEGMENT SHAPE, which at 500k x levels=10 through the
+    # tunnel means ~10 levels x 1.5 GB h2d + per-shape compiles (observed
+    # 20+ min wedge); power iteration on the host is seconds
+    def _pca_order_host(Y, levels=10):
+        def lead(Yc):
+            v = np.ones(Yc.shape[1], np.float32)
+            v /= np.linalg.norm(v)
+            for _ in range(8):
+                v = Yc.T @ (Yc @ v)
+                v /= np.linalg.norm(v) + 1e-12
+            return v
 
+        def rec(ids, depth):
+            if len(ids) <= 2:
+                return ids
+            Yc = Y[ids] - Y[ids].mean(0, keepdims=True)
+            proj = Yc @ lead(Yc)
+            sorted_ids = ids[np.argsort(proj, kind="stable")]
+            if depth >= levels:
+                return sorted_ids
+            mid = len(sorted_ids) // 2
+            return np.concatenate(
+                [rec(sorted_ids[:mid], depth + 1),
+                 rec(sorted_ids[mid:], depth + 1)]
+            )
+
+        return rec(np.arange(Y.shape[0]), 1)
+
+    try:
         t0 = time.perf_counter()
-        perm = np.asarray(pca_bisection_order(Y, levels=10))
+        perm = _pca_order_host(Y, levels=10)
         cov, plan, idx_p, wn_p = coverage_for_order(idx, wn, perm)
         out["orders"]["pca_bisect"] = round(cov, 4)
         print(f"# coverage pca_bisect: {cov:.4f} "
               f"({time.perf_counter()-t0:.1f}s)", flush=True)
         if cov > best[0]:
             best = (cov, "pca_bisect", (plan, idx_p, wn_p))
-    except Exception as e:  # signature drift — record, don't die
+    except Exception as e:  # record, don't die
         out["orders"]["pca_bisect"] = f"error: {e}"
 
     out["best_order"] = best[1]
