@@ -438,6 +438,23 @@ int32_t osc_settle(const int32_t* idx, const float* w, const float* sqrt_deg,
   return cg(op, rhs.data(), U, M_diag.data(), tol, max_iters, U_out, res_out);
 }
 
+// Screened-diffusion gate solve (preprocess/diffusion.py contract;
+// reference oscillink/preprocess/diffusion.py:130-163):
+//   (L_sym + gamma I) h = s,   s = beta * max(0, cos(Y, psi))  (caller-built)
+// Single-RHS Jacobi-CG, diag(L_sym) = 1 so M_diag = 1 + gamma, x0 = 0.
+// Reuses the lattice Operator with lamG = gamma, lamC = 1, lamQ = 0:
+// M x = gamma x + L_sym x exactly. Returns CG iterations.
+int32_t osc_diffusion_solve(const int32_t* idx, const float* w,
+                            const float* sqrt_deg, const float* s, int32_t n,
+                            int32_t k, float gamma, float tol,
+                            int32_t max_iters, float* h_out, float* res_out) {
+  Operator op{idx, w, sqrt_deg, n, k, /*d=*/1, /*lamG=*/gamma,
+              /*lamC=*/1.0f, /*lamQ=*/0.0f, /*B=*/s, /*dt=*/0.0f};
+  std::vector<float> x0(n, 0.0f);
+  std::vector<float> M_diag(n, 1.0f + gamma);
+  return cg(op, s, x0.data(), M_diag.data(), tol, max_iters, h_out, res_out);
+}
+
 // deltaH = sum(diff * M diff), diff = U - Ustar.
 float osc_deltaH(const int32_t* idx, const float* w, const float* sqrt_deg,
                  const float* U, const float* Ustar, const float* B, int32_t n,

@@ -132,6 +132,10 @@ def _build() -> Optional[ctypes.CDLL]:
     dll.osc_null_points.argtypes = [
         pi, pf, pf, pf, i32, i32, i32, f32, f32, pio, pfo, pfo, pu8,
     ]
+    dll.osc_diffusion_solve.restype = i32
+    dll.osc_diffusion_solve.argtypes = [
+        pi, pf, pf, pf, i32, i32, f32, f32, i32, pfo, ctypes.POINTER(f32),
+    ]
     return dll
 
 
@@ -220,6 +224,59 @@ class NativeEngine:
                     f"gates must have shape ({self.N},), got {gates.shape}"
                 )
             self.B = gates
+
+    def diffusion_gates(
+        self,
+        psi: Optional[np.ndarray] = None,
+        *,
+        beta: float = 1.0,
+        gamma: float = 0.1,
+        tol: float = 1e-4,
+        max_iters: int = 256,
+        apply: bool = False,
+    ) -> np.ndarray:
+        """Screened-diffusion gates over THIS engine's graph.
+
+        Host-side counterpart of `OscillinkLattice.diffusion_gates`
+        (preprocess/diffusion.py; reference diffusion.py:35-163): solve
+        (L_sym + gamma I) h = beta * max(0, cos(Y, psi)) with single-RHS
+        Jacobi-CG over the engine's k-sparse graph, min-max normalize with
+        the uniform-ones fallback, clip to [0, 1].  ``psi`` defaults to the
+        current query; ``apply=True`` installs the gates as B."""
+        if gamma <= 0:
+            raise ValueError("gamma must be > 0 for SPD")
+        psi_h = (
+            self.psi
+            if psi is None
+            else np.ascontiguousarray(psi, dtype=np.float32)
+        )
+        if psi_h.shape != (self.D,):
+            raise ValueError(f"psi must have shape ({self.D},), got {psi_h.shape}")
+        Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
+        psi_n = psi_h / (np.linalg.norm(psi_h) + 1e-12)
+        s = np.ascontiguousarray(
+            beta * np.maximum(0.0, Yn @ psi_n), dtype=np.float32
+        )
+        h = np.zeros(self.N, dtype=np.float32)
+        res = ctypes.c_float(0.0)
+        self._lib.osc_diffusion_solve(
+            self.idx, self.w, self.sqrt_deg, s, self.N, self.k,
+            np.float32(gamma), np.float32(tol), np.int32(max_iters),
+            h, ctypes.byref(res),
+        )
+        if not np.all(np.isfinite(h)):
+            h = np.ones(self.N, dtype=np.float32)
+        else:
+            h_min, h_max = float(h.min()), float(h.max())
+            if h_max - h_min < 1e-12:
+                h = np.ones(self.N, dtype=np.float32)
+            else:
+                h = ((h - h_min) / (h_max - h_min)).astype(np.float32)
+        h = np.clip(h, 0.0, 1.0).astype(np.float32)
+        if apply:
+            self.B = np.ascontiguousarray(h)
+            self._invalidate()
+        return h
 
     def add_chain(self, chain, lamP: float = 0.2, weights=None) -> None:
         """Chain prior (reference add_chain semantics; ops/path.py build)."""

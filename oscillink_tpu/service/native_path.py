@@ -40,9 +40,9 @@ def eligible(sreq, n: int) -> bool:
         return False
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break is a device-path feature
-    d = getattr(sreq, "diffusion", None)
-    if d is not None and d.enable:
-        return False  # diffusion gates are derived on the device lattice graph
+    # server-side diffusion gates are supported natively (the engine runs
+    # the same screened-Poisson CG over its own graph — engine.cpp
+    # osc_diffusion_solve; parity vs the JAX path: tests/test_native_engine)
     opts = getattr(sreq, "options", None)
     if (
         opts is not None
@@ -102,6 +102,17 @@ def native_settle(
         if min(sreq.chain) < 0 or max(sreq.chain) >= n:
             raise ApiError(400, "chain indices out of bounds")
     eng.set_query(psi, gates=gates)
+    dopt = getattr(sreq, "diffusion", None)
+    if dopt is not None and dopt.enable:
+        # gates XOR diffusion is enforced upstream (_validate_diffusion);
+        # derive over the engine's own graph like the device path does
+        eng.diffusion_gates(
+            beta=float(dopt.beta),
+            gamma=float(dopt.gamma),
+            tol=float(dopt.tol),
+            max_iters=int(dopt.max_iters),
+            apply=True,
+        )
     if sreq.chain:
         eng.add_chain(sreq.chain, lamP=sreq.params.lamP)
     stats = eng.settle(

@@ -220,9 +220,14 @@ def test_diffusion_on_ragged_is_explicit_422(client):
     assert "ragged" in r2.json()["detail"]
 
 
-def test_diffusion_routes_off_native_and_sharded(monkeypatch):
+def test_diffusion_routing_native_yes_sharded_no(monkeypatch):
+    """Diffusion requests stay ON the native path (the engine runs the
+    screened-Poisson CG itself — engine.cpp osc_diffusion_solve) but still
+    route off the sharded tier (gates are derived on the single-device
+    lattice graph there)."""
     from oscillink_tpu.service.models import DiffusionOptions, SettleRequest
     from oscillink_tpu.service import native_path, sharded_path
+    from oscillink_tpu.native import native_available
 
     sreq = SettleRequest(
         Y=[[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
@@ -230,7 +235,7 @@ def test_diffusion_routes_off_native_and_sharded(monkeypatch):
     )
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "2048")
     monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "2")
-    assert native_path.eligible(sreq, 3) is False
+    assert native_path.eligible(sreq, 3) is native_available()
     assert sharded_path.eligible(sreq, 3) is False
     sreq_off = SettleRequest(
         Y=sreq.Y, diffusion=DiffusionOptions(enable=False)

@@ -182,3 +182,36 @@ def test_cached_ustar_is_frozen():
     # uncached solves stay writable (fresh private buffer)
     U2, _, _ = eng.solve_ustar(use_cache=False)
     U2[0, 0] = 99.0
+
+
+def test_native_diffusion_gates_match_jax():
+    """The C engine's screened-Poisson gate solve (osc_diffusion_solve)
+    must match the JAX preprocessor over the same graph to float epsilon
+    (same build contract -> identical graphs; same CG contract)."""
+    from oscillink_tpu import OscillinkLattice
+
+    for seed, (n, d, k) in enumerate(((60, 16, 4), (200, 24, 6))):
+        Y, psi = _data(n=n, d=d, seed=seed)
+        psi = (psi / (np.linalg.norm(psi) + 1e-12)).astype(np.float32)
+        eng = NativeEngine(Y, kneighbors=k)
+        eng.set_query(psi)
+        h_native = eng.diffusion_gates(beta=1.3, gamma=0.15, tol=1e-5, max_iters=512)
+        lat = OscillinkLattice(Y, kneighbors=k, deterministic_k=True)
+        lat.set_query(psi)
+        h_jax = lat.diffusion_gates(beta=1.3, gamma=0.15, tol=1e-5, max_iters=512)
+        assert h_native.shape == (n,)
+        assert float(np.abs(h_native - h_jax).max()) < 5e-4
+        assert h_native.min() >= 0.0 and h_native.max() <= 1.0
+        # apply=True installs the gates and invalidates caches
+        eng.diffusion_gates(beta=1.3, gamma=0.15, tol=1e-5, max_iters=512, apply=True)
+        assert np.allclose(eng.B, h_native, atol=1e-6)
+
+
+def test_native_diffusion_gates_validation():
+    Y, psi = _data(n=30, d=8, seed=9)
+    eng = NativeEngine(Y, kneighbors=3)
+    eng.set_query(psi)
+    with pytest.raises(ValueError):
+        eng.diffusion_gates(gamma=0.0)
+    with pytest.raises(ValueError):
+        eng.diffusion_gates(psi=np.zeros(5, np.float32))

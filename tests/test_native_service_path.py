@@ -76,3 +76,41 @@ def test_native_bundle_matches_device(client, monkeypatch):
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
     bd = client.post("/v1/settle", json_body=p).json()["bundle"]
     assert [e["id"] for e in bn] == [e["id"] for e in bd]
+
+
+def test_diffusion_requests_serve_natively(client, monkeypatch):
+    """Server-side diffusion gates no longer force the device path: the
+    engine derives them with the same screened-Poisson CG over its own
+    graph (engine.cpp osc_diffusion_solve)."""
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    payload = _payload(n=24, include_receipt=True)
+    payload["diffusion"] = {"enable": True, "beta": 1.0, "gamma": 0.1}
+    r = client.post("/v1/settle", json_body=payload)
+    assert r.status_code == 200
+    body = r.json()
+    assert body["meta"]["backend"] == "native"
+    meta = body["receipt"]["meta"]
+    # derived gates are non-uniform (a real query produces a spread)
+    assert meta["gates_uniform"] is False
+    assert 0.0 <= meta["gates_min"] <= meta["gates_max"] <= 1.0
+
+
+def test_diffusion_native_agrees_with_device(client, monkeypatch):
+    """Same diffusion request through both backends: deltaH must agree."""
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    payload = _payload(n=24, include_receipt=True)
+    payload["params"] = {"deterministic_k": True}
+    payload["diffusion"] = {"enable": True, "beta": 1.0, "gamma": 0.1}
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    r_native = client.post("/v1/settle", json_body=payload)
+    assert r_native.json()["meta"]["backend"] == "native"
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    r_device = client.post("/v1/settle", json_body=payload)
+    assert r_device.json()["meta"]["backend"] == "device"
+
+    dh_n = r_native.json()["receipt"]["deltaH_total"]
+    dh_d = r_device.json()["receipt"]["deltaH_total"]
+    assert abs(dh_n - dh_d) / (abs(dh_d) + 1e-9) < 5e-3
