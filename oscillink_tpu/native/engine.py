@@ -407,8 +407,15 @@ class NativeEngine:
             if flag[i]
         ]
 
-    def bundle(self, k: int = 8, alpha: float = 0.5) -> list[dict]:
-        """MMR-diversified bundle (host numpy; small N by construction)."""
+    def bundle(
+        self, k: int = 8, alpha: float = 0.5, *, diversify: bool = True
+    ) -> list[dict]:
+        """Bundle picks (host numpy; small N by construction).
+
+        ``diversify=True`` is the MMR contract; ``diversify=False`` is the
+        pure-relevance rerank mode — top-k by score with lowest-index
+        tie-break, matching the device path's `lax.top_k`
+        (core/lattice.py:_jit_bundle)."""
         Ustar, _, _ = self.solve_ustar()
         u_norm = np.linalg.norm(Ustar, axis=1, keepdims=True) + 1e-12
         psi_n = self.psi / (np.linalg.norm(self.psi) + 1e-12)
@@ -417,10 +424,14 @@ class NativeEngine:
         sigma = float(np.std(coh)) + 1e-12
         z = (coh - float(np.mean(coh))) / sigma
         score = alpha * z + (1 - alpha) * align
-        Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
-        from ..ops.graph import mmr_select_np
+        k_eff = min(k, self.N)
+        if diversify:
+            Yn = self.Y / (np.linalg.norm(self.Y, axis=1, keepdims=True) + 1e-12)
+            from ..ops.graph import mmr_select_np
 
-        chosen = mmr_select_np(Yn, score.astype(np.float32), min(k, self.N))
+            chosen = mmr_select_np(Yn, score.astype(np.float32), k_eff)
+        else:
+            chosen = np.argsort(-score, kind="stable")[:k_eff]
         return [
             {"id": int(i), "score": float(score[i]), "align": float(align[i])}
             for i in chosen

@@ -43,13 +43,7 @@ def eligible(sreq, n: int) -> bool:
     # server-side diffusion gates are supported natively (the engine runs
     # the same screened-Poisson CG over its own graph — engine.cpp
     # osc_diffusion_solve; parity vs the JAX path: tests/test_native_engine)
-    opts = getattr(sreq, "options", None)
-    if (
-        opts is not None
-        and getattr(opts, "bundle_k", None)
-        and getattr(opts, "bundle_diversify", True) is False
-    ):
-        return False  # the C engine's bundle implements the MMR contract only
+    # both bundle modes (MMR and rerank/top-k) are implemented natively
     from ..ops.graph import resolve_similarity
 
     if resolve_similarity(n, getattr(sreq.params, "similarity", "exact")) != "exact":
@@ -197,7 +191,10 @@ def native_settle(
 
     bundle = None
     if sreq.options.bundle_k:
-        bundle = eng.bundle(k=sreq.options.bundle_k)
+        bundle = eng.bundle(
+            k=sreq.options.bundle_k,
+            diversify=getattr(sreq.options, "bundle_diversify", True),
+        )
 
     return {
         "state_sig": state_sig,

@@ -78,6 +78,22 @@ def test_native_bundle_matches_device(client, monkeypatch):
     assert [e["id"] for e in bn] == [e["id"] for e in bd]
 
 
+def test_native_rerank_bundle_matches_device(client, monkeypatch):
+    """diversify=False (rerank mode) now serves natively: pure top-k by
+    score with lowest-index tie-break, same as the device lax.top_k."""
+    p = {
+        **_payload(n=32, d=10, seed=11),
+        "options": {"bundle_k": 5, "bundle_diversify": False},
+    }
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    rn = client.post("/v1/settle", json_body=p).json()
+    assert rn["meta"]["backend"] == "native"
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/settle", json_body=p).json()
+    assert rd["meta"]["backend"] == "device"
+    assert [e["id"] for e in rn["bundle"]] == [e["id"] for e in rd["bundle"]]
+
+
 def test_diffusion_requests_serve_natively(client, monkeypatch):
     """Server-side diffusion gates no longer force the device path: the
     engine derives them with the same screened-Poisson CG over its own
