@@ -226,10 +226,14 @@ def _large_n_recorded():
     artifacts (a cold 500k-1M pass through this tunnel takes minutes and
     can wedge; re-measuring inside the bench is not viable)."""
     rec = {
-        "source": "benchmarks/scale_tpu.json (rows_round3, keyed by "
-        "(N, corpus)) + benchmarks/northstar_125k.json + gather_bf16_125k.json",
-        "shard125k_cg5_ms": {"windowed": 68.8, "gather": 117.0,
-                             "gather_bf16": 108.1},
+        "source": "benchmarks/scale_tpu.json (rows_round3 + serve_500k_round4) "
+        "+ benchmarks/northstar_125k.json + fused_cg_125k.json + cg4_125k.json "
+        "+ sharded_build_slice_1m.json",
+        "shard125k_cg5_ms": {"windowed_fused": 59.9, "windowed": 68.8,
+                             "gather": 117.0, "gather_bf16": 108.1},
+        "shard125k_cg4_ms": {"windowed": 57.3, "gather_bf16_random": 89.8,
+                             "gather_f32_random": 100.4},
+        "sharded_build_per_chip_1m_ms": 1456.3,
         "solver_program_min_ms": {
             "source": "probe_lowmem3/probe_chunked_1m/probe_settle8_1m "
             "(min-of-3 warm, raw solve programs)",
