@@ -860,6 +860,49 @@ class OscillinkLattice:
         self._sig_memo = None
         self._maybe_build_window_ctx()
 
+    def _graph_snapshot(self) -> dict:
+        """Everything a cache hit must restore to serve over this graph:
+        the device-resident Graph, its token, the resolved similarity mode
+        + info, the edge count, and the windowed-matvec context (whose plan
+        build is itself a measurable cost at large N).  All device arrays
+        are immutable jax values — safe to share across lattice instances.
+        Used by the service's opt-in graph cache (service/graph_cache.py)."""
+        return {
+            "graph": self._graph,
+            "token": self._graph_token,
+            "similarity": self._similarity,
+            "similarity_info": self._similarity_info,
+            "n_edges": self._edge_count(),
+            "window_ctx": self._window_ctx,
+            "window_coverage": self._window_coverage,
+            "kneighbors": self._kneighbors,
+            "row_cap": self._row_cap_val,
+        }
+
+    def _install_graph_snapshot(self, snap: dict) -> None:
+        """Install a `_graph_snapshot` into a `_defer_graph=True` instance —
+        the cache-hit constructor path: skips the similarity scan AND the
+        window-plan build.  Restores exactly the state
+        `_build_graph_device` would have produced for the same inputs (the
+        caller guarantees input equality via the cache key)."""
+        if snap["kneighbors"] != self._kneighbors or (
+            snap["row_cap"] != self._row_cap_val
+        ):
+            raise ValueError("graph snapshot does not match lattice params")
+        self._graph = snap["graph"]
+        self._similarity = snap["similarity"]
+        self._similarity_info = snap["similarity_info"]
+        self._graph_token = snap["token"]
+        self._edge_count_handle = self._fetch.defer(int(snap["n_edges"]))
+        self._window_ctx = snap["window_ctx"]
+        self._window_coverage = snap["window_coverage"]
+        self._host_idx = None
+        self._host_w = None
+        self._host_sqrt_deg = None
+        self._edge_pairs_cache = None
+        self._sig_memo = None
+        self._invalidate_cache()
+
     def _mirrors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host copies of (idx, w, sqrt_deg) — one batched fetch, cached."""
         if self._host_idx is None:

@@ -25,6 +25,7 @@ from ..core.lattice import OscillinkLattice
 from ..preprocess.autocorrect import smart_correct
 from .billing import TIERS, price_map, tier_info
 from .cache import BundleCache, ReplayCache
+from .graph_cache import GraphCache, graph_cache_key
 from .cli_sessions import CliSessionStore
 from .config import env_flag, get_settings
 from .features import resolve_features
@@ -100,6 +101,7 @@ class ServiceState:
         self.jobs = JobStore()
         self.bundle_cache = BundleCache()
         self.replay_cache = ReplayCache()
+        self.graph_cache = GraphCache()
         self.learners = Learners()
         self.cli_sessions = CliSessionStore()
         self.webhooks = WebhookProcessor(self.keystore, self.cli_sessions)
@@ -297,6 +299,39 @@ def _build_lattice(
         raise ApiError(
             422, "params.similarity must be auto|exact|fast|fastest|cluster"
         )
+    # opt-in cross-request graph cache (OSCILLINK_GRAPH_CACHE_SIZE > 0):
+    # long-lived corpus + churning queries is the dominant serving pattern,
+    # and the graph build dominates the device-path E2E.  Keyed per api key
+    # over every graph-determining input; a hit restores the device graph +
+    # window plan and is behaviorally identical to a rebuild (same token ->
+    # same signatures/receipts).  See service/graph_cache.py.
+    cache_key = None
+    if GraphCache.enabled():
+        cache_key = graph_cache_key(
+            OscillinkLattice._hash_anchors(Y),
+            k_eff,
+            1.0,
+            bool(req.params.deterministic_k),
+            req.params.neighbor_seed,
+            req.params.similarity,
+        )
+        snap = state.graph_cache.get_snapshot(api_key, cache_key)
+        if snap is not None:
+            lat = OscillinkLattice(
+                Y,
+                kneighbors=k_eff,
+                lamG=lamG,
+                lamC=lamC,
+                lamQ=lamQ,
+                deterministic_k=req.params.deterministic_k,
+                neighbor_seed=req.params.neighbor_seed,
+                similarity=req.params.similarity,
+                _defer_graph=True,
+            )
+            lat._install_graph_snapshot(snap)
+            lat._graph_cache_status = "HIT"
+            _finish_lattice_request_state(lat, req, N, D)
+            return lat, N, D, k_eff, eff, profile_id
     lat = OscillinkLattice(
         Y,
         kneighbors=k_eff,
@@ -307,6 +342,16 @@ def _build_lattice(
         neighbor_seed=req.params.neighbor_seed,
         similarity=req.params.similarity,
     )
+    if cache_key is not None:
+        state.graph_cache.put_snapshot(api_key, cache_key, lat._graph_snapshot())
+        lat._graph_cache_status = "MISS"
+    _finish_lattice_request_state(lat, req, N, D)
+    return lat, N, D, k_eff, eff, profile_id
+
+
+def _finish_lattice_request_state(lat, req, N: int, D: int) -> None:
+    """Per-request lattice state (query, gates, diffusion, chain, signing) —
+    shared by the fresh-build and graph-cache-hit construction paths."""
     if req.psi is not None:
         psi = np.array(req.psi, dtype=np.float32)
         if psi.shape[0] != D:
@@ -337,8 +382,6 @@ def _build_lattice(
     s_set = get_settings()
     if s_set.enable_signature and s_set.receipt_secret:
         lat.set_receipt_secret(s_set.receipt_secret)
-
-    return lat, N, D, k_eff, eff, profile_id
 
 
 def _charge(state: ServiceState, api_key: Optional[str], units: int):
@@ -480,6 +523,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)
 
     t0 = time.perf_counter()
+    graph_cache_status = None
     try:
         if native_eligible(sreq, N):
             out = native_settle(sreq, eff, include_receipt=include_receipt)
@@ -518,6 +562,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
                 receipt.get("meta", {}).get("state_sig") if receipt else None
             ) or lat._signature()
             served_by = "device"
+            graph_cache_status = getattr(lat, "_graph_cache_status", None)
         state.metrics.settle_counter.labels(status="ok").inc()
     except ApiError:
         raise
@@ -571,6 +616,7 @@ def _settle_core(state: ServiceState, req: ApiRequest, include_receipt=None):
             },
             "profile_id": profile_id,
             "backend": served_by,
+            "graph_cache": graph_cache_status,
             "diffusion": (
                 {"beta": sreq.diffusion.beta, "gamma": sreq.diffusion.gamma}
                 if _diffusion_requested(sreq)

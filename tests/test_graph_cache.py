@@ -1,0 +1,124 @@
+"""Opt-in cross-request graph cache (service/graph_cache.py).
+
+Off by default (the reference's stateless contract); enabled, a repeat
+corpus skips the similarity scan and serves a behaviorally identical
+response (same state_sig -> same receipts), isolated per api key and
+keyed over every graph-determining input.
+"""
+
+import numpy as np
+import pytest
+
+from oscillink_tpu.service import LocalClient
+
+
+def _payload(n=28, d=10, seed=0, psi_seed=None, **opts):
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    qrng = np.random.default_rng(seed if psi_seed is None else psi_seed)
+    qrng.standard_normal(d)  # decouple psi from Y draw order
+    psi = qrng.standard_normal(d).astype(np.float32)
+    return {
+        "Y": Y.tolist(),
+        "psi": psi.tolist(),
+        "options": {"max_iters": 12, "tol": 1e-3, "include_receipt": True, **opts},
+    }
+
+
+@pytest.fixture()
+def client(monkeypatch):
+    for var in ("OSCILLINK_API_KEYS", "OSCILLINK_RECEIPT_SECRET"):
+        monkeypatch.delenv(var, raising=False)
+    # keep everything on the device path so the cache branch is exercised
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    return LocalClient()
+
+
+def test_disabled_by_default(client):
+    r = client.post("/v1/settle", json_body=_payload())
+    assert r.status_code == 200
+    assert r.json()["meta"]["graph_cache"] is None
+
+
+def test_hit_is_behaviorally_identical(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    p = _payload(bundle_k=5)
+    r1 = client.post("/v1/settle", json_body=p)
+    assert r1.status_code == 200 and r1.json()["meta"]["graph_cache"] == "MISS"
+    r2 = client.post("/v1/settle", json_body=p)
+    assert r2.json()["meta"]["graph_cache"] == "HIT"
+    b1, b2 = r1.json(), r2.json()
+    assert b1["state_sig"] == b2["state_sig"]
+    assert b1["receipt"]["deltaH_total"] == pytest.approx(
+        b2["receipt"]["deltaH_total"], rel=1e-6
+    )
+    assert [e["id"] for e in b1["bundle"]] == [e["id"] for e in b2["bundle"]]
+    # graph-derived meta survives the hit
+    m1, m2 = b1["receipt"]["meta"], b2["receipt"]["meta"]
+    assert m1["avg_degree"] == pytest.approx(m2["avg_degree"])
+    assert m1["similarity"] == m2["similarity"]
+
+
+def test_hit_with_different_query_is_fresh(client, monkeypatch):
+    """A cache hit reuses the GRAPH only — per-request query state must not
+    leak between requests sharing a corpus."""
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    client.post("/v1/settle", json_body=_payload(psi_seed=1))
+    r_a = client.post("/v1/settle", json_body=_payload(psi_seed=2))
+    r_b = client.post("/v1/settle", json_body=_payload(psi_seed=3))
+    assert r_a.json()["meta"]["graph_cache"] == "HIT"
+    assert r_b.json()["meta"]["graph_cache"] == "HIT"
+    # different queries -> different signatures and energies
+    assert r_a.json()["state_sig"] != r_b.json()["state_sig"]
+    assert (
+        r_a.json()["receipt"]["deltaH_total"]
+        != r_b.json()["receipt"]["deltaH_total"]
+    )
+
+
+def test_key_includes_graph_params(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    p = _payload()
+    client.post("/v1/settle", json_body=p)
+    # different corpus -> MISS
+    r = client.post("/v1/settle", json_body=_payload(seed=7))
+    assert r.json()["meta"]["graph_cache"] == "MISS"
+    # different kneighbors -> MISS
+    p_k = {**p, "params": {"kneighbors": 4}}
+    r = client.post("/v1/settle", json_body=p_k)
+    assert r.json()["meta"]["graph_cache"] == "MISS"
+    # deterministic_k flips the key too
+    p_det = {**p, "params": {"deterministic_k": True}}
+    r = client.post("/v1/settle", json_body=p_det)
+    assert r.json()["meta"]["graph_cache"] == "MISS"
+
+
+def test_per_api_key_isolation(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    monkeypatch.setenv("OSCILLINK_API_KEYS", "ka,kb")
+    p = _payload()
+    r1 = client.post("/v1/settle", json_body=p, headers={"X-API-Key": "ka"})
+    assert r1.json()["meta"]["graph_cache"] == "MISS"
+    # same corpus, other tenant: never served from ka's bucket
+    r2 = client.post("/v1/settle", json_body=p, headers={"X-API-Key": "kb"})
+    assert r2.json()["meta"]["graph_cache"] == "MISS"
+    r3 = client.post("/v1/settle", json_body=p, headers={"X-API-Key": "ka"})
+    assert r3.json()["meta"]["graph_cache"] == "HIT"
+
+
+def test_diffusion_over_cached_graph(client, monkeypatch):
+    """Server-side diffusion gates derive over the cached graph on a hit
+    and match the fresh-build derivation."""
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    p = _payload()
+    p["diffusion"] = {"enable": True, "beta": 1.0, "gamma": 0.1}
+    r1 = client.post("/v1/settle", json_body=p)
+    r2 = client.post("/v1/settle", json_body=p)
+    assert r1.json()["meta"]["graph_cache"] == "MISS"
+    assert r2.json()["meta"]["graph_cache"] == "HIT"
+    m1, m2 = r1.json()["receipt"]["meta"], r2.json()["receipt"]["meta"]
+    assert m1["gates_mean"] == pytest.approx(m2["gates_mean"], rel=1e-6)
+    assert r1.json()["receipt"]["deltaH_total"] == pytest.approx(
+        r2.json()["receipt"]["deltaH_total"], rel=1e-6
+    )
