@@ -721,6 +721,55 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         )
         return resp
 
+    # small-N bundles serve on the native host path (both MMR and rerank
+    # modes are implemented in the engine), mirroring the settle routing
+    from .native_path import eligible as native_eligible
+    from .native_path import native_settle
+
+    if native_eligible(breq, len(breq.Y)):
+        Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+            state, breq, ctx["api_key"]
+        )
+        units = N * D
+        monthly_ctx, remaining, limit, reset_at = _charge(
+            state, ctx["api_key"], units
+        )
+        breq.options.bundle_k = breq.bundle_k
+        breq.options.bundle_diversify = breq.diversify
+        out = native_settle(
+            breq, eff, include_receipt=False, bundle_alpha=breq.alpha
+        )
+        state_sig = out["state_sig"]
+        cache_sig = _bundle_cache_sig(state_sig, breq)
+        cached = state.bundle_cache.get(ctx["api_key"], cache_sig)
+        if cached is not None:
+            bundle, cache_status, t_ms = cached["bundle"], "HIT", 0.0
+        else:
+            bundle, t_ms = out["bundle"], out["t_ms"]
+            state.bundle_cache.put(ctx["api_key"], cache_sig, bundle)
+            cache_status = "MISS"
+        state.metrics.settle_counter.labels(status="ok").inc()
+        state.metrics.settle_latency.observe(out["t_ms"] / 1000.0)
+        resp = ApiResponse(
+            body={
+                "state_sig": state_sig,
+                "bundle": bundle,
+                "timings_ms": {"total_ms": t_ms},
+                "meta": {
+                    "N": N,
+                    "D": D,
+                    "kneighbors_effective": k_eff,
+                    "cache": cache_status,
+                    "backend": "native",
+                },
+            },
+            headers={"X-Cache": cache_status, "X-Cache-Key": state_sig[:16]},
+        )
+        _usage_and_headers(
+            resp, state, monthly_ctx, remaining, limit, reset_at, profile_id
+        )
+        return resp
+
     # validate (cheap) -> charge -> build: an over-quota client must not be
     # able to force the O(N^2 D) graph scan before its 429
     pre = _validate_and_overrides(state, breq, ctx["api_key"])

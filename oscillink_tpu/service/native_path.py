@@ -57,7 +57,11 @@ def eligible(sreq, n: int) -> bool:
 
 
 def native_settle(
-    sreq, eff_params: dict, *, include_receipt: Optional[bool] = None
+    sreq,
+    eff_params: dict,
+    *,
+    include_receipt: Optional[bool] = None,
+    bundle_alpha: float = 0.5,
 ) -> dict[str, Any]:
     """Run the settle on the native engine; returns the response body pieces
     {state_sig, receipt, bundle, settle_stats, t_ms}."""
@@ -193,6 +197,7 @@ def native_settle(
     if sreq.options.bundle_k:
         bundle = eng.bundle(
             k=sreq.options.bundle_k,
+            alpha=bundle_alpha,
             diversify=getattr(sreq.options, "bundle_diversify", True),
         )
 

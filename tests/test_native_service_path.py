@@ -130,3 +130,43 @@ def test_diffusion_native_agrees_with_device(client, monkeypatch):
     dh_n = r_native.json()["receipt"]["deltaH_total"]
     dh_d = r_device.json()["receipt"]["deltaH_total"]
     assert abs(dh_n - dh_d) / (abs(dh_d) + 1e-9) < 5e-3
+
+
+def test_bundle_endpoint_routes_native(client, monkeypatch):
+    """/v1/bundle mirrors the settle routing: small N serves on the host
+    engine, both modes, with the bundle cache keyed by the same state_sig
+    scheme as the device/sharded branches."""
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    p = {**_payload(n=32, d=10, seed=21), "bundle_k": 5, "alpha": 0.6}
+    r1 = client.post("/v1/bundle", json_body=p)
+    assert r1.status_code == 200
+    b1 = r1.json()
+    assert b1["meta"]["backend"] == "native"
+    assert b1["meta"]["cache"] == "MISS"
+    r2 = client.post("/v1/bundle", json_body=p)
+    assert r2.json()["meta"]["cache"] == "HIT"
+    assert r2.json()["bundle"] == b1["bundle"]
+
+    # device parity: same picks through the device path
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/bundle", json_body=p)
+    assert rd.json()["meta"].get("backend", "device") != "native"
+    assert [e["id"] for e in rd.json()["bundle"]] == [e["id"] for e in b1["bundle"]]
+    # signatures agree across backends (same token scheme)
+    assert rd.json()["state_sig"] == b1["state_sig"]
+
+
+def test_bundle_endpoint_native_rerank_mode(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    p = {
+        **_payload(n=32, d=10, seed=22),
+        "bundle_k": 5,
+        "diversify": False,
+    }
+    rn = client.post("/v1/bundle", json_body=p)
+    assert rn.json()["meta"]["backend"] == "native"
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/bundle", json_body=p)
+    assert [e["id"] for e in rn.json()["bundle"]] == [
+        e["id"] for e in rd.json()["bundle"]
+    ]
