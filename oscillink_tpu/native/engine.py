@@ -198,6 +198,8 @@ class NativeEngine:
         self._path_src = np.zeros(0, dtype=np.int32)
         self._path_dst = np.zeros(0, dtype=np.int32)
         self._path_wn = np.zeros(0, dtype=np.float32)
+        self._path_w = np.zeros(0, dtype=np.float32)
+        self._chain_nodes: Optional[list] = None
         # U* / per-node caches, invalidated on any state change (psi, gates,
         # chain) — mirrors the JAX lattice's signature-keyed cache semantics
         # (core/lattice.py solve_Ustar); without them the serving flow paid
@@ -286,14 +288,116 @@ class NativeEngine:
         self._path_src = np.ascontiguousarray(np.asarray(pg.src), dtype=np.int32)
         self._path_dst = np.ascontiguousarray(np.asarray(pg.dst), dtype=np.int32)
         self._path_wn = np.ascontiguousarray(np.asarray(pg.wn), dtype=np.float32)
+        self._path_w = np.ascontiguousarray(np.asarray(pg.w), dtype=np.float32)
+        self._chain_nodes = [int(c) for c in chain]
         self.lamP = float(lamP)
         self._invalidate()
+
+    def chain_receipt(self, chain, z_th: float = 2.5) -> dict:
+        """Per-chain-edge z-scores + verdict (reference lattice.py:466-528;
+        same math as ops/receipts.py:chain_edge_stats, host numpy).  Uses
+        the installed chain's path weights when ``chain`` matches the one
+        from `add_chain`; otherwise builds an unweighted path over
+        ``chain`` — mirroring the device lattice's fallback."""
+        chain = [int(c) for c in chain]
+        if len(chain) < 2:
+            raise ValueError("chain must contain at least two indices")
+        if min(chain) < 0 or max(chain) >= self.N:
+            raise ValueError("chain indices out of bounds")
+        Ustar, _, _ = self.solve_ustar()
+        n = self.N
+        inv_sd = (1.0 / (self.sqrt_deg + 1e-12)).astype(np.float32)
+        Un = Ustar * inv_sd[:, None]
+
+        # structural residual row moments over dense-N columns
+        d2 = np.sum((Un[:, None, :] - Un[self.idx]) ** 2, axis=2)
+        R = self.lamC * self.w * d2
+        mu = R.sum(axis=1) / n
+        var = np.maximum((R * R).sum(axis=1) / n - mu * mu, 0.0)
+        sigma = np.sqrt(var) + 1e-12
+
+        # path-residual row moments
+        if getattr(self, "_chain_nodes", None) == chain and len(self._path_src):
+            src, dst, pw = self._path_src, self._path_dst, self._path_w
+        else:
+            from ..ops.path import build_path_graph
+
+            pg = build_path_graph(self.N, chain)
+            src = np.asarray(pg.src, dtype=np.int32)
+            dst = np.asarray(pg.dst, dtype=np.int32)
+            pw = np.asarray(pg.w, dtype=np.float32)
+        lamC_p = max(self.lamC, 1e-6)
+        dsq_path = np.sum((Un[src] - Un[dst]) ** 2, axis=1)
+        Rp = (lamC_p * pw * dsq_path).astype(np.float64)
+        off_diag = np.where(src == dst, 0.0, Rp)
+        s1 = np.zeros(n, np.float64)
+        np.add.at(s1, src, Rp)
+        np.add.at(s1, dst, off_diag)
+        s2 = np.zeros(n, np.float64)
+        np.add.at(s2, src, Rp * Rp)
+        np.add.at(s2, dst, off_diag * off_diag)
+        mu_p = s1 / n
+        var_p = np.maximum(s2 / n - mu_p * mu_p, 0.0)
+        sig_p = np.sqrt(var_p) + 1e-12
+
+        ci = np.array(chain[:-1], dtype=np.int64)
+        cj = np.array(chain[1:], dtype=np.int64)
+        d2_c = np.sum((Un[ci] - Un[cj]) ** 2, axis=1)
+        hit = self.idx[ci] == cj[:, None]
+        w_c = np.sum(np.where(hit, self.w[ci], 0.0), axis=1)
+        r_struct = self.lamC * w_c * d2_c
+        z_struct = (r_struct - mu[ci]) / sigma[ci]
+        key_i = np.minimum(ci, cj)
+        key_j = np.maximum(ci, cj)
+        hit_p = (src[None, :] == key_i[:, None]) & (dst[None, :] == key_j[:, None])
+        wp_c = np.sum(np.where(hit_p, pw[None, :], 0.0), axis=1)
+        r_path = lamC_p * wp_c * d2_c
+        z_path = (r_path - mu_p[ci]) / sig_p[ci]
+
+        Ynorm = self.Y / (self.sqrt_deg + 1e-12)[:, None]
+        ydiff2 = np.sum((Ynorm[ci] - Ynorm[cj]) ** 2, axis=1)
+        gain = float(
+            np.sum(0.5 * self.lamC * np.maximum(w_c, 0.0) * (ydiff2 - d2_c))
+        )
+
+        edges = []
+        worst = (-1, -1.0, (-1, -1))
+        for a in range(len(chain) - 1):
+            i, j = chain[a], chain[a + 1]
+            edges.append(
+                {
+                    "k": int(a),
+                    "edge": [i, j],
+                    "z_struct": float(z_struct[a]),
+                    "z_path": float(z_path[a]),
+                    "r_struct": float(r_struct[a]),
+                    "r_path": float(r_path[a]),
+                }
+            )
+            zmax = max(float(z_struct[a]), float(z_path[a]))
+            if zmax > worst[1]:
+                worst = (a, zmax, (i, j))
+        verdict = all(
+            max(e["z_struct"], e["z_path"]) <= float(z_th) for e in edges
+        )
+        return {
+            "verdict": bool(verdict),
+            "weakest_link": {
+                "k": int(worst[0]),
+                "edge": [int(worst[2][0]), int(worst[2][1])],
+                "zscore": float(worst[1]),
+            },
+            "coherence_gain": gain,
+            "edges": edges,
+        }
 
     def clear_chain(self) -> None:
         self.lamP = 0.0
         self._path_src = np.zeros(0, dtype=np.int32)
         self._path_dst = np.zeros(0, dtype=np.int32)
         self._path_wn = np.zeros(0, dtype=np.float32)
+        self._path_w = np.zeros(0, dtype=np.float32)
+        self._chain_nodes = None
         self._invalidate()
 
     def settle(self, dt=1.0, max_iters=12, tol=1e-3):

@@ -892,6 +892,42 @@ def h_chain_receipt(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         )
         return resp
 
+    # small-N chain receipts serve natively (engine.chain_receipt mirrors
+    # ops/receipts.py:chain_edge_stats; parity tests in test_native_engine)
+    from .native_path import chain_receipt_native
+    from .native_path import eligible as native_eligible
+
+    if native_eligible(creq, len(creq.Y)):
+        Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
+            state, creq, ctx["api_key"]
+        )
+        if min(creq.chain) < 0 or max(creq.chain) >= N:
+            raise ApiError(400, "chain indices out of bounds")
+        units = N * D
+        monthly_ctx, remaining, limit, reset_at = _charge(
+            state, ctx["api_key"], units
+        )
+        t0 = time.perf_counter()
+        chain_rec, state_sig = chain_receipt_native(creq, eff, z_th=creq.z_th)
+        t_ms = 1000.0 * (time.perf_counter() - t0)
+        resp = ApiResponse(
+            body={
+                "state_sig": state_sig,
+                "chain_receipt": chain_rec,
+                "timings_ms": {"total_ms": t_ms},
+                "meta": {
+                    "N": N,
+                    "D": D,
+                    "kneighbors_effective": k_eff,
+                    "backend": "native",
+                },
+            }
+        )
+        _usage_and_headers(
+            resp, state, monthly_ctx, remaining, limit, reset_at, profile_id
+        )
+        return resp
+
     pre = _validate_and_overrides(state, creq, ctx["api_key"])
     units = pre[1] * pre[2]
     monthly_ctx, remaining, limit, reset_at = _charge(state, ctx["api_key"], units)

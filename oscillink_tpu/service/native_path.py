@@ -24,7 +24,12 @@ from ..core.lattice import OscillinkLattice, compute_graph_token, compute_state_
 from ..core.receipts import sign_payload
 from .config import get_settings
 
-__all__ = ["native_threshold", "eligible", "native_settle"]
+__all__ = [
+    "native_threshold",
+    "eligible",
+    "native_settle",
+    "chain_receipt_native",
+]
 
 
 def native_threshold() -> int:
@@ -56,21 +61,16 @@ def eligible(sreq, n: int) -> bool:
         return False
 
 
-def native_settle(
-    sreq,
-    eff_params: dict,
-    *,
-    include_receipt: Optional[bool] = None,
-    bundle_alpha: float = 0.5,
-) -> dict[str, Any]:
-    """Run the settle on the native engine; returns the response body pieces
-    {state_sig, receipt, bundle, settle_stats, t_ms}."""
+def _engine_for_request(sreq, eff_params: dict):
+    """Build + configure the engine for a request (query, gates, diffusion,
+    chain) and compute the cross-backend state signature.  Shared by the
+    settle and chain-receipt native branches.  Returns
+    (eng, psi, state_sig, k_eff, n, d)."""
     from ..native import NativeEngine
 
     Y = np.array(sreq.Y, dtype=np.float32)
     n, d = Y.shape
     k_eff = min(int(eff_params["kneighbors"]), max(1, n - 1))
-    t0 = time.perf_counter()
     eng = NativeEngine(
         Y,
         kneighbors=k_eff,
@@ -113,10 +113,6 @@ def native_settle(
         )
     if sreq.chain:
         eng.add_chain(sreq.chain, lamP=sreq.params.lamP)
-    stats = eng.settle(
-        dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
-    )
-    t_ms = 1000.0 * (time.perf_counter() - t0)
 
     y_hash = OscillinkLattice._hash_anchors(Y)
     token = compute_graph_token(
@@ -132,6 +128,34 @@ def native_settle(
         bool(sreq.params.deterministic_k),
         token,
     )
+    return eng, psi, state_sig, k_eff, n, d
+
+
+def chain_receipt_native(sreq, eff_params: dict, *, z_th: float = 2.5):
+    """Chain receipt on the host engine; returns (chain_receipt, state_sig).
+    Output contract matches `OscillinkLattice.chain_receipt` (the engine
+    method mirrors ops/receipts.py:chain_edge_stats — parity tests in
+    tests/test_native_engine.py)."""
+    eng, _, state_sig, *_ = _engine_for_request(sreq, eff_params)
+    return eng.chain_receipt(sreq.chain, z_th=z_th), state_sig
+
+
+def native_settle(
+    sreq,
+    eff_params: dict,
+    *,
+    include_receipt: Optional[bool] = None,
+    bundle_alpha: float = 0.5,
+) -> dict[str, Any]:
+    """Run the settle on the native engine; returns the response body pieces
+    {state_sig, receipt, bundle, settle_stats, t_ms}."""
+    t0 = time.perf_counter()
+    eng, psi, state_sig, k_eff, n, d = _engine_for_request(sreq, eff_params)
+    Y = eng.Y
+    stats = eng.settle(
+        dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol
+    )
+    t_ms = 1000.0 * (time.perf_counter() - t0)
 
     want_receipt = (
         sreq.options.include_receipt if include_receipt is None else include_receipt

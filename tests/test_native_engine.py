@@ -215,3 +215,57 @@ def test_native_diffusion_gates_validation():
         eng.diffusion_gates(gamma=0.0)
     with pytest.raises(ValueError):
         eng.diffusion_gates(psi=np.zeros(5, np.float32))
+
+
+def test_native_chain_receipt_matches_jax():
+    """engine.chain_receipt mirrors ops/receipts.py:chain_edge_stats; the
+    chain walks REAL mutual edges so residuals/gains are nonzero."""
+    from oscillink_tpu import OscillinkLattice
+
+    rng = np.random.default_rng(0)
+    n, d, k = 80, 16, 5
+    centers = rng.standard_normal((4, d)).astype(np.float32)
+    Y = (centers[np.arange(n) % 4] + 0.3 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    psi = (Y[0] / np.linalg.norm(Y[0])).astype(np.float32)
+    eng = NativeEngine(Y, kneighbors=k)
+    eng.set_query(psi)
+    deg = (eng.w > 0).sum(1)
+    chain = [int(np.argmax(deg))]
+    for _ in range(3):
+        i = chain[-1]
+        js = [
+            int(j)
+            for a, j in enumerate(eng.idx[i])
+            if eng.w[i, a] > 0 and int(j) not in chain
+        ]
+        if not js:
+            break
+        chain.append(js[0])
+    assert len(chain) >= 2
+
+    cr_n = eng.chain_receipt(chain)
+    lat = OscillinkLattice(Y, kneighbors=k, deterministic_k=True)
+    lat.set_query(psi)
+    cr_d = lat.chain_receipt(chain)
+    assert cr_n["verdict"] == cr_d["verdict"]
+    assert cr_n["weakest_link"]["edge"] == cr_d["weakest_link"]["edge"]
+    for en, ed in zip(cr_n["edges"], cr_d["edges"]):
+        for f in ("z_struct", "z_path", "r_struct", "r_path"):
+            assert abs(en[f] - ed[f]) <= max(2e-3, 2e-3 * abs(ed[f])), (f, en, ed)
+    assert cr_d["coherence_gain"] != 0.0
+    rel = abs(cr_n["coherence_gain"] - cr_d["coherence_gain"]) / (
+        abs(cr_d["coherence_gain"]) + 1e-9
+    )
+    assert rel < 5e-3
+
+
+def test_native_chain_receipt_validation():
+    Y, psi = _data(n=30, d=8, seed=2)
+    eng = NativeEngine(Y, kneighbors=3)
+    eng.set_query(psi)
+    with pytest.raises(ValueError):
+        eng.chain_receipt([1])
+    with pytest.raises(ValueError):
+        eng.chain_receipt([0, 99])

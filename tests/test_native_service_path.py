@@ -170,3 +170,26 @@ def test_bundle_endpoint_native_rerank_mode(client, monkeypatch):
     assert [e["id"] for e in rn.json()["bundle"]] == [
         e["id"] for e in rd.json()["bundle"]
     ]
+
+
+def test_chain_receipt_endpoint_routes_native(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    p = {**_payload(n=28, d=8, seed=31), "chain": [0, 3, 7, 11],
+         "params": {"deterministic_k": True}}
+    rn = client.post("/v1/chain/receipt", json_body=p)
+    assert rn.status_code == 200
+    bn = rn.json()
+    assert bn["meta"]["backend"] == "native"
+    cr = bn["chain_receipt"]
+    assert set(cr) >= {"verdict", "weakest_link", "coherence_gain", "edges"}
+    assert len(cr["edges"]) == 3
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/chain/receipt", json_body=p)
+    cd = rd.json()["chain_receipt"]
+    assert cr["verdict"] == cd["verdict"]
+    assert bn["state_sig"] == rd.json()["state_sig"]
+    for en, ed in zip(cr["edges"], cd["edges"]):
+        assert abs(en["z_struct"] - ed["z_struct"]) <= max(
+            2e-3, 2e-3 * abs(ed["z_struct"])
+        )
