@@ -541,6 +541,44 @@ class NativeEngine:
             for i in chosen
         ]
 
+    def bundle_batch(
+        self,
+        psis: np.ndarray,
+        gates: Optional[np.ndarray] = None,
+        k: int = 8,
+        alpha: float = 0.5,
+        *,
+        diffusion: Optional[dict] = None,
+    ) -> list[list[dict]]:
+        """Bundles for Q queries over this engine's shared graph — the host
+        counterpart of `OscillinkLattice.bundle_batch`.  ``gates`` is an
+        optional [Q, N] block; ``diffusion`` (dict of beta/gamma/tol/
+        max_iters) derives gates per query instead, mirroring the device
+        batch's `diffusion_gates_batch` semantics.  The graph is built
+        once (ctor); each query pays one stationary solve."""
+        psis = np.asarray(psis, dtype=np.float32)
+        out: list[list[dict]] = []
+        for qi in range(psis.shape[0]):
+            psi = np.ascontiguousarray(psis[qi])
+            if diffusion is not None:
+                self.set_query(psi)
+                self.diffusion_gates(
+                    beta=float(diffusion.get("beta", 1.0)),
+                    gamma=float(diffusion.get("gamma", 0.1)),
+                    tol=float(diffusion.get("tol", 1e-4)),
+                    max_iters=int(diffusion.get("max_iters", 256)),
+                    apply=True,
+                )
+            else:
+                g_i = (
+                    np.ascontiguousarray(gates[qi], dtype=np.float32)
+                    if gates is not None
+                    else np.ones(self.N, dtype=np.float32)
+                )
+                self.set_query(psi, gates=g_i)
+            out.append(self.bundle(k=k, alpha=alpha))
+        return out
+
     def dense_adjacency(self) -> np.ndarray:
         A = np.zeros((self.N, self.N), dtype=np.float32)
         for i in range(self.N):

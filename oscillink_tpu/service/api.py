@@ -996,6 +996,64 @@ def h_settle_batch(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         raise ApiError(
             422, "params.similarity must be auto|exact|fast|fastest|cluster"
         )
+    # small-N batches serve on the host engine: the graph is built once and
+    # each query pays a sub-millisecond stationary solve — no device
+    # round-trip (routing contract identical to the single-settle path)
+    from .native_path import eligible as native_eligible
+
+    if native_eligible(breq, N):
+        from ..native import NativeEngine
+
+        t0 = time.perf_counter()
+        eng = NativeEngine(
+            Y,
+            kneighbors=k_eff,
+            lamG=breq.params.lamG,
+            lamC=breq.params.lamC,
+            lamQ=breq.params.lamQ,
+        )
+        dopt = breq.diffusion if _diffusion_requested(breq) else None
+        bundles = eng.bundle_batch(
+            psis,
+            gates=gates,
+            k=breq.bundle_k,
+            alpha=breq.alpha,
+            diffusion=(
+                {
+                    "beta": dopt.beta,
+                    "gamma": dopt.gamma,
+                    "tol": dopt.tol,
+                    "max_iters": dopt.max_iters,
+                }
+                if dopt is not None
+                else None
+            ),
+        )
+        t_ms = 1000.0 * (time.perf_counter() - t0)
+        state.metrics.usage_units.inc(units)
+        resp = ApiResponse(
+            body={
+                "queries": Q,
+                "bundles": bundles,
+                "timings_ms": {"total_ms": t_ms, "per_query_ms": t_ms / Q},
+                "meta": {
+                    "N": N,
+                    "D": D,
+                    "kneighbors_effective": k_eff,
+                    "backend": "native",
+                    "diffusion": (
+                        {"beta": dopt.beta, "gamma": dopt.gamma}
+                        if dopt is not None
+                        else None
+                    ),
+                },
+            }
+        )
+        _usage_and_headers(
+            resp, state, monthly_ctx, remaining, limit, reset_at, "baseline"
+        )
+        return resp
+
     t0 = time.perf_counter()
     lat = OscillinkLattice(
         Y,

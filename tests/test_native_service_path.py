@@ -193,3 +193,43 @@ def test_chain_receipt_endpoint_routes_native(client, monkeypatch):
         assert abs(en["z_struct"] - ed["z_struct"]) <= max(
             2e-3, 2e-3 * abs(ed["z_struct"])
         )
+
+
+def test_batch_endpoint_routes_native(client, monkeypatch):
+    """/v1/settle/batch at small N: graph built once on the host engine,
+    per-query solves native; bundles match the device vmapped path."""
+    rng = np.random.default_rng(41)
+    Y = rng.standard_normal((30, 8)).astype(np.float32)
+    psis = rng.standard_normal((3, 8)).astype(np.float32)
+    p = {"Y": Y.tolist(), "psis": psis.tolist(), "bundle_k": 4,
+         "params": {"deterministic_k": True}}
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    rn = client.post("/v1/settle/batch", json_body=p)
+    assert rn.status_code == 200
+    bn = rn.json()
+    assert bn["meta"]["backend"] == "native"
+    assert bn["queries"] == 3 and len(bn["bundles"]) == 3
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "0")
+    rd = client.post("/v1/settle/batch", json_body=p)
+    bd = rd.json()
+    assert bd["meta"].get("backend") is None  # device branch carries no tag
+    for qn, qd in zip(bn["bundles"], bd["bundles"]):
+        assert [e["id"] for e in qn] == [e["id"] for e in qd]
+
+
+def test_batch_endpoint_native_diffusion(client, monkeypatch):
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    rng = np.random.default_rng(43)
+    Y = rng.standard_normal((24, 8)).astype(np.float32)
+    psis = rng.standard_normal((2, 8)).astype(np.float32)
+    p = {"Y": Y.tolist(), "psis": psis.tolist(), "bundle_k": 4,
+         "diffusion": {"enable": True, "beta": 1.0, "gamma": 0.1}}
+    r = client.post("/v1/settle/batch", json_body=p)
+    assert r.status_code == 200
+    b = r.json()
+    assert b["meta"]["backend"] == "native"
+    assert b["meta"]["diffusion"] == {"beta": 1.0, "gamma": 0.1}
+    assert len(b["bundles"]) == 2
