@@ -330,6 +330,7 @@ def _build_lattice(
             )
             lat._install_graph_snapshot(snap)
             lat._graph_cache_status = "HIT"
+            state.metrics.graph_cache.labels(status="hit").inc()
             _finish_lattice_request_state(lat, req, N, D)
             return lat, N, D, k_eff, eff, profile_id
     lat = OscillinkLattice(
@@ -345,6 +346,7 @@ def _build_lattice(
     if cache_key is not None:
         state.graph_cache.put_snapshot(api_key, cache_key, lat._graph_snapshot())
         lat._graph_cache_status = "MISS"
+        state.metrics.graph_cache.labels(status="miss").inc()
     _finish_lattice_request_state(lat, req, N, D)
     return lat, N, D, k_eff, eff, profile_id
 

@@ -109,6 +109,13 @@ class Metrics:
             "requests rejected by governance checks",
             labelnames=("kind",),
         )
+        # opt-in cross-request graph cache (service/graph_cache.py)
+        self.graph_cache = _get_or_create(
+            Counter if HAVE_PROMETHEUS else None,
+            "oscillink_graph_cache_total",
+            "graph cache lookups by outcome",
+            labelnames=("status",),
+        )
 
     @staticmethod
     def render() -> Optional[bytes]:

@@ -122,3 +122,21 @@ def test_diffusion_over_cached_graph(client, monkeypatch):
     assert r1.json()["receipt"]["deltaH_total"] == pytest.approx(
         r2.json()["receipt"]["deltaH_total"], rel=1e-6
     )
+
+
+def test_prometheus_counter_tracks_hits_and_misses(client, monkeypatch):
+    """Cache observability: oscillink_graph_cache_total{status=...} moves
+    with each lookup outcome (no-op when prometheus_client is absent)."""
+    pytest.importorskip("prometheus_client")
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    ctr = client.state.metrics.graph_cache
+
+    def val(status):
+        return ctr.labels(status=status)._value.get()
+
+    miss0, hit0 = val("miss"), val("hit")
+    p = _payload()
+    client.post("/v1/settle", json_body=p)
+    assert (val("miss"), val("hit")) == (miss0 + 1, hit0)
+    client.post("/v1/settle", json_body=p)
+    assert (val("miss"), val("hit")) == (miss0 + 1, hit0 + 1)
