@@ -577,10 +577,15 @@ class OscillinkLattice:
     # -- graph build ------------------------------------------------------
 
     @staticmethod
-    def _hash_anchors(Y: np.ndarray) -> str:
-        """SHA-256 of the anchors (strided row sample above _FULL_HASH_LIMIT)."""
-        if Y.nbytes <= _FULL_HASH_LIMIT:
-            return hashlib.sha256(Y.tobytes()).hexdigest()
+    def _hash_anchors(Y: np.ndarray, full: bool = False) -> str:
+        """SHA-256 of the anchors (strided row sample above _FULL_HASH_LIMIT).
+
+        ``full=True`` forces an unsampled content hash regardless of size —
+        required wherever the hash is a correctness-critical KEY rather than
+        a fingerprint (the service graph cache: two corpora differing only
+        in rows a stride skips must never collide)."""
+        if full or Y.nbytes <= _FULL_HASH_LIMIT:
+            return hashlib.sha256(np.ascontiguousarray(Y).tobytes()).hexdigest()
         stride = max(1, Y.shape[0] * Y.shape[1] * 4 // _FULL_HASH_LIMIT)
         h = hashlib.sha256()
         h.update(np.ascontiguousarray(Y[::stride]).tobytes())

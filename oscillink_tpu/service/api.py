@@ -308,7 +308,9 @@ def _build_lattice(
     cache_key = None
     if GraphCache.enabled():
         cache_key = graph_cache_key(
-            OscillinkLattice._hash_anchors(Y),
+            # full=True: the sampled fingerprint is lossy above 128 MiB and
+            # a collision here would silently serve a stale graph
+            OscillinkLattice._hash_anchors(Y, full=True),
             k_eff,
             1.0,
             bool(req.params.deterministic_k),

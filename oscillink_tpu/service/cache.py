@@ -51,6 +51,49 @@ class _PerKeyTTLLRU:
     def size() -> int:  # pragma: no cover — overridden
         return 64
 
+    @staticmethod
+    def global_bound() -> int:
+        """Total-entry cap across ALL api keys (0 = per-key bound only).
+
+        Caches whose records pin device memory (the graph cache holds
+        jax arrays: neighbor idx/w, degrees, window plan) override this —
+        a per-key bound alone lets total memory grow as size x tenants."""
+        return 0
+
+    def sweep_expired(self) -> None:
+        """Drop every expired entry now (access-driven, like jobs.purge)."""
+        ttl = self.ttl()
+        if ttl <= 0:
+            return
+        now = time.time()
+        with self._lock:
+            for key in list(self._per_key):
+                b = self._per_key[key]
+                for s in [s for s, r in list(b.items()) if now - r["ts"] > ttl]:
+                    b.pop(s, None)
+                if not b:
+                    self._per_key.pop(key, None)
+
+    def _evict_to_global_bound(self) -> None:
+        """Assumes self._lock held. Evict oldest-put entries across keys."""
+        bound = self.global_bound()
+        if bound <= 0:
+            return
+        while sum(len(b) for b in self._per_key.values()) > bound:
+            oldest_key, oldest_sig, oldest_ts = None, None, None
+            for key, b in self._per_key.items():
+                for s, r in b.items():  # front of each LRU bucket first
+                    at = r.get("atime", r["ts"])
+                    if oldest_ts is None or at < oldest_ts:
+                        oldest_key, oldest_sig, oldest_ts = key, s, at
+                    break
+            if oldest_key is None:  # pragma: no cover — defensive
+                return
+            b = self._per_key[oldest_key]
+            b.pop(oldest_sig, None)
+            if not b:
+                self._per_key.pop(oldest_key, None)
+
     def _get(self, api_key: Optional[str], sig: str) -> Optional[dict]:
         ttl = self.ttl()
         if ttl <= 0:
@@ -65,6 +108,7 @@ class _PerKeyTTLLRU:
             if time.time() - rec["ts"] > ttl:
                 bucket.pop(sig, None)
                 return None
+            rec["atime"] = time.time()  # global-LRU recency (TTL stays put-time)
             bucket.move_to_end(sig)
             return rec
 
@@ -75,10 +119,11 @@ class _PerKeyTTLLRU:
         now = time.time()
         with self._lock:
             bucket = self._per_key.setdefault(api_key or "_anon_", OrderedDict())
-            bucket[sig] = {"ts": now, **rec}
+            bucket[sig] = {"ts": now, "atime": now, **rec}
             bucket.move_to_end(sig)
             while len(bucket) > self.size():
                 bucket.popitem(last=False)
+            self._evict_to_global_bound()
             self._puts += 1
             if self._puts % 256 == 0:
                 for key in list(self._per_key):

@@ -12,11 +12,13 @@ tenant can never be served another tenant's graph, even on a hash
 collision of public corpora.
 
 Key = SHA-256 of (Y-hash, k_eff, row_cap, deterministic_k, neighbor_seed,
-resolved similarity).  The Y-hash is the lattice's own anchor hash
-(`OscillinkLattice._hash_anchors`): full content hash up to the sampling
-limit, strided sample + shape beyond it.  Every parameter that changes the
-built graph is in the key, so a hit is behaviorally identical to a rebuild
-(same graph token -> same state signatures -> same receipts).
+resolved similarity).  The Y-hash is the FULL (unsampled) anchor content
+hash (`OscillinkLattice._hash_anchors(Y, full=True)`) — the lattice's own
+sampled fingerprint is lossy above 128 MiB, and a cache key must never
+collide for corpora differing only in rows the stride skips.  Every
+parameter that changes the built graph is in the key, so a hit is
+behaviorally identical to a rebuild (same graph token -> same state
+signatures -> same receipts).
 
 Serving pattern this exists for: RAG corpora are long-lived while queries
 churn — build once, settle per query.  Measured effect: the build IS the
@@ -62,12 +64,23 @@ class GraphCache(_PerKeyTTLLRU):
         return _env_int("OSCILLINK_GRAPH_CACHE_SIZE", 0)
 
     @staticmethod
+    def global_bound() -> int:
+        # Snapshots pin device memory (jax neighbor/weight/degree arrays +
+        # window plan), so OSCILLINK_GRAPH_CACHE_SIZE bounds TOTAL entries
+        # across api keys — not per key like the small host-side caches.
+        return GraphCache.size()
+
+    @staticmethod
     def enabled() -> bool:
         return GraphCache.size() > 0 and GraphCache.ttl() > 0
 
     def get_snapshot(self, api_key: Optional[str], key: str) -> Optional[dict]:
+        # access-driven expiry (jobs.purge idiom): device buffers must not
+        # stay pinned past TTL waiting for the every-256-puts sweep
+        self.sweep_expired()
         rec = self._get(api_key, key)
         return rec["snap"] if rec else None
 
     def put_snapshot(self, api_key: Optional[str], key: str, snap: dict) -> None:
+        self.sweep_expired()
         self._put(api_key, key, {"snap": snap})

@@ -140,3 +140,64 @@ def test_prometheus_counter_tracks_hits_and_misses(client, monkeypatch):
     assert (val("miss"), val("hit")) == (miss0 + 1, hit0)
     client.post("/v1/settle", json_body=p)
     assert (val("miss"), val("hit")) == (miss0 + 1, hit0 + 1)
+
+
+def test_global_bound_evicts_across_tenants(monkeypatch):
+    """Graph-cache snapshots pin device memory, so OSCILLINK_GRAPH_CACHE_SIZE
+    bounds TOTAL entries across api keys — filling one tenant's bucket must
+    evict the least-recently-used entry of another tenant."""
+    from oscillink_tpu.service.graph_cache import GraphCache
+
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "3")
+    gc = GraphCache()
+    gc.put_snapshot("ka", "s1", {"v": 1})
+    gc.put_snapshot("ka", "s2", {"v": 2})
+    gc.put_snapshot("kb", "s3", {"v": 3})
+    # recency: touch ka/s1 so ka/s2 is the global LRU victim
+    assert gc.get_snapshot("ka", "s1") == {"v": 1}
+    gc.put_snapshot("kb", "s4", {"v": 4})
+    assert gc.get_snapshot("ka", "s2") is None  # evicted (oldest access)
+    assert gc.get_snapshot("ka", "s1") == {"v": 1}
+    assert gc.get_snapshot("kb", "s3") == {"v": 3}
+    assert gc.get_snapshot("kb", "s4") == {"v": 4}
+
+
+def test_expired_snapshots_dropped_on_access(monkeypatch):
+    """Device buffers must not stay pinned past TTL waiting for the
+    every-256-puts sweep: any get/put sweeps expired entries out."""
+    from oscillink_tpu.service.graph_cache import GraphCache
+
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_TTL", "60")
+    gc = GraphCache()
+    gc.put_snapshot("ka", "s1", {"v": 1})
+    gc.put_snapshot("kb", "s2", {"v": 2})
+    # age both entries past TTL without touching them
+    with gc._lock:
+        for bucket in gc._per_key.values():
+            for rec in bucket.values():
+                rec["ts"] -= 120.0
+    gc.sweep_expired()
+    with gc._lock:
+        assert gc._per_key == {}  # buffers released, not just masked
+
+
+def test_cache_key_uses_full_anchor_hash():
+    """The sampled fingerprint is lossy above _FULL_HASH_LIMIT; as a cache
+    KEY two corpora differing only in stride-skipped rows must not collide."""
+    from oscillink_tpu.core import lattice as L
+
+    rng = np.random.default_rng(0)
+    Y1 = rng.standard_normal((64, 8)).astype(np.float32)
+    Y2 = Y1.copy()
+    Y2[1] += 1.0  # row a stride>1 sample would skip
+    orig, L._FULL_HASH_LIMIT = L._FULL_HASH_LIMIT, 64
+    try:
+        sampled1 = L.OscillinkLattice._hash_anchors(Y1)
+        sampled2 = L.OscillinkLattice._hash_anchors(Y2)
+        full1 = L.OscillinkLattice._hash_anchors(Y1, full=True)
+        full2 = L.OscillinkLattice._hash_anchors(Y2, full=True)
+    finally:
+        L._FULL_HASH_LIMIT = orig
+    assert sampled1 == sampled2  # demonstrates the fingerprint IS lossy here
+    assert full1 != full2  # the key hash must distinguish them
