@@ -877,7 +877,10 @@ class OscillinkLattice:
             "token": self._graph_token,
             "similarity": self._similarity,
             "similarity_info": self._similarity_info,
-            "n_edges": self._edge_count(),
+            # peek, don't force: _edge_count() would flush ALL pending
+            # deferred fetches (a blocking device round-trip) on every
+            # cache-enabled MISS; the device scalar re-defers on install
+            "n_edges": self._fetch.peek(self._edge_count_handle),
             "window_ctx": self._window_ctx,
             "window_coverage": self._window_coverage,
             "kneighbors": self._kneighbors,
@@ -898,7 +901,10 @@ class OscillinkLattice:
         self._similarity = snap["similarity"]
         self._similarity_info = snap["similarity_info"]
         self._graph_token = snap["token"]
-        self._edge_count_handle = self._fetch.defer(int(snap["n_edges"]))
+        # snap["n_edges"] may be a still-deferred device scalar (see
+        # _graph_snapshot) or an already-resolved host int — defer handles
+        # both (device_get of a host int is the int)
+        self._edge_count_handle = self._fetch.defer(snap["n_edges"])
         self._window_ctx = snap["window_ctx"]
         self._window_coverage = snap["window_coverage"]
         self._host_idx = None

@@ -728,7 +728,7 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
     # small-N bundles serve on the native host path (both MMR and rerank
     # modes are implemented in the engine), mirroring the settle routing
     from .native_path import eligible as native_eligible
-    from .native_path import native_settle
+    from .native_path import native_prepare, native_settle
 
     if native_eligible(breq, len(breq.Y)):
         Y, N, D, k_eff, eff, profile_id = _validate_and_overrides(
@@ -740,20 +740,26 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
         )
         breq.options.bundle_k = breq.bundle_k
         breq.options.bundle_diversify = breq.diversify
-        out = native_settle(
-            breq, eff, include_receipt=False, bundle_alpha=breq.alpha
-        )
-        state_sig = out["state_sig"]
+        # prepare (engine build + state_sig) is enough for the cache
+        # lookup — the settle itself must only run on a MISS
+        t_prep = time.perf_counter()
+        prep = native_prepare(breq, eff)
+        prep_ms = 1000.0 * (time.perf_counter() - t_prep)
+        state_sig = prep[2]
         cache_sig = _bundle_cache_sig(state_sig, breq)
         cached = state.bundle_cache.get(ctx["api_key"], cache_sig)
         if cached is not None:
-            bundle, cache_status, t_ms = cached["bundle"], "HIT", 0.0
+            bundle, cache_status, t_ms = cached["bundle"], "HIT", prep_ms
         else:
-            bundle, t_ms = out["bundle"], out["t_ms"]
+            out = native_settle(
+                breq, eff, include_receipt=False,
+                bundle_alpha=breq.alpha, prepared=prep,
+            )
+            bundle, t_ms = out["bundle"], prep_ms + out["t_ms"]
             state.bundle_cache.put(ctx["api_key"], cache_sig, bundle)
             cache_status = "MISS"
         state.metrics.settle_counter.labels(status="ok").inc()
-        state.metrics.settle_latency.observe(out["t_ms"] / 1000.0)
+        state.metrics.settle_latency.observe(t_ms / 1000.0)
         resp = ApiResponse(
             body={
                 "state_sig": state_sig,

@@ -44,6 +44,12 @@ def graph_cache_key(
     neighbor_seed: Optional[int],
     similarity: str,
 ) -> str:
+    # deterministic_k / neighbor_seed combinations that build the IDENTICAL
+    # graph (e.g. detk=True ignores the seed) still get distinct keys on
+    # purpose: the snapshot carries the graph TOKEN, which feeds state_sig
+    # and signed receipts and is computed over the RAW params
+    # (compute_graph_token) — collapsing keys would serve a token minted
+    # under different params and break hit == rebuild behavioral identity.
     raw = (
         f"{y_hash}:{k_eff}:{row_cap}:{int(bool(deterministic_k))}:"
         f"{neighbor_seed}:{similarity}"

@@ -27,6 +27,7 @@ from .config import get_settings
 __all__ = [
     "native_threshold",
     "eligible",
+    "native_prepare",
     "native_settle",
     "chain_receipt_native",
 ]
@@ -45,9 +46,19 @@ def eligible(sreq, n: int) -> bool:
         return False
     if sreq.params.deterministic_k is False and sreq.params.neighbor_seed is not None:
         return False  # seed-jitter tie-break is a device-path feature
-    # server-side diffusion gates are supported natively (the engine runs
-    # the same screened-Poisson CG over its own graph — engine.cpp
-    # osc_diffusion_solve; parity vs the JAX path: tests/test_native_engine)
+    dopt = getattr(sreq, "diffusion", None)
+    if dopt is not None and dopt.enable:
+        # The engine CAN derive screened-diffusion gates (engine.cpp
+        # osc_diffusion_solve; numeric parity vs the JAX derivation in
+        # tests/test_native_engine), but derived gates feed the state
+        # signature (compute_state_sig rounds B at 1e-6) and the two CG
+        # implementations agree only to ~1e-4 — so routing diffusion
+        # requests natively by default would make state_sig (and signed
+        # receipts, and the state_sig-keyed bundle cache) depend on WHICH
+        # replica served the request.  Opt in only for deployments where
+        # every replica serves small N natively.
+        if os.getenv("OSCILLINK_NATIVE_DIFFUSION", "0") != "1":
+            return False
     # both bundle modes (MMR and rerank/top-k) are implemented natively
     from ..ops.graph import resolve_similarity
 
@@ -131,6 +142,15 @@ def _engine_for_request(sreq, eff_params: dict):
     return eng, psi, state_sig, k_eff, n, d
 
 
+def native_prepare(sreq, eff_params: dict):
+    """Engine + state signature for a request WITHOUT running the settle.
+
+    The bundle endpoint needs `state_sig` for its cache lookup before
+    paying for the solve — on a HIT the settle never runs.  Pass the
+    returned tuple to `native_settle(..., prepared=...)` on a MISS."""
+    return _engine_for_request(sreq, eff_params)
+
+
 def chain_receipt_native(sreq, eff_params: dict, *, z_th: float = 2.5):
     """Chain receipt on the host engine; returns (chain_receipt, state_sig).
     Output contract matches `OscillinkLattice.chain_receipt` (the engine
@@ -146,11 +166,17 @@ def native_settle(
     *,
     include_receipt: Optional[bool] = None,
     bundle_alpha: float = 0.5,
+    prepared=None,
 ) -> dict[str, Any]:
     """Run the settle on the native engine; returns the response body pieces
-    {state_sig, receipt, bundle, settle_stats, t_ms}."""
+    {state_sig, receipt, bundle, settle_stats, t_ms}.  ``prepared`` accepts
+    a `native_prepare` tuple so callers that already built the engine (for
+    a cache lookup) don't rebuild it; t_ms then covers the settle only —
+    the caller owns the prep timing."""
     t0 = time.perf_counter()
-    eng, psi, state_sig, k_eff, n, d = _engine_for_request(sreq, eff_params)
+    eng, psi, state_sig, k_eff, n, d = (
+        prepared if prepared is not None else _engine_for_request(sreq, eff_params)
+    )
     Y = eng.Y
     stats = eng.settle(
         dt=sreq.options.dt, max_iters=sreq.options.max_iters, tol=sreq.options.tol

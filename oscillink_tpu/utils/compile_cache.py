@@ -59,7 +59,18 @@ def configure_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
 
     import jax
 
-    os.makedirs(resolved, exist_ok=True)
+    try:
+        os.makedirs(resolved, exist_ok=True)
+    except OSError as e:
+        # an unwritable cache dir must degrade to "no cache", never crash
+        # service startup (deploy/entrypoint.sh defaults the dir under
+        # /var/cache — read-only rootfs / non-root users may not have it)
+        import logging
+
+        logging.getLogger("oscillink.compile_cache").warning(
+            "compile cache disabled: cannot create %s (%s)", resolved, e
+        )
+        return None
     jax.config.update("jax_compilation_cache_dir", resolved)
     try:
         min_s = float(os.getenv("OSCILLINK_COMPILE_CACHE_MIN_S", "0.5"))

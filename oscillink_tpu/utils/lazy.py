@@ -50,6 +50,15 @@ class DeferredFetchGroup:
             self.flush()
         return self._results.pop(handle) if pop else self._results[handle]
 
+    def peek(self, handle: int):
+        """Value behind ``handle`` WITHOUT forcing a flush: the resolved
+        host value if already fetched, else the still-deferred device
+        value.  Lets a consumer re-`defer` it elsewhere (the graph-cache
+        snapshot) without paying a blocking device round-trip."""
+        if handle in self._results:
+            return self._results[handle]
+        return self._pending[handle]
+
     def flush(self) -> None:
         """Fetch every pending value in a single device_get."""
         if not self._pending:

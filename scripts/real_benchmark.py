@@ -122,16 +122,20 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     rows = load_rows(args.input, args.format)
-    texts = [str(r[args.text_col]) for r in rows if r.get(args.text_col)]
+    # filter ONCE and derive texts/ids/labels from the same kept rows —
+    # slicing the unfiltered list would shift every id/label after a
+    # skipped row onto the wrong embedding index
+    kept = [r for r in rows if r.get(args.text_col)]
+    texts = [str(r[args.text_col]) for r in kept]
     ids = [r.get(args.id_col, i) if args.id_col else i
-           for i, r in enumerate(rows[: len(texts)])]
+           for i, r in enumerate(kept)]
     gt_ids = None
     if args.label_col:
-        gt_ids = {i for i, r in enumerate(rows[: len(texts)])
+        gt_ids = {i for i, r in enumerate(kept)
                   if _truthy(r.get(args.label_col, 0))}
     traps = None
     if args.trap_col:
-        traps = {i for i, r in enumerate(rows[: len(texts)])
+        traps = {i for i, r in enumerate(kept)
                  if _truthy(r.get(args.trap_col, 0))}
 
     qtext, exclude = args.query, None

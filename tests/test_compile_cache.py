@@ -88,3 +88,19 @@ def test_cache_persists_entries(monkeypatch, tmp_path):
         assert any(cache.iterdir()), "no cache entry written"
     finally:
         _restore(original)
+
+
+def test_unwritable_dir_degrades_to_disabled(monkeypatch):
+    """An unwritable cache dir must disable the cache, never crash service
+    startup (deploy defaults the dir under /var/cache; read-only rootfs or
+    non-root users may not be able to create it)."""
+    cc = _fresh_module()
+    original = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv(
+        "OSCILLINK_COMPILE_CACHE_DIR", "/proc/definitely/unwritable/jax"
+    )
+    try:
+        assert cc.configure_compile_cache() is None
+        assert jax.config.jax_compilation_cache_dir == original
+    finally:
+        _restore(original)

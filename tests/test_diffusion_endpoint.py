@@ -220,11 +220,14 @@ def test_diffusion_on_ragged_is_explicit_422(client):
     assert "ragged" in r2.json()["detail"]
 
 
-def test_diffusion_routing_native_yes_sharded_no(monkeypatch):
-    """Diffusion requests stay ON the native path (the engine runs the
-    screened-Poisson CG itself — engine.cpp osc_diffusion_solve) but still
-    route off the sharded tier (gates are derived on the single-device
-    lattice graph there)."""
+def test_diffusion_routing_native_optin_sharded_no(monkeypatch):
+    """Diffusion requests route off BOTH fast tiers by default: off native
+    because the engine's screened-Poisson CG agrees with the JAX
+    derivation only to ~1e-4 and derived gates feed state_sig (replica-
+    dependent signatures would split signed receipts / the bundle cache);
+    off sharded because gates are derived on the single-device lattice
+    graph there.  OSCILLINK_NATIVE_DIFFUSION=1 opts single-backend
+    deployments back into the native tier."""
     from oscillink_tpu.service.models import DiffusionOptions, SettleRequest
     from oscillink_tpu.service import native_path, sharded_path
     from oscillink_tpu.native import native_available
@@ -235,7 +238,10 @@ def test_diffusion_routing_native_yes_sharded_no(monkeypatch):
     )
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "2048")
     monkeypatch.setenv("OSCILLINK_SHARDED_MIN_N", "2")
+    assert native_path.eligible(sreq, 3) is False
+    monkeypatch.setenv("OSCILLINK_NATIVE_DIFFUSION", "1")
     assert native_path.eligible(sreq, 3) is native_available()
+    monkeypatch.delenv("OSCILLINK_NATIVE_DIFFUSION")
     assert sharded_path.eligible(sreq, 3) is False
     sreq_off = SettleRequest(
         Y=sreq.Y, diffusion=DiffusionOptions(enable=False)

@@ -37,3 +37,24 @@ def test_lazystats_mapping_semantics():
     stats["iters"] = 99
     assert stats["iters"] == 99
     assert "iters=99" in repr(stats).replace("'iters': 99", "iters=99")
+
+
+def test_peek_does_not_flush():
+    """peek returns the deferred device value (or resolved host value)
+    without materializing the pending set — the graph-cache snapshot path
+    must not pay a blocking round-trip per MISS."""
+    import jax.numpy as jnp
+
+    from oscillink_tpu.utils.lazy import DeferredFetchGroup
+
+    g = DeferredFetchGroup()
+    h1 = g.defer(jnp.asarray(3))
+    h2 = g.defer(jnp.asarray(7))
+    v = g.peek(h1)
+    assert g._pending and not g._results  # nothing was flushed
+    # the peeked value re-defers and resolves to the same scalar
+    g2 = DeferredFetchGroup()
+    h3 = g2.defer(v)
+    assert g2.get(h3) == 3
+    assert g.get(h2) == 7  # original group still resolves normally
+    assert g.peek(h2) == 7  # resolved entries peek as host values

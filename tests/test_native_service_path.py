@@ -94,11 +94,27 @@ def test_native_rerank_bundle_matches_device(client, monkeypatch):
     assert [e["id"] for e in rn["bundle"]] == [e["id"] for e in rd["bundle"]]
 
 
-def test_diffusion_requests_serve_natively(client, monkeypatch):
-    """Server-side diffusion gates no longer force the device path: the
-    engine derives them with the same screened-Poisson CG over its own
-    graph (engine.cpp osc_diffusion_solve)."""
+def test_diffusion_requests_stay_on_device_by_default(client, monkeypatch):
+    """Derived diffusion gates feed the state signature, and the native CG
+    agrees with the JAX derivation only to ~1e-4 — so by default diffusion
+    requests take the device path even below the native threshold (a
+    replica-dependent state_sig would split signed receipts and the
+    bundle cache)."""
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
+    payload = _payload(n=24, include_receipt=True)
+    payload["diffusion"] = {"enable": True, "beta": 1.0, "gamma": 0.1}
+    r = client.post("/v1/settle", json_body=payload)
+    assert r.status_code == 200
+    assert r.json()["meta"]["backend"] == "device"
+
+
+def test_diffusion_requests_serve_natively_on_opt_in(client, monkeypatch):
+    """With OSCILLINK_NATIVE_DIFFUSION=1 (single-backend deployments) the
+    engine derives the gates with the same screened-Poisson CG over its
+    own graph (engine.cpp osc_diffusion_solve)."""
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    monkeypatch.setenv("OSCILLINK_NATIVE_DIFFUSION", "1")
     monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
     payload = _payload(n=24, include_receipt=True)
     payload["diffusion"] = {"enable": True, "beta": 1.0, "gamma": 0.1}
@@ -114,6 +130,7 @@ def test_diffusion_requests_serve_natively(client, monkeypatch):
 
 def test_diffusion_native_agrees_with_device(client, monkeypatch):
     """Same diffusion request through both backends: deltaH must agree."""
+    monkeypatch.setenv("OSCILLINK_NATIVE_DIFFUSION", "1")
     monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
     payload = _payload(n=24, include_receipt=True)
     payload["params"] = {"deterministic_k": True}
@@ -221,6 +238,7 @@ def test_batch_endpoint_routes_native(client, monkeypatch):
 
 def test_batch_endpoint_native_diffusion(client, monkeypatch):
     monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    monkeypatch.setenv("OSCILLINK_NATIVE_DIFFUSION", "1")
     monkeypatch.setenv("OSCILLINK_FEAT_DIFFUSION_GATES", "1")
     rng = np.random.default_rng(43)
     Y = rng.standard_normal((24, 8)).astype(np.float32)
@@ -233,3 +251,27 @@ def test_batch_endpoint_native_diffusion(client, monkeypatch):
     assert b["meta"]["backend"] == "native"
     assert b["meta"]["diffusion"] == {"beta": 1.0, "gamma": 0.1}
     assert len(b["bundles"]) == 2
+
+
+def test_bundle_cache_hit_skips_native_settle(client, monkeypatch):
+    """A bundle-cache HIT on the native branch must not re-run the settle:
+    the state_sig needed for the lookup comes from native_prepare alone."""
+    from oscillink_tpu.service import native_path
+
+    monkeypatch.setenv("OSCILLINK_NATIVE_SMALL_N", "64")
+    p = {**_payload(n=32, d=10, seed=31), "bundle_k": 5, "alpha": 0.6}
+    r1 = client.post("/v1/bundle", json_body=p)
+    assert r1.json()["meta"]["cache"] == "MISS"
+
+    calls = []
+    orig = native_path.native_settle
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(native_path, "native_settle", spy)
+    r2 = client.post("/v1/bundle", json_body=p)
+    assert r2.json()["meta"]["cache"] == "HIT"
+    assert calls == []  # settle never ran on the HIT
+    assert r2.json()["bundle"] == r1.json()["bundle"]
