@@ -1663,6 +1663,25 @@ def h_admin_introspect(state: ServiceState, req: ApiRequest, **_) -> ApiResponse
             "features": dict(feats),
             "monthly_cap": tier_info(meta.tier if meta else None).monthly_unit_cap,
             "license_required": env_flag("OSCILLINK_LICENSE_REQUIRED"),
+            # cache occupancy (counts only, no key material): the graph
+            # cache's entries pin device memory, so operators need to see
+            # what the global bound is actually holding
+            "caches": {
+                "graph": {
+                    "enabled": state.graph_cache.enabled(),
+                    "bound": state.graph_cache.global_bound(),
+                    "ttl_s": state.graph_cache.ttl(),
+                    **state.graph_cache.stats(),
+                },
+                "bundle": {
+                    "ttl_s": state.bundle_cache.ttl(),
+                    **state.bundle_cache.stats(),
+                },
+                "replay": {
+                    "ttl_s": state.replay_cache.ttl(),
+                    **state.replay_cache.stats(),
+                },
+            },
         }
     )
 

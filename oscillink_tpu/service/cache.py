@@ -60,6 +60,14 @@ class _PerKeyTTLLRU:
         a per-key bound alone lets total memory grow as size x tenants."""
         return 0
 
+    def stats(self) -> dict:
+        """Entry/bucket counts for admin introspection (no key material)."""
+        with self._lock:
+            return {
+                "entries": sum(len(b) for b in self._per_key.values()),
+                "buckets": len(self._per_key),
+            }
+
     def sweep_expired(self) -> None:
         """Drop every expired entry now (access-driven, like jobs.purge)."""
         ttl = self.ttl()

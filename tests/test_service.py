@@ -352,6 +352,13 @@ def test_admin_endpoints(client, monkeypatch):
     ] == 5_000_000
     intro = client.get("/admin/introspect", headers=h, query={"api_key": "kx"})
     assert intro.json()["tier"] == "pro"
+    # cache occupancy is reported (counts only), incl. the device-memory-
+    # pinning graph cache with its global bound
+    caches = intro.json()["caches"]
+    assert caches["graph"]["enabled"] is False  # off by default
+    assert caches["graph"]["entries"] == 0
+    for c in ("graph", "bundle", "replay"):
+        assert set(caches[c]) >= {"ttl_s", "entries", "buckets"}
 
 
 def test_pending_key_403(client, monkeypatch):
