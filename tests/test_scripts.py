@@ -273,3 +273,42 @@ def test_stripe_webhook_manage_dry_run(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "signing_secret" in out
+
+
+def test_check_openapi_diff(tmp_path, capsys):
+    """Standalone breaking-change detector: additions fine, removals exit 2,
+    missing files exit 1 (reference scripts/check_openapi_diff.py contract)."""
+    import check_openapi_diff
+
+    base = {"paths": {"/a": {"post": {"summary": "x"}}, "/b": {"get": {}}}}
+    cur_ok = {"paths": {**base["paths"], "/c": {"get": {}}}}  # addition only
+    cur_bad = {"paths": {"/a": {"post": {"summary": "x"}}}}  # /b removed
+    pb, pok, pbad = tmp_path / "b.json", tmp_path / "ok.json", tmp_path / "bad.json"
+    pb.write_text(json.dumps(base))
+    pok.write_text(json.dumps(cur_ok))
+    pbad.write_text(json.dumps(cur_bad))
+
+    assert check_openapi_diff.main(["--baseline", str(pb), "--current", str(pok)]) == 0
+    assert check_openapi_diff.main(["--baseline", str(pb), "--current", str(pbad)]) == 2
+    out = capsys.readouterr().out
+    assert "REMOVED paths./b" in out
+    assert (
+        check_openapi_diff.main(
+            ["--baseline", str(tmp_path / "nope.json"), "--current", str(pok)]
+        )
+        == 1
+    )
+
+
+def test_signed_webhook_script_signature():
+    """The script's header construction matches the service verifier."""
+    import time as _time
+
+    import test_signed_webhook as tsw
+
+    from oscillink_tpu.service.webhooks import verify_stripe_signature
+
+    payload = b'{"id": "evt_x", "type": "t"}'
+    hdr = tsw.sign(payload, "whsec_abc", int(_time.time()))
+    assert verify_stripe_signature(payload, hdr, "whsec_abc")
+    assert not verify_stripe_signature(payload, hdr, "whsec_other")
