@@ -312,3 +312,33 @@ def test_signed_webhook_script_signature():
     hdr = tsw.sign(payload, "whsec_abc", int(_time.time()))
     assert verify_stripe_signature(payload, hdr, "whsec_abc")
     assert not verify_stripe_signature(payload, hdr, "whsec_other")
+
+
+def test_billing_env_script(tmp_path, capsys, monkeypatch):
+    """price_map.json -> the exact env value service/billing.py parses;
+    dotenv mode preserves unrelated lines and replaces stale values."""
+    import billing_env
+
+    pm = tmp_path / "price_map.json"
+    pm.write_text(json.dumps({"price_b": "enterprise", "price_a": "pro"}))
+    assert billing_env.main(["--price-map", str(pm)]) == 0
+    out = capsys.readouterr().out.strip()
+    value = out.split("'")[1]
+    monkeypatch.setenv("OSCILLINK_STRIPE_PRICE_MAP", value)
+    from oscillink_tpu.service.billing import price_map
+
+    assert price_map() == {"price_a": "pro", "price_b": "enterprise"}
+
+    dotenv = tmp_path / ".env.billing"
+    dotenv.write_text("UNRELATED=keepme\nOSCILLINK_STRIPE_PRICE_MAP=stale\n")
+    assert billing_env.main(
+        ["--price-map", str(pm), "--dotenv", str(dotenv), "--webhook-secret", "whsec_x"]
+    ) == 0
+    text = dotenv.read_text()
+    assert "UNRELATED=keepme" in text
+    assert "stale" not in text
+    assert "OSCILLINK_STRIPE_WEBHOOK_SECRET=whsec_x" in text
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1,2]")
+    assert billing_env.main(["--price-map", str(bad)]) == 1
