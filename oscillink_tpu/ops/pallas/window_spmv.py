@@ -282,12 +282,49 @@ def _dot3(a: jax.Array, b: jax.Array) -> jax.Array:
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
+def _dot2(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two bf16 MXU passes: full-precision ``a`` against truncated ``b_hi``
+    (a@b ≈ a_hi@b_hi + a_lo@b_hi).  Relative error ~2^-9 (~2e-3 worst case)
+    from the dropped a·b_lo term — outside the deltaH receipt-parity
+    contract, which is why this is OPT-IN (`OSCILLINK_WINDOW_PRECISION`),
+    never the default.  The one-hot (``a``, persistent edge weights) keeps
+    both halves; the per-iteration CG vector ``b`` is the truncated operand.
+    Measured on-chip at the 125k shard: saves only ~0.11 ms/apply — the
+    kernel is DMA-bound (benchmarks/window_precision_125k.json)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_lo, b_hi)
+
+
 def _window_dot(oh, win, precision):
     if precision == "bf16x3":
         return _dot3(oh, win)
+    if precision == "bf16x2":
+        return _dot2(oh, win)
+    if precision == "bf16":
+        return jnp.dot(
+            oh.astype(jnp.bfloat16),
+            win.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.dot(
         oh, win, preferred_element_type=jnp.float32, precision=precision
     )
+
+
+def _env_precision() -> str:
+    """Resolve the window-pass precision tier from the environment.
+
+    ``OSCILLINK_WINDOW_PRECISION`` ∈ {"bf16x3" (default, receipt-parity
+    grade), "bf16x2" (~2e-3 operator error, one MXU pass fewer), "bf16"
+    (~8e-3, single pass)}.  Read at TRACE time: jitted callers bake the
+    tier into their compiled program, so set it before the first solve."""
+    import os
+
+    v = os.getenv("OSCILLINK_WINDOW_PRECISION", "bf16x3").strip().lower()
+    return v if v in ("bf16x3", "bf16x2", "bf16") else "bf16x3"
 
 
 def _matmul_kernel(W: int, n_win: int, precision):
@@ -615,7 +652,7 @@ def k_matvec_windowed(
     *,
     W: int | None = None,
     R: int | None = None,
-    precision="bf16x3",
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused operator apply: ``(g ⊙ X − Wn X,  per-column Σ_rows X⊙K(X))``.
 
@@ -638,6 +675,8 @@ def k_matvec_windowed(
         W = oh.main.shape[1] // plan.n_windows
     if R is None:
         R = plan.n_pad // plan.n_blocks
+    if precision is None:
+        precision = _env_precision()
     if jax.default_backend() == "tpu" and Xpad.shape[1] % 128 == 0:
         return _window_spmv3f(
             plan, oh.main, oh.strag, Xpad, g, W, R, oh.strag.shape[1], precision
@@ -655,7 +694,7 @@ def lap_matvec_windowed(
     *,
     W: int | None = None,
     R: int | None = None,
-    precision="bf16x3",
+    precision=None,
 ) -> jax.Array:
     """Normalized-Laplacian matvec on padded rows: X - Wn (*) X.
 
@@ -671,6 +710,8 @@ def lap_matvec_windowed(
         W = oh.main.shape[1] // plan.n_windows
     if R is None:
         R = plan.n_pad // plan.n_blocks
+    if precision is None:
+        precision = _env_precision()
     # the in-kernel straggler DMA slices [s_max, D] from HBM; Mosaic
     # requires the lane dimension 128-aligned — narrow D (e.g. small
     # embeddings or thin column chunks) takes the scatter epilogue instead
