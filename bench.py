@@ -228,12 +228,15 @@ def _large_n_recorded():
     rec = {
         "source": "benchmarks/scale_tpu.json (rows_round3 + serve_500k_round4) "
         "+ benchmarks/northstar_125k.json + fused_cg_125k.json + cg4_125k.json "
-        "+ sharded_build_slice_1m.json",
-        "shard125k_cg5_ms": {"windowed_fused": 59.9, "windowed": 68.8,
+        "+ sharded_build_slice_1m.json + receipt_slice_125k.json "
+        "+ geometry_cg5_125k.json",
+        "shard125k_cg5_ms": {"windowed_fused_aligned": 51.9,
+                             "windowed_fused_r256": 59.9, "windowed": 68.8,
                              "gather": 117.0, "gather_bf16": 108.1},
         "shard125k_cg4_ms": {"windowed": 57.3, "gather_bf16_random": 89.8,
                              "gather_f32_random": 100.4},
         "sharded_build_per_chip_1m_ms": 1456.3,
+        "receipt_slice_per_chip_1m8_ms": 90.1,
         "solver_program_min_ms": {
             "source": "probe_lowmem3/probe_chunked_1m/probe_settle8_1m "
             "(min-of-3 warm, raw solve programs)",

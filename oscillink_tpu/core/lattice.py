@@ -714,9 +714,14 @@ class OscillinkLattice:
         # geometry: three 384-row windows beat two 512-row windows on
         # every measured axis at 100k x 768 (4.55 vs 6.47 ms/apply —
         # wider span = +3.5% coverage, narrower windows = less re-fetch,
-        # same MXU flops) at 1.5x-narrower... total one-hot 1152 vs 1024
-        # columns; past ~256k rows the one-hot's n_win*W*4 B/row HBM cost
-        # favors the 2-window shape
+        # same MXU flops); past ~256k rows the one-hot's n_win*W*4 B/row
+        # HBM cost favors the 2-window shape.  The row block is ALIGNED to
+        # the window (R = W = 384): the geometry sweep at the 125k shard
+        # (benchmarks/window_geometry_125k.json) measured 5.21 ms/apply vs
+        # 6.60 at the old R=256 — aligned blocks make the first elected
+        # window the diagonal block itself (coverage 0.983 -> 0.999,
+        # stragglers 16.8k -> 1.2k) while window re-DMA per row drops by
+        # W*n_win*D*4*(1/256 - 1/384) = a third
         try:
             w3_max = int(os.getenv("OSCILLINK_WINDOWED_3W_MAX_N", "262144"))
         except ValueError:
@@ -725,11 +730,11 @@ class OscillinkLattice:
             # s_max 384 keeps the 3-window kernel inside the 16 MB VMEM
             # budget (512 overflows by ~0.5 MB); three windows leave few
             # stragglers, so the tighter per-block cap rarely rejects
-            win_w, n_windows, s_max = 384, 3, 384
+            win_w, win_r, n_windows, s_max = 384, 384, 3, 384
         else:
-            win_w, n_windows, s_max = DEFAULT_W, 2, DEFAULT_SMAX
+            win_w, win_r, n_windows, s_max = DEFAULT_W, DEFAULT_R, 2, DEFAULT_SMAX
         plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
-            self._graph.idx, self._graph.wn, order, win_w, DEFAULT_R,
+            self._graph.idx, self._graph.wn, order, win_w, win_r,
             strag_cap, s_max, n_windows,
         )
         cov, n_strag, fits, off_last = (

@@ -290,7 +290,6 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
     (stacked_plan_fields, stacked_onehot_fields, min_coverage, s_max).
     """
     from ..ops.pallas.window_spmv import (
-        DEFAULT_R,
         build_onehot,
         build_window_plan,
         plan_s_max,
@@ -302,10 +301,11 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
     for s in range(n_dev):
         sl = slice(s * rows_per, (s + 1) * rows_per)
         wn_local = wn[sl] * plan.w_local_mask[sl]
-        # three 384-row windows: the measured-best geometry at per-shard
-        # scale (ops/pallas/window_spmv.py header)
+        # three 384-row windows with the row block ALIGNED to the window
+        # (R = W): measured-best geometry at the 125k shard — 5.21 vs
+        # 6.60 ms/apply at R=256 (benchmarks/window_geometry_125k.json)
         p_s, cov_s = build_window_plan(
-            plan.idx_local[sl], wn_local, W=384, R=DEFAULT_R, n_windows=3
+            plan.idx_local[sl], wn_local, W=384, R=384, n_windows=3
         )
         plans.append(p_s)
         covs.append(cov_s)

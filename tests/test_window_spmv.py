@@ -248,6 +248,53 @@ def test_kernel3_strag_skip_parity_interpret():
     assert rel < 5e-5, rel
 
 
+def test_aligned_geometry_parity_and_coverage():
+    """The production R=W=384 aligned geometry (window_geometry_125k.json:
+    5.21 vs 6.60 ms/apply at R=256): the first elected window is the
+    diagonal block, so coverage must beat the unaligned plan on banded
+    data, and the kernel must stay parity-clean — including the TPU
+    straggler kernel in interpret mode."""
+    from unittest import mock
+
+    rng = np.random.default_rng(8)
+    n, d, k = 4096, 128, 6
+    idx = ((np.arange(n)[:, None] + rng.integers(-400, 400, size=(n, k))) % n).astype(
+        np.int32
+    )
+    wn = (rng.random((n, k)) * 0.1).astype(np.float32)
+    plan, cov = ws.build_window_plan(idx, wn, W=384, R=384, n_windows=3)
+    _, cov_old = ws.build_window_plan(idx, wn, W=384, R=256, n_windows=3)
+    assert cov > cov_old
+    assert plan.n_pad % 384 == 0 and plan.n_pad // plan.n_blocks == 384
+    oh = ws.build_onehot(plan, 384, ws.plan_s_max(plan))
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    g = Graph(
+        idx=jnp.asarray(idx), w=jnp.asarray(wn), wn=jnp.asarray(wn),
+        sqrt_deg=jnp.ones(n),
+    )
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    out = np.asarray(ws.lap_matvec_windowed(plan, oh, Xp, W=384, R=384))[:n]
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 1e-5, rel
+
+    orig = ws.pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(ws.pl, "pallas_call", interp):
+        out3 = np.asarray(
+            ws._window_spmv3(
+                plan, oh.main, oh.strag, Xp, 384, 384, oh.strag.shape[1],
+                "bf16x3",
+            )
+        )[:n]
+    rel3 = np.abs(out3 - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel3 < 5e-5, rel3
+
+
 def test_device_plan_matches_host_plan_3w():
     """Device and host builders agree on the 3-window partition."""
     rng = np.random.default_rng(6)
