@@ -76,35 +76,41 @@ def main():
 
         return jnp.sum(lax.fori_loop(0, reps, body, X)[:8, :8])
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def chain_cg5(plan, oh, b, g, reps):
-        def K_mul(x):
-            return ws.k_matvec_windowed(plan, oh, x, g, W=W, R=R)
+    def make_chain_cg(n_iters):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def chain(plan, oh, b, g, reps):
+            def K_mul(x):
+                return ws.k_matvec_windowed(plan, oh, x, g, W=W, R=R)
 
-        def cg5(b, x0):
-            x = x0
-            Kx, _ = K_mul(x)
-            r = b - Kx * s
-            p = r
-            rz = jnp.sum(r * r, axis=0)
+            def cg_body(b, x0):
+                x = x0
+                Kx, _ = K_mul(x)
+                r = b - Kx * s
+                p = r
+                rz = jnp.sum(r * r, axis=0)
 
-            def body(i, carry):
-                x, r, p, rz = carry
-                Kp, pkp = K_mul(p)
-                alpha = rz / (pkp * s + 1e-18)
-                x = x + p * alpha
-                r = r - Kp * (alpha * s)
-                rz_new = jnp.sum(r * r, axis=0)
-                p = r + p * (rz_new / (rz + 1e-18))
-                return (x, r, p, rz_new)
+                def body(i, carry):
+                    x, r, p, rz = carry
+                    Kp, pkp = K_mul(p)
+                    alpha = rz / (pkp * s + 1e-18)
+                    x = x + p * alpha
+                    r = r - Kp * (alpha * s)
+                    rz_new = jnp.sum(r * r, axis=0)
+                    p = r + p * (rz_new / (rz + 1e-18))
+                    return (x, r, p, rz_new)
 
-            x, r, p, rz = lax.fori_loop(0, 5, body, (x, r, p, rz))
-            return x
+                x, r, p, rz = lax.fori_loop(0, n_iters, body, (x, r, p, rz))
+                return x
 
-        def body(i, x):
-            return cg5(b, x * 0.999)
+            def body(i, x):
+                return cg_body(b, x * 0.999)
 
-        return jnp.sum(lax.fori_loop(0, reps, body, b)[:8, :8])
+            return jnp.sum(lax.fori_loop(0, reps, body, b)[:8, :8])
+
+        return chain
+
+    chain_cg5 = make_chain_cg(5)
+    chain_cg4 = make_chain_cg(4)
 
     mv_ms = slope(lambda r: chain_unfused(plan, oh, X, r))
     print(f"# unfused matvec: {mv_ms:.3f} ms/apply", flush=True)
@@ -112,6 +118,8 @@ def main():
     print(f"# fused matvec: {fmv_ms:.3f} ms/apply", flush=True)
     cg_ms = slope(lambda r: chain_cg5(plan, oh, X, g, r))
     print(f"# fused cg5: {cg_ms:.3f} ms/solve", flush=True)
+    cg4_ms = slope(lambda r: chain_cg4(plan, oh, X, g, r))
+    print(f"# fused cg4: {cg4_ms:.3f} ms/solve", flush=True)
 
     out = {
         "config": f"N={N} (1M/8 shard) D={D} k={K}, W={W} R={R} n_windows={NWIN}",
@@ -121,6 +129,7 @@ def main():
         "unfused_matvec_ms_per_apply": round(mv_ms, 3),
         "fused_matvec_ms_per_apply": round(fmv_ms, 3),
         "fused_cg5_ms": round(cg_ms, 3),
+        "fused_cg4_ms": round(cg4_ms, 3),
         "baseline_old_geometry": {
             "source": "fused_cg_125k.json / northstar_125k.json (W=384 R=256)",
             "fused_cg5_ms": 59.9,
