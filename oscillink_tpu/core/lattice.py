@@ -701,9 +701,6 @@ class OscillinkLattice:
             min_cov = 0.92
         from ..models.coherence import WindowCtx
         from ..ops.pallas.window_spmv import (
-            DEFAULT_R,
-            DEFAULT_SMAX,
-            DEFAULT_W,
             build_onehot,
             build_window_plan_device,
         )
@@ -711,28 +708,21 @@ class OscillinkLattice:
         order, inv = _jit_locality_order(self._Y_dev)
         strag_cap = max(1024, (self.N * self._kneighbors) // 10)
         strag_cap = ((strag_cap + 7) // 8) * 8
-        # geometry: three 384-row windows beat two 512-row windows on
-        # every measured axis at 100k x 768 (4.55 vs 6.47 ms/apply —
-        # wider span = +3.5% coverage, narrower windows = less re-fetch,
-        # same MXU flops); past ~256k rows the one-hot's n_win*W*4 B/row
-        # HBM cost favors the 2-window shape.  The row block is ALIGNED to
-        # the window (R = W = 384): the geometry sweep at the 125k shard
-        # (benchmarks/window_geometry_125k.json) measured 5.21 ms/apply vs
-        # 6.60 at the old R=256 — aligned blocks make the first elected
-        # window the diagonal block itself (coverage 0.983 -> 0.999,
-        # stragglers 16.8k -> 1.2k) while window re-DMA per row drops by
-        # W*n_win*D*4*(1/256 - 1/384) = a third
-        try:
-            w3_max = int(os.getenv("OSCILLINK_WINDOWED_3W_MAX_N", "262144"))
-        except ValueError:
-            w3_max = 262144
-        if self.N <= w3_max:
-            # s_max 384 keeps the 3-window kernel inside the 16 MB VMEM
-            # budget (512 overflows by ~0.5 MB); three windows leave few
-            # stragglers, so the tighter per-block cap rarely rejects
-            win_w, win_r, n_windows, s_max = 384, 384, 3, 384
-        else:
-            win_w, win_r, n_windows, s_max = DEFAULT_W, DEFAULT_R, 2, DEFAULT_SMAX
+        # geometry: three 384-row windows with the row block ALIGNED to the
+        # window (R = W = 384) — the round-4 sweeps measured this shape best
+        # at EVERY scale, so it is the single geometry for all N:
+        #   * 125k (the 1M/8 shard): 5.21 ms/apply vs 6.60 at the old R=256
+        #     (benchmarks/window_geometry_125k.json)
+        #   * 500k: 21.2 ms/apply vs 34.3 for the previous >256k 2-window
+        #     (W=512, R=256) shape — the one-hot-HBM rationale for switching
+        #     to 2 windows at large N was outweighed by alignment: the first
+        #     elected window is the diagonal block itself (coverage 0.9991
+        #     vs 0.949, stragglers 3.6k vs 204k)
+        #     (benchmarks/window_geometry_500k.json)
+        # s_max 384: three aligned windows leave so few stragglers that the
+        # tighter per-block cap essentially never rejects (the `fits` check
+        # below still guards it)
+        win_w, win_r, n_windows, s_max = 384, 384, 3, 384
         plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
             self._graph.idx, self._graph.wn, order, win_w, win_r,
             strag_cap, s_max, n_windows,
@@ -745,7 +735,7 @@ class OscillinkLattice:
         )  # one tiny RPC
         self._window_coverage = cov
         # the compacted straggler list truncates beyond strag_cap, and the
-        # kernel's per-block DMA window is DEFAULT_SMAX rows — never accept
+        # kernel's per-block DMA window is s_max rows — never accept
         # a truncated or non-fitting plan, even when forced (correctness
         # first)
         if n_strag > strag_cap or not fits or (not forced and cov < min_cov):
