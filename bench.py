@@ -149,7 +149,9 @@ def matvec_kernel_compare():
         np.int32
     )
     wn = (rng.random((n, k)) * 0.1).astype(np.float32)
-    plan, cov = ws.build_window_plan(idx, wn, W=384, n_windows=3)
+    # R=W=384 aligned geometry — the production default since the round-4
+    # sweep (window_geometry_125k.json)
+    plan, cov = ws.build_window_plan(idx, wn, W=384, R=384, n_windows=3)
     oh = ws.build_onehot(plan, 384, ws.plan_s_max(plan))
     X = jnp.asarray(rng.standard_normal((plan.n_pad, d)).astype(np.float32))
     g = Graph(
@@ -250,10 +252,16 @@ def _large_n_recorded():
 
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "benchmarks", "scale_tpu.json")) as f:
-            rows = _json.load(f).get("rows_round3", [])
-        for r in rows:
-            if "error" in r:
-                continue
+            doc = _json.load(f)
+        # rows_round4 re-measured (N, corpus) pairs after the aligned window
+        # geometry landed; prefer those, fall back to round-3 rows for pairs
+        # not re-run
+        rows = {}
+        for section in ("rows_round3", "rows_round4"):
+            for r in doc.get(section, []):
+                if "error" not in r:
+                    rows[(r["N"], r.get("corpus", "iso"))] = r
+        for r in rows.values():
             key = f"{r['N'] // 1000}k_{r['D']}_{r.get('corpus', 'iso')}"
             rec.setdefault("settle_warm_ms", {})[key] = r.get("settle_warm_ms")
             rec.setdefault("ustar_ms", {})[key] = r.get("ustar_ms")

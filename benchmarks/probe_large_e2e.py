@@ -141,12 +141,13 @@ def main():
             rows.append({"N": n, "corpus": corpus,
                          "error": f"{type(e).__name__}: {e}"})
 
+    section = os.getenv("OSC_SCALE_SECTION", "rows_round3")
     data = json.load(open(OUT))
     # merge keyed by (N, corpus): keep rows not re-run, and never let a
     # failed re-run overwrite a recorded good row with an error row
     old = {
         (r.get("N"), r.get("corpus", "iso")): r
-        for r in data.get("rows_round3", [])
+        for r in data.get(section, [])
         if "error" not in r
     }
     for r in rows:
@@ -155,13 +156,27 @@ def main():
             continue
         old[key] = r
     rows = [old[k] for k in sorted(old)]
-    data["note_round3"] = (
-        "round 3: similarity='auto' routes large-N builds to the recall-0.99 "
-        "fast scan; full receipts run through the row-blocked edge pass "
-        "(bounded temps); e2e = build+settle+full receipt, the reference's "
-        "headline metric"
-    )
-    data["rows_round3"] = rows
+    if section == "rows_round3":
+        data["note_round3"] = (
+            "round 3: similarity='auto' routes large-N builds to the "
+            "recall-0.99 fast scan; full receipts run through the "
+            "row-blocked edge pass (bounded temps); e2e = build+settle+"
+            "full receipt, the reference's headline metric"
+        )
+    elif section == "rows_round4":
+        data["note_round4"] = (
+            "round 4: same protocol as rows_round3. First re-measure after "
+            "the aligned window geometry (R=W=384) exposed that the "
+            "windowed tier LOSES under column-chunked solves (each chunk "
+            "re-streams the whole one-hot per apply): 500k c=2 settle "
+            "2450 ms / 1M c=8 7782 ms vs the gather path's 1479/2912. The "
+            "lattice now gates the windowed ctx on an unchunked solve "
+            "(core/lattice.py _maybe_build_window_ctx); these rows are the "
+            "post-gate walls (gather path at these scales, windowed "
+            "reserved for the <=~400k unchunked regime and the per-shard "
+            "halo tier where it measures 51.9 ms cg5 at 125k)."
+        )
+    data[section] = rows
     with open(OUT, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(rows), flush=True)

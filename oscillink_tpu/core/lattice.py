@@ -695,6 +695,19 @@ class OscillinkLattice:
             min_n = 32768
         if not forced and self.N < min_n:
             return
+        if not forced and self._auto_col_chunks() > 1:
+            # the windowed tier pays ONLY when the solve runs full-width:
+            # a column-chunked solve is c sequential CG programs, each
+            # re-streaming the whole [N, n_win*W] one-hot per operator
+            # apply — measured losing to the low-memory gather path at both
+            # chunked scales (500k c=2: 2450 ms settle vs 1479 gather;
+            # 1M c=8: 7782 vs 2912 — scale_tpu.json rows_round4 note).
+            # Forced mode ("1") still allows it for the chunked-path tests.
+            self._log(
+                "window_ctx_skipped",
+                {"reason": "col-chunked solve", "col_chunks": self._auto_col_chunks()},
+            )
+            return
         try:
             min_cov = float(os.getenv("OSCILLINK_WINDOWED_MIN_COVERAGE", "0.92"))
         except ValueError:

@@ -130,6 +130,30 @@ def test_auto_mode_skips_small_n(monkeypatch):
     assert lat._window_ctx is None
 
 
+def test_auto_mode_skips_chunked_solves(monkeypatch):
+    """The windowed tier pays only full-width: auto mode must skip it when
+    the solve column-chunks (each chunk re-streams the one-hot per apply —
+    measured losing at 500k/1M, scale_tpu.json note_round4). Forced mode
+    keeps it for the chunked-path tests."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=6)
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "2")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is None
+
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
+    lat2 = OscillinkLattice(Y, kneighbors=6)
+    assert lat2._window_ctx is not None
+
+    monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "2")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")  # forced overrides
+    lat3 = OscillinkLattice(Y, kneighbors=6)
+    assert lat3._window_ctx is not None
+
+
 def test_lattice_windowed_chunked_solve(monkeypatch):
     """Forced col-chunking + windowed ctx routes through the windowed
     chunked solve and matches the full-width XLA solution."""
