@@ -353,6 +353,15 @@ def _env_flag(name: str) -> bool:
     return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
 
 
+def _window_precision_tier() -> str:
+    """Active windowed-kernel precision tier (OSCILLINK_WINDOW_PRECISION),
+    surfaced in receipt meta so cross-replica signature divergence from
+    mismatched env values is diagnosable."""
+    from ..ops.pallas.window_spmv import _env_precision
+
+    return _env_precision()
+
+
 def _fused_windowed_enabled() -> bool:
     """The fused windowed operator is the default; OSCILLINK_WINDOWED_FUSED=0
     restores the unfused kernel + XLA λ-combine/denominator passes."""
@@ -905,6 +914,13 @@ class OscillinkLattice:
             snap["row_cap"] != self._row_cap_val
         ):
             raise ValueError("graph snapshot does not match lattice params")
+        if int(snap["graph"].idx.shape[0]) != self.N:
+            # shape guard: a cache key collision must fail loudly, never
+            # install a graph built for a different corpus shape (ADVICE r4)
+            raise ValueError(
+                f"graph snapshot row count {int(snap['graph'].idx.shape[0])}"
+                f" != lattice N {self.N}"
+            )
         self._graph = snap["graph"]
         self._similarity = snap["similarity"]
         self._similarity_info = snap["similarity_info"]
@@ -1562,6 +1578,16 @@ class OscillinkLattice:
             **(
                 {"similarity_info": getattr(self, "_similarity_info", None)}
                 if getattr(self, "_similarity_info", None) is not None
+                else {}
+            ),
+            **(
+                # active windowed-kernel precision tier: bf16x2/bf16 change
+                # settle numerics and therefore state_sig — replicas with
+                # differing OSCILLINK_WINDOW_PRECISION produce divergent
+                # signatures for identical requests, and this field is how
+                # that divergence is diagnosed (ADVICE r4; OPERATIONS.md)
+                {"window_precision": _window_precision_tier()}
+                if self._window_ctx is not None
                 else {}
             ),
             "gates_min": float(np.min(self.B_diag)),

@@ -296,9 +296,12 @@ class NativeEngine:
     def chain_receipt(self, chain, z_th: float = 2.5) -> dict:
         """Per-chain-edge z-scores + verdict (reference lattice.py:466-528;
         same math as ops/receipts.py:chain_edge_stats, host numpy).  Uses
-        the installed chain's path weights when ``chain`` matches the one
-        from `add_chain`; otherwise builds an unweighted path over
-        ``chain`` — mirroring the device lattice's fallback."""
+        the INSTALLED path graph whenever one exists (even when ``chain``
+        differs from the installed chain), falling back to an unweighted
+        path over ``chain`` only when no chain is installed — the exact
+        contract of the device lattice (core/lattice.py chain_receipt:
+        ``pg = self._path if self._path is not None else ...``); pinned by
+        the mismatched-chain parity test in tests/test_native_engine.py."""
         chain = [int(c) for c in chain]
         if len(chain) < 2:
             raise ValueError("chain must contain at least two indices")
@@ -317,7 +320,7 @@ class NativeEngine:
         sigma = np.sqrt(var) + 1e-12
 
         # path-residual row moments
-        if getattr(self, "_chain_nodes", None) == chain and len(self._path_src):
+        if len(self._path_src):
             src, dst, pw = self._path_src, self._path_dst, self._path_w
         else:
             from ..ops.path import build_path_graph

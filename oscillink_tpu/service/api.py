@@ -316,6 +316,8 @@ def _build_lattice(
             bool(req.params.deterministic_k),
             req.params.neighbor_seed,
             req.params.similarity,
+            n=N,
+            d=D,
         )
         snap = state.graph_cache.get_snapshot(api_key, cache_key)
         if snap is not None:
@@ -758,8 +760,10 @@ def h_bundle(state: ServiceState, req: ApiRequest, **_) -> ApiResponse:
             bundle, t_ms = out["bundle"], prep_ms + out["t_ms"]
             state.bundle_cache.put(ctx["api_key"], cache_sig, bundle)
             cache_status = "MISS"
-        state.metrics.settle_counter.labels(status="ok").inc()
-        state.metrics.settle_latency.observe(t_ms / 1000.0)
+            # settle metrics only on MISS — a cache hit runs no settle;
+            # matches the sharded branch's semantics (ADVICE r4)
+            state.metrics.settle_counter.labels(status="ok").inc()
+            state.metrics.settle_latency.observe(t_ms / 1000.0)
         resp = ApiResponse(
             body={
                 "state_sig": state_sig,

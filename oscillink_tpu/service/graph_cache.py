@@ -43,6 +43,8 @@ def graph_cache_key(
     deterministic_k: bool,
     neighbor_seed: Optional[int],
     similarity: str,
+    n: int = -1,
+    d: int = -1,
 ) -> str:
     # deterministic_k / neighbor_seed combinations that build the IDENTICAL
     # graph (e.g. detk=True ignores the seed) still get distinct keys on
@@ -50,8 +52,12 @@ def graph_cache_key(
     # and signed receipts and is computed over the RAW params
     # (compute_graph_token) — collapsing keys would serve a token minted
     # under different params and break hit == rebuild behavioral identity.
+    # (n, d) are in the key because the full=True anchor hash covers raw
+    # bytes only — two corpora with identical bytes but different (N, D)
+    # (realistic with constant-filled embeddings where N*D matches) must
+    # never share a graph (ADVICE r4).
     raw = (
-        f"{y_hash}:{k_eff}:{row_cap}:{int(bool(deterministic_k))}:"
+        f"{y_hash}:{n}x{d}:{k_eff}:{row_cap}:{int(bool(deterministic_k))}:"
         f"{neighbor_seed}:{similarity}"
     )
     return hashlib.sha256(raw.encode()).hexdigest()

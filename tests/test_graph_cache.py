@@ -201,3 +201,49 @@ def test_cache_key_uses_full_anchor_hash():
         L._FULL_HASH_LIMIT = orig
     assert sampled1 == sampled2  # demonstrates the fingerprint IS lossy here
     assert full1 != full2  # the key hash must distinguish them
+
+
+def test_key_includes_corpus_shape(client, monkeypatch):
+    """Two corpora with IDENTICAL bytes but different (N, D) must never
+    share a graph: the full-content anchor hash covers raw bytes only, so
+    the shape lives in the cache key (ADVICE r4, service/graph_cache.py)."""
+    monkeypatch.setenv("OSCILLINK_GRAPH_CACHE_SIZE", "8")
+    rng = np.random.default_rng(11)
+    flat = rng.standard_normal(240).astype(np.float32)
+    psi_a = rng.standard_normal(10).astype(np.float32)
+    psi_b = rng.standard_normal(8).astype(np.float32)
+    p_a = {
+        "Y": flat.reshape(24, 10).tolist(),
+        "psi": psi_a.tolist(),
+        "options": {"max_iters": 8, "tol": 1e-3},
+    }
+    p_b = {
+        "Y": flat.reshape(30, 8).tolist(),
+        "psi": psi_b.tolist(),
+        "options": {"max_iters": 8, "tol": 1e-3},
+    }
+    r1 = client.post("/v1/settle", json_body=p_a)
+    assert r1.status_code == 200 and r1.json()["meta"]["graph_cache"] == "MISS"
+    # same bytes, different shape: MUST miss (a hit would install a graph
+    # built for a 24-row corpus into a 30-row lattice)
+    r2 = client.post("/v1/settle", json_body=p_b)
+    assert r2.status_code == 200 and r2.json()["meta"]["graph_cache"] == "MISS"
+    assert r2.json()["meta"]["N"] == 30 and r2.json()["meta"]["D"] == 8
+
+
+def test_install_snapshot_rejects_wrong_row_count():
+    """Defense-in-depth behind the shape-keyed cache: installing a snapshot
+    whose graph was built for a different N fails loudly."""
+    from oscillink_tpu import OscillinkLattice
+
+    rng = np.random.default_rng(3)
+    Y24 = rng.standard_normal((24, 10)).astype(np.float32)
+    src = OscillinkLattice(Y24, kneighbors=4)
+    snap = src._graph_snapshot()
+    dst = OscillinkLattice(
+        rng.standard_normal((30, 10)).astype(np.float32),
+        kneighbors=4,
+        _defer_graph=True,
+    )
+    with pytest.raises(ValueError, match="row count"):
+        dst._install_graph_snapshot(snap)

@@ -269,3 +269,33 @@ def test_native_chain_receipt_validation():
         eng.chain_receipt([1])
     with pytest.raises(ValueError):
         eng.chain_receipt([0, 99])
+
+
+def test_native_chain_receipt_mismatched_chain_matches_jax():
+    """Contract pin (ADVICE r4): when a chain is INSTALLED, chain_receipt
+    uses the installed path graph even for a DIFFERENT queried chain —
+    both backends (core/lattice.py: ``pg = self._path if ... else``;
+    native/engine.py mirrors it)."""
+    from oscillink_tpu import OscillinkLattice
+
+    rng = np.random.default_rng(4)
+    n, d, k = 60, 12, 5
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    psi = (Y[0] / np.linalg.norm(Y[0])).astype(np.float32)
+    installed = [0, 3, 7, 11]
+    queried = [2, 5, 9]  # different from the installed chain
+
+    eng = NativeEngine(Y, kneighbors=k)
+    eng.set_query(psi)
+    eng.add_chain(installed, lamP=0.2)
+    cr_n = eng.chain_receipt(queried)
+
+    lat = OscillinkLattice(Y, kneighbors=k, deterministic_k=True)
+    lat.set_query(psi)
+    lat.add_chain(installed, lamP=0.2)
+    cr_d = lat.chain_receipt(queried)
+
+    assert cr_n["verdict"] == cr_d["verdict"]
+    for en, ed in zip(cr_n["edges"], cr_d["edges"]):
+        for f in ("z_struct", "z_path", "r_struct", "r_path"):
+            assert abs(en[f] - ed[f]) <= max(3e-3, 3e-3 * abs(ed[f])), (f, en, ed)

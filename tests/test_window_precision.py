@@ -123,3 +123,34 @@ def test_bf16x2_cg_solve_converges(banded_case):
         np.abs(np.asarray(x_ref)).max() + 1e-12
     )
     assert rel < 1e-2, rel
+
+
+def test_receipt_meta_surfaces_active_tier(monkeypatch):
+    """Receipts carry `meta.window_precision` whenever the windowed kernel
+    served the solve (ADVICE r4): reduced tiers change settle numerics and
+    state_sig, so a fleet with mismatched OSCILLINK_WINDOW_PRECISION values
+    must be diagnosable from its responses.  Absent on non-windowed paths."""
+    from oscillink_tpu import OscillinkLattice
+
+    rng = np.random.default_rng(9)
+    n, d = 600, 32
+    centers = rng.standard_normal((6, d)).astype(np.float32)
+    Y = (centers[np.arange(n) % 6] + 0.2 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    psi = rng.standard_normal(d).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    monkeypatch.setenv("OSCILLINK_WINDOW_PRECISION", "bf16x2")
+    lat = OscillinkLattice(Y, kneighbors=5)
+    assert lat._window_ctx is not None
+    lat.set_query(psi)
+    rec = lat.receipt()
+    assert rec["meta"]["window_precision"] == "bf16x2"
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    monkeypatch.delenv("OSCILLINK_WINDOW_PRECISION", raising=False)
+    lat2 = OscillinkLattice(Y, kneighbors=5)
+    assert lat2._window_ctx is None
+    lat2.set_query(psi)
+    assert "window_precision" not in lat2.receipt()["meta"]

@@ -141,7 +141,17 @@ def test_auto_mode_skips_chunked_solves(monkeypatch):
     monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
     monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
     monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "2")
+    events: list[tuple[str, dict]] = []
     lat = OscillinkLattice(Y, kneighbors=6)
+    # pin the SKIP REASON, not just the outcome: the gate must fire because
+    # the solve column-chunks, logged as "col-chunked solve" (the round-4
+    # 500k/1M regression was exactly this ctx engaging under chunked solves)
+    lat.set_logger(lambda ev, payload: events.append((ev, payload)))
+    lat.rebuild_graph(kneighbors=6)
+    skip_reasons = [
+        p.get("reason") for ev, p in events if ev == "window_ctx_skipped"
+    ]
+    assert "col-chunked solve" in skip_reasons
     assert lat._window_ctx is None
 
     monkeypatch.setenv("OSCILLINK_COL_CHUNKS", "1")
