@@ -176,6 +176,17 @@ def main():
             "reserved for the <=~400k unchunked regime and the per-shard "
             "halo tier where it measures 51.9 ms cg5 at 125k)."
         )
+    elif section == "rows_round5":
+        data["note_round5"] = (
+            "round 5: same protocol, re-measured WITH the chunked-solve "
+            "window gate active (core/lattice.py _maybe_build_window_ctx "
+            "skips the windowed ctx when _auto_col_chunks() > 1, pinned by "
+            "tests/test_window_spmv.py::test_auto_mode_skips_chunked_solves)."
+            " rows_round4 recorded the pre-gate regression (1M clustered "
+            "settle 7782 ms vs round-3 2912) because the aligned-windowed "
+            "default engaged under column-chunked solves; these rows are "
+            "the authoritative large-N walls."
+        )
     data[section] = rows
     with open(OUT, "w") as f:
         json.dump(data, f, indent=1)
