@@ -89,6 +89,22 @@ def _ann_backends(psi, Y, k):
         out["annoy"] = {"pred": pred, "ms": 1000 * (time.perf_counter() - t0)}
     except Exception:
         pass
+    try:  # scikit-learn: the ANN arm that IS installable offline (this
+        # image has no egress and no faiss/annoy wheels — the artifact
+        # records that; sklearn's brute cosine kNN is the same exact-search
+        # contract as faiss.IndexFlatIP)
+        from sklearn.neighbors import NearestNeighbors  # type: ignore
+
+        nn = NearestNeighbors(n_neighbors=k, metric="cosine", algorithm="brute")
+        nn.fit(Y)
+        t0 = time.perf_counter()
+        _, idxs = nn.kneighbors(psi.reshape(1, -1))
+        out["sklearn_nn"] = {
+            "pred": idxs[0].tolist(),
+            "ms": 1000 * (time.perf_counter() - t0),
+        }
+    except Exception:
+        pass
     return out
 
 
@@ -167,7 +183,17 @@ def main(argv=None):
     p.add_argument("--tune", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the JAX CPU backend (the axon TPU plugin ignores "
+        "JAX_PLATFORMS; must be set before first compute)",
+    )
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     result = run(args)
     text = json.dumps(result, indent=2)
     if args.out:
