@@ -94,10 +94,16 @@ def run_one(n, corpus="iso"):
     # from the post-cold state).  Repeats must re-run the SAME solve, so U
     # is restored between them — chained settles converge progressively
     # (5 -> 4 -> 3 iters) and would time ever-cheaper solves.
+    import jax.numpy as jnp
+
     U_saved = lat._U_dev
     settle_walls, settle_iters = [], []
     for rep in range(3):
-        lat._U_dev = U_saved
+        # fresh device copy: the full-width settle path DONATES its U
+        # buffer (core/lattice.py _jit_settle_donated), so re-installing
+        # U_saved itself would hand the solver an already-consumed buffer
+        # on the second repeat (observed: InvalidArgument + wedged backend)
+        lat._U_dev = jnp.copy(U_saved)
         s2 = lat.settle(dt=1.0, max_iters=12, tol=1e-3)
         settle_walls.append(float(s2["t_ms"]))
         settle_iters.append(int(s2["iters"]))

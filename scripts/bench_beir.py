@@ -46,7 +46,9 @@ def recall_at_k(ranked_ids, qrels, k=50):
     return len(set(ranked_ids[:k]) & rel) / len(rel)
 
 
-def rerank_with_lattice(doc_vecs, qvec, candidates, kneighbors=8):
+def rerank_with_lattice(
+    doc_vecs, qvec, candidates, kneighbors=8, lamC=0.5, lamQ=4.0
+):
     """Rerank candidate rows by settled alignment (the rerank mode).
 
     `bundle(diversify=False)` returns the pure score ordering; the MMR
@@ -55,7 +57,12 @@ def rerank_with_lattice(doc_vecs, qvec, candidates, kneighbors=8):
     from oscillink_tpu import OscillinkLattice
 
     Y = doc_vecs[candidates].astype(np.float32)
-    lat = OscillinkLattice(Y, kneighbors=min(kneighbors, len(candidates) - 1))
+    lat = OscillinkLattice(
+        Y,
+        kneighbors=min(kneighbors, len(candidates) - 1),
+        lamC=lamC,
+        lamQ=lamQ,
+    )
     lat.set_query(qvec.astype(np.float32))
     lat.settle(max_iters=12, tol=1e-3)
     order = [
