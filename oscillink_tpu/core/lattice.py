@@ -778,9 +778,17 @@ class OscillinkLattice:
                 strag_src=plan.strag_src[:keep],
                 strag_w=plan.strag_w[:keep],
             )
+        oh = build_onehot(plan, win_w, s_max)
+        if _window_precision_tier() == "oh16":
+            # bf16-stored one-hot: halves the per-iteration [Npad, n_win*W]
+            # HBM stream (the largest term in the kernel's gap to its
+            # streaming bound).  Opt-in — quantizes edge weights to bf16,
+            # so receipts/state_sig shift ~2e-3; the active tier is already
+            # surfaced in receipt meta (window_precision).
+            oh = oh._replace(main=oh.main.astype(jnp.bfloat16))
         self._window_ctx = WindowCtx(
             plan=plan,
-            oh=build_onehot(plan, win_w, s_max),
+            oh=oh,
             order=order,
             inv_order=inv,
         )

@@ -303,6 +303,19 @@ def _window_dot(oh, win, precision):
         return _dot3(oh, win)
     if precision == "bf16x2":
         return _dot2(oh, win)
+    if precision == "oh16":
+        # bf16-STORED one-hot (caller casts OneHots.main at build time):
+        # halves the [Npad, n_win*W] per-iteration HBM stream — the largest
+        # term in the kernel's gap to its streaming bound (NORTHSTAR.md).
+        # Two MXU passes against the split X window keep the X side
+        # f32-accurate; the operator error is the one-hot's own bf16
+        # quantization (~2^-9 relative on edge weights), same magnitude as
+        # the bf16x2 tier — OPT-IN, never the receipt-parity default.
+        a = oh if oh.dtype == jnp.bfloat16 else oh.astype(jnp.bfloat16)
+        b_hi = win.astype(jnp.bfloat16)
+        b_lo = (win - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return dot(a, b_hi) + dot(a, b_lo)
     if precision == "bf16":
         return jnp.dot(
             oh.astype(jnp.bfloat16),
@@ -318,13 +331,15 @@ def _env_precision() -> str:
     """Resolve the window-pass precision tier from the environment.
 
     ``OSCILLINK_WINDOW_PRECISION`` ∈ {"bf16x3" (default, receipt-parity
-    grade), "bf16x2" (~2e-3 operator error, one MXU pass fewer), "bf16"
-    (~8e-3, single pass)}.  Read at TRACE time: jitted callers bake the
-    tier into their compiled program, so set it before the first solve."""
+    grade), "bf16x2" (~2e-3 operator error, one MXU pass fewer), "oh16"
+    (~2e-3, bf16-STORED one-hot: halves the per-iteration one-hot HBM
+    stream; the lattice casts OneHots.main at ctx build), "bf16" (~8e-3,
+    single pass)}.  Read at TRACE time: jitted callers bake the tier into
+    their compiled program, so set it before the first solve."""
     import os
 
     v = os.getenv("OSCILLINK_WINDOW_PRECISION", "bf16x3").strip().lower()
-    return v if v in ("bf16x3", "bf16x2", "bf16") else "bf16x3"
+    return v if v in ("bf16x3", "bf16x2", "bf16", "oh16") else "bf16x3"
 
 
 def _matmul_kernel(W: int, n_win: int, precision):

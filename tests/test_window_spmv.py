@@ -425,3 +425,38 @@ def test_kernel3f_fused_parity_interpret():
     pap_ref = (np.asarray(Xp) * ref).sum(axis=0)
     prel = np.abs(np.asarray(pap) - pap_ref).max() / (np.abs(pap_ref).max() + 1e-12)
     assert prel < 5e-4, prel
+
+
+def test_oh16_tier_parity_interpret():
+    """bf16-stored one-hot (oh16): operator error bounded by the bf16
+    quantization of the edge weights (~2^-9 relative), and the tier name
+    resolves through _env_precision."""
+    rng = np.random.default_rng(3)
+    n, d, k = 1500, 64, 6
+    Y = _clustered(n, d, seed=3)
+    g = jax.jit(lambda Y: build_graph(Y, k))(jnp.asarray(Y))
+    plan, _cov = ws.build_window_plan(
+        np.asarray(g.idx), np.asarray(g.wn), W=512, R=256
+    )
+    oh = ws.build_onehot(plan, 512, ws.plan_s_max(plan))
+    oh16 = oh._replace(main=oh.main.astype(jnp.bfloat16))
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    out = np.asarray(
+        ws.lap_matvec_windowed(plan, oh16, Xp, W=512, R=256, precision="oh16")
+    )[:n]
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 5e-3, rel
+
+    import os
+
+    old = os.environ.get("OSCILLINK_WINDOW_PRECISION")
+    os.environ["OSCILLINK_WINDOW_PRECISION"] = "oh16"
+    try:
+        assert ws._env_precision() == "oh16"
+    finally:
+        if old is None:
+            del os.environ["OSCILLINK_WINDOW_PRECISION"]
+        else:
+            os.environ["OSCILLINK_WINDOW_PRECISION"] = old
