@@ -256,8 +256,11 @@ def _large_n_recorded():
         # rows_round4 re-measured (N, corpus) pairs after the aligned window
         # geometry landed; prefer those, fall back to round-3 rows for pairs
         # not re-run
+        # rows_round5 re-measured every pair with OSCILLINK_SYNC_TIMINGS +
+        # min-of-3 (stall-robust; see note_round5); prefer those, fall back
+        # to older rows for pairs not re-run
         rows = {}
-        for section in ("rows_round3", "rows_round4"):
+        for section in ("rows_round3", "rows_round4", "rows_round5"):
             for r in doc.get(section, []):
                 if "error" not in r:
                     rows[(r["N"], r.get("corpus", "iso"))] = r

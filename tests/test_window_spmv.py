@@ -460,3 +460,31 @@ def test_oh16_tier_parity_interpret():
             del os.environ["OSCILLINK_WINDOW_PRECISION"]
         else:
             os.environ["OSCILLINK_WINDOW_PRECISION"] = old
+
+
+def test_lattice_oh16_ctx_and_parity(monkeypatch):
+    """OSCILLINK_WINDOW_PRECISION=oh16 casts the ctx one-hot to bf16 at
+    build, surfaces the tier in receipt meta, and stays within the
+    bf16-weight quantization bound of the default tier."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=5)
+    rng = np.random.default_rng(5)
+    psi = rng.standard_normal(48).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    r_ref = base.receipt()
+    assert base._window_ctx.oh.main.dtype == jnp.float32
+
+    monkeypatch.setenv("OSCILLINK_WINDOW_PRECISION", "oh16")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None
+    assert lat._window_ctx.oh.main.dtype == jnp.bfloat16
+    lat.set_query(psi)
+    r16 = lat.receipt()
+    assert r16["meta"]["window_precision"] == "oh16"
+    assert r16["deltaH_total"] == pytest.approx(
+        r_ref["deltaH_total"], rel=2e-2
+    )
