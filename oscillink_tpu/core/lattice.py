@@ -723,8 +723,10 @@ class OscillinkLattice:
             min_cov = 0.92
         from ..models.coherence import WindowCtx
         from ..ops.pallas.window_spmv import (
+            accept_window_plan,
             build_onehot,
             build_window_plan_device,
+            lowcov_smax_bound,
         )
 
         order, inv = _jit_locality_order(self._Y_dev)
@@ -742,28 +744,60 @@ class OscillinkLattice:
         #     vs 0.949, stragglers 3.6k vs 204k)
         #     (benchmarks/window_geometry_500k.json)
         # s_max 384: three aligned windows leave so few stragglers that the
-        # tighter per-block cap essentially never rejects (the `fits` check
-        # below still guards it)
+        # tighter per-block cap essentially never rejects on high-coverage
+        # corpora (the `fits` check below still guards it)
         win_w, win_r, n_windows, s_max = 384, 384, 3, 384
-        plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
-            self._graph.idx, self._graph.wn, order, win_w, win_r,
-            strag_cap, s_max, n_windows,
-        )
-        cov, n_strag, fits, off_last = (
-            float(v)
-            for v in jax.device_get(
-                [cov_dev, n_strag_dev, fits_dev, plan.strag_off[-1]]
+        lowcov_bound = lowcov_smax_bound()
+
+        def try_plan(s_max, strag_cap):
+            plan, cov_dev, n_strag_dev, fits_dev = build_window_plan_device(
+                self._graph.idx, self._graph.wn, order, win_w, win_r,
+                strag_cap, s_max, n_windows,
             )
-        )  # one tiny RPC
+            cov, n_strag, fits, off_last = (
+                float(v)
+                for v in jax.device_get(
+                    [cov_dev, n_strag_dev, fits_dev, plan.strag_off[-1]]
+                )
+            )  # one tiny RPC
+            ok, reason = accept_window_plan(
+                cov, n_strag, fits, s_max, strag_cap,
+                forced=forced, min_cov=min_cov, lowcov_bound=lowcov_bound,
+            )
+            return plan, cov, n_strag, off_last, ok, reason
+
+        plan, cov, n_strag, off_last, ok, reason = try_plan(s_max, strag_cap)
         self._window_coverage = cov
+        if not ok and reason == "straggler overflow" and lowcov_bound > s_max:
+            # low-coverage graphs overflow the default 10%-of-edges
+            # straggler cap and the tight s_max, yet the kernel still wins
+            # when the per-block segments are bounded (the round-5 rule,
+            # see `lowcov_smax_bound`): retry once with the bound's DMA
+            # window and an untruncatable cap (every edge may straggle;
+            # the arrays are ~12 B/edge, right-sized again below)
+            s_max = ((lowcov_bound + 127) // 128) * 128
+            n_blocks = -(-self.N // win_r)
+            strag_cap = (
+                (self.N * self._kneighbors + 8 * n_blocks + s_max + 127)
+                // 128
+            ) * 128
+            plan, cov, n_strag, off_last, ok, reason = try_plan(
+                s_max, strag_cap
+            )
+            self._window_coverage = cov
         # the compacted straggler list truncates beyond strag_cap, and the
         # kernel's per-block DMA window is s_max rows — never accept
         # a truncated or non-fitting plan, even when forced (correctness
-        # first)
-        if n_strag > strag_cap or not fits or (not forced and cov < min_cov):
+        # first: accept_window_plan enforces this)
+        if not ok:
             self._log(
                 "window_ctx_skipped",
-                {"coverage": cov, "stragglers": n_strag, "fits": bool(fits)},
+                {
+                    "coverage": cov,
+                    "stragglers": n_strag,
+                    "s_max": s_max,
+                    "reason": reason,
+                },
             )
             return
         # right-size the straggler arrays: the device builder pads them to
@@ -794,7 +828,13 @@ class OscillinkLattice:
         )
         self._log(
             "window_ctx",
-            {"coverage": cov, "n_pad": plan.n_pad, "stragglers": n_strag},
+            {
+                "coverage": cov,
+                "n_pad": plan.n_pad,
+                "stragglers": n_strag,
+                "s_max": s_max,
+                "accepted": reason,
+            },
         )
 
     def _build_graph_seeded_host(self) -> None:

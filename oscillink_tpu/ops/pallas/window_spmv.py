@@ -54,6 +54,8 @@ __all__ = [
     "lap_matvec_windowed",
     "k_matvec_windowed",
     "pad_rows",
+    "lowcov_smax_bound",
+    "accept_window_plan",
 ]
 
 DEFAULT_W = 512  # window rows (must be a multiple of R)
@@ -340,6 +342,58 @@ def _env_precision() -> str:
 
     v = os.getenv("OSCILLINK_WINDOW_PRECISION", "bf16x3").strip().lower()
     return v if v in ("bf16x3", "bf16x2", "bf16", "oh16") else "bf16x3"
+
+
+def lowcov_smax_bound() -> int:
+    """Low-coverage acceptance bound on the straggler DMA window (rows).
+
+    ``OSCILLINK_WINDOWED_LOWCOV_SMAX`` (default 512): a window plan whose
+    per-block straggler segments all fit a DMA window of at most this many
+    rows is accepted even when coverage sits under the coverage bar.
+    Measured at the 125k north-star shard the kernel is straggler-VOLUME
+    bound, not coverage bound: the real clustered 1M graph gives cov 0.067
+    at s_max 512 and the fused cg5 still runs 74.9 ms (beats the f32
+    gather's 117.6 — benchmarks/northstar_e2e_125k.json), while the real
+    isotropic graph gives cov 0.019 at s_max 2560 and loses (165 ms cg4 vs
+    bf16-gather 89.8 — benchmarks/iso_straggler_125k.json); the controlled
+    sweep in benchmarks/smax_sweep_125k.json pins the crossover.  "0"
+    disables the rule (coverage-only gate, the pre-round-5 behavior)."""
+    import os
+
+    try:
+        return int(os.getenv("OSCILLINK_WINDOWED_LOWCOV_SMAX", "512"))
+    except ValueError:
+        return 512
+
+
+def accept_window_plan(
+    cov: float,
+    n_strag: float,
+    fits: bool,
+    s_max: int,
+    strag_cap: float,
+    *,
+    forced: bool,
+    min_cov: float,
+    lowcov_bound: int,
+) -> tuple[bool, str]:
+    """Router acceptance for a window plan: ``(accept, reason)``.
+
+    Correctness first: a truncated straggler list or a non-fitting DMA
+    window is never accepted, even forced.  Otherwise accept on forced
+    mode, on the coverage bar, or — the round-5 rule — on a bounded
+    straggler volume (``s_max <= lowcov_bound``), since the kernel's cost
+    scales with the per-block straggler DMA window, not with coverage
+    (see `lowcov_smax_bound`)."""
+    if n_strag > strag_cap or not fits:
+        return False, "straggler overflow"
+    if forced:
+        return True, "forced"
+    if cov >= min_cov:
+        return True, "coverage"
+    if 0 < lowcov_bound and s_max <= lowcov_bound:
+        return True, "bounded stragglers"
+    return False, "low coverage"
 
 
 def _matmul_kernel(W: int, n_win: int, precision):

@@ -543,10 +543,27 @@ def solve_auto(
         )
         wargs = None
         if windowed_mode not in {"0", "off", "false", "no"} and plan.rows_per >= 1024:
+            from ..ops.pallas.window_spmv import (
+                accept_window_plan,
+                lowcov_smax_bound,
+            )
+
             wn_h = np.asarray(jax.device_get(g.wn))
-            wplan, woh, win_cov, _ = build_shard_window_plans(plan, wn_h, n_dev)
+            wplan, woh, win_cov, win_smax = build_shard_window_plans(
+                plan, wn_h, n_dev
+            )
             forced = windowed_mode in {"1", "force", "on", "true"}
-            if forced or win_cov >= min_cov_env:
+            # the host builder computes s_max exactly (no fits/cap concept),
+            # so acceptance is coverage OR the round-5 bounded-straggler
+            # rule: the kernel's cost scales with the straggler DMA window,
+            # not coverage (real 1M clustered shard: cov 0.067 at s_max 512
+            # still beats the gather — northstar_e2e_125k.json)
+            ok, _reason = accept_window_plan(
+                win_cov, 0, True, win_smax, float("inf"),
+                forced=forced, min_cov=min_cov_env,
+                lowcov_bound=lowcov_smax_bound(),
+            )
+            if ok:
                 wargs = (wplan, woh)
         if wargs is not None:
             U, it, res = halo_solve_windowed(

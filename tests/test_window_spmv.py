@@ -488,3 +488,94 @@ def test_lattice_oh16_ctx_and_parity(monkeypatch):
     assert r16["deltaH_total"] == pytest.approx(
         r_ref["deltaH_total"], rel=2e-2
     )
+
+
+def test_accept_window_plan_rules():
+    """The router's acceptance predicate (round 5): correctness guards are
+    absolute; otherwise forced OR coverage OR the bounded-straggler rule
+    (kernel cost scales with s_max, not coverage — iso_straggler_125k vs
+    northstar_e2e_125k)."""
+    acc = ws.accept_window_plan
+    kw = dict(forced=False, min_cov=0.92, lowcov_bound=512)
+    # correctness guards: truncated list / non-fitting DMA window never pass
+    assert acc(0.99, 2000, True, 384, 1000, **kw) == (False, "straggler overflow")
+    assert acc(0.99, 10, False, 384, 1000, **kw) == (False, "straggler overflow")
+    assert acc(0.99, 2000, True, 384, 1000, forced=True, min_cov=0.92,
+               lowcov_bound=512)[0] is False
+    # coverage bar
+    assert acc(0.95, 10, True, 384, 1000, **kw) == (True, "coverage")
+    # the round-5 rule: low coverage, bounded stragglers
+    assert acc(0.07, 900, True, 512, 1000, **kw) == (True, "bounded stragglers")
+    # high straggler volume at low coverage: rejected
+    assert acc(0.07, 900, True, 2560, 100000, **kw) == (False, "low coverage")
+    # bound disabled -> coverage-only (pre-round-5 behavior)
+    assert acc(0.07, 900, True, 512, 1000, forced=False, min_cov=0.92,
+               lowcov_bound=0) == (False, "low coverage")
+    # forced overrides coverage (but not the correctness guards above)
+    assert acc(0.07, 900, True, 2560, 100000, forced=True, min_cov=0.92,
+               lowcov_bound=0) == (True, "forced")
+
+
+def test_lowcov_bounded_straggler_acceptance(monkeypatch):
+    """A low-coverage graph whose stragglers overflow the tight first-pass
+    caps is retried at the lowcov s_max bound and ACCEPTED when it fits
+    (the round-5 rule); OSCILLINK_WINDOWED_LOWCOV_SMAX=0 restores the
+    coverage-only gate."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=9)
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
+
+    real_builder = ws.build_window_plan_device
+    calls: list[tuple[int, int]] = []
+
+    def fake_builder(idx, wn, order, W, R, strag_cap, s_max, n_windows):
+        calls.append((s_max, strag_cap))
+        plan, cov, n_strag, fits = real_builder(
+            idx, wn, order, W, R, strag_cap, s_max, n_windows
+        )
+        if s_max == 384:
+            # simulate the low-coverage regime: the tight first pass
+            # overflows on every build
+            return plan, jnp.float32(0.07), n_strag, jnp.bool_(False)
+        return plan, jnp.float32(0.07), n_strag, fits
+
+    monkeypatch.setattr(ws, "build_window_plan_device", fake_builder)
+    events: list[tuple[str, dict]] = []
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_logger(lambda ev, p: events.append((ev, p)))
+    lat.rebuild_graph(kneighbors=6)
+    accepts = [p for ev, p in events if ev == "window_ctx"]
+    assert lat._window_ctx is not None
+    assert len(calls) >= 2 and calls[-1][0] == 512  # retried at the bound
+    assert accepts and accepts[-1]["accepted"] == "bounded stragglers"
+    assert accepts[-1]["s_max"] == 512
+
+    # the retry-accepted ctx must still solve correctly (straggler-heavy
+    # plans share the kernel path; parity vs the default solve)
+    rng = np.random.default_rng(9)
+    psi = rng.standard_normal(48).astype(np.float32)
+    lat.set_query(psi)
+    r_win = lat.receipt()
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    r_ref = base.receipt()
+    assert r_win["deltaH_total"] == pytest.approx(
+        r_ref["deltaH_total"], rel=1e-3
+    )
+
+    # bound disabled: the same low-coverage graph is rejected with the
+    # coverage reason (no retry of the overflow path)
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_LOWCOV_SMAX", "0")
+    calls.clear()
+    events.clear()
+    lat0 = OscillinkLattice(Y, kneighbors=6)
+    lat0.set_logger(lambda ev, p: events.append((ev, p)))
+    lat0.rebuild_graph(kneighbors=6)
+    assert lat0._window_ctx is None
+    skips = [p for ev, p in events if ev == "window_ctx_skipped"]
+    assert skips and skips[-1]["reason"] == "straggler overflow"
+    assert all(c[0] == 384 for c in calls)  # bound off -> no retry
