@@ -8,12 +8,15 @@ settled through `Oscillink` twice in one process —
 
   * OSCILLINK_WINDOWED_LOWCOV_SMAX=0   (pre-round-5 coverage-only gate;
     expected: ctx skipped, gather path)
-  * OSCILLINK_WINDOWED_LOWCOV_SMAX=512 (round-5 default; expected: ctx
+  * OSCILLINK_WINDOWED_LOWCOV_SMAX=768 (round-5 default; expected: ctx
     accepted via "bounded stragglers", windowed path)
 
-Because the env is read per ctx build, both arms run in one process via
-rebuild_graph().  Reports the router decision (from logger events), the
-settle + U* walls (median of 3 warm), and deltaH agreement between arms.
+Because the env is read per ctx build, both arms run in one process with a
+FRESH lattice each (settle warm-starts from the current U, so reusing one
+instance across arms is not comparable work — the first A/B attempt
+measured exactly that trap).  Reports the router decision (from logger
+events), the settle walls (median of 3 from the un-warm-started U=Y
+state via refresh), and deltaH agreement between arms.
 
 Writes benchmarks/router_ab_125k.json.
 Run detached: nohup python benchmarks/probe_router_ab.py > /tmp/routerab.log 2>&1 &
@@ -51,44 +54,44 @@ def main():
         "arms": {},
     }
 
-    events = []
-    lat = ot.Oscillink(Y, kneighbors=K)
-    lat.set_logger(lambda ev, p: events.append((ev, p)))
-    lat.set_query(psi)
-
-    for label, env in (("old_gate", "0"), ("round5_gate", "512")):
+    for label, env in (("old_gate", "0"), ("round5_gate", "768")):
         os.environ["OSCILLINK_WINDOWED_LOWCOV_SMAX"] = env
-        events.clear()
+        events: list = []
+        lat = ot.Oscillink(Y, kneighbors=K)
+        lat.set_logger(lambda ev, p, events=events: events.append((ev, p)))
         t0 = time.perf_counter()
         lat.rebuild_graph(kneighbors=K)
         rebuild_ms = 1000.0 * (time.perf_counter() - t0)
+        lat.set_query(psi)
         decision = [
             (ev, {k: p.get(k) for k in
                   ("coverage", "s_max", "reason", "accepted", "stragglers")})
             for ev, p in events
             if ev in ("window_ctx", "window_ctx_skipped")
         ]
-        settle_walls, ustar_walls = [], []
+        settle_walls, t_ms_list = [], []
         for i in range(4):  # first is warmup/compile
+            # reset to the fresh-lattice state so every repeat performs the
+            # FIRST-settle work (settle warm-starts from the current U;
+            # without the reset later repeats converge in 1 iteration and
+            # the arms are not comparable)
+            lat._U_dev = lat._Y_dev
             t0 = time.perf_counter()
             info = lat.settle(max_iters=12, tol=1e-3)
             w = 1000.0 * (time.perf_counter() - t0)
+            iters = int(info["iters"])  # materializes lazily
             if i:
                 settle_walls.append(w)
-            lat.refresh_Ustar()
-            t0 = time.perf_counter()
-            lat.solve_Ustar()
-            uw = 1000.0 * (time.perf_counter() - t0)
-            if i:
-                ustar_walls.append(uw)
-        rec = lat.receipt(detail="light")
+                t_ms_list.append(float(info["t_ms"]))
+        lat.set_receipt_detail("light")
+        rec = lat.receipt()
         out["arms"][label] = {
             "router": decision,
             "rebuild_ms": round(rebuild_ms, 1),
             "settle_ms_median3": round(float(np.median(settle_walls)), 1),
             "settle_ms_all": [round(w, 1) for w in settle_walls],
-            "ustar_ms_median3": round(float(np.median(ustar_walls)), 1),
-            "iters": info["iters"],
+            "settle_t_ms_all": [round(w, 1) for w in t_ms_list],
+            "iters": iters,
             "deltaH_total": rec["deltaH_total"],
         }
         print(f"# {label}: {json.dumps(out['arms'][label])}", flush=True)

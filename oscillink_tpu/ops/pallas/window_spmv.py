@@ -347,7 +347,7 @@ def _env_precision() -> str:
 def lowcov_smax_bound() -> int:
     """Low-coverage acceptance bound on the straggler DMA window (rows).
 
-    ``OSCILLINK_WINDOWED_LOWCOV_SMAX`` (default 512): a window plan whose
+    ``OSCILLINK_WINDOWED_LOWCOV_SMAX`` (default 768): a window plan whose
     per-block straggler segments all fit a DMA window of at most this many
     rows is accepted even when coverage sits under the coverage bar.
     Measured at the 125k north-star shard the kernel is straggler-VOLUME
@@ -355,15 +355,19 @@ def lowcov_smax_bound() -> int:
     at s_max 512 and the fused cg5 still runs 74.9 ms (beats the f32
     gather's 117.6 — benchmarks/northstar_e2e_125k.json), while the real
     isotropic graph gives cov 0.019 at s_max 2560 and loses (165 ms cg4 vs
-    bf16-gather 89.8 — benchmarks/iso_straggler_125k.json); the controlled
-    sweep in benchmarks/smax_sweep_125k.json pins the crossover.  "0"
-    disables the rule (coverage-only gate, the pre-round-5 behavior)."""
+    bf16-gather 89.8 — benchmarks/iso_straggler_125k.json).  The
+    controlled straggler-volume sweep (benchmarks/smax_sweep_125k.json)
+    brackets the crossover: windowed 9.2 / 13.0 ms/apply at s_max
+    384 / 768 (beats both gather tiers, f32 ~15.1 / bf16 ~13.7-14.0) and
+    19.8 at 1152 (loses) — 768 is the last measured winning point, hence
+    the default.  "0" disables the rule (coverage-only gate, the
+    pre-round-5 behavior)."""
     import os
 
     try:
-        return int(os.getenv("OSCILLINK_WINDOWED_LOWCOV_SMAX", "512"))
+        return int(os.getenv("OSCILLINK_WINDOWED_LOWCOV_SMAX", "768"))
     except ValueError:
-        return 512
+        return 768
 
 
 def accept_window_plan(

@@ -526,6 +526,8 @@ def test_lowcov_bounded_straggler_acceptance(monkeypatch):
     Y = _clustered(1200, 48, seed=9)
     monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
     monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
+    # pin the bound so the test stays stable if the default moves
+    monkeypatch.setenv("OSCILLINK_WINDOWED_LOWCOV_SMAX", "512")
 
     real_builder = ws.build_window_plan_device
     calls: list[tuple[int, int]] = []
