@@ -329,6 +329,63 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# The driver captures only the TAIL of this process's output (observed cap:
+# 2000 chars) and parses the JSON line from it.  Rounds 3/4 grew `detail`
+# past that cap, the line was truncated mid-string, and the recorded result
+# became `parsed: null` even though the run succeeded.  So: the full detail
+# goes to a file, and the printed line stays comfortably under the cap.
+_EMIT_BUDGET = 1200
+
+
+def _emit(out) -> None:
+    """Write full detail to benchmarks/bench_detail_latest.json; print ONE
+    compact JSON line (≤ _EMIT_BUDGET chars) as the process's last output."""
+    import os as _os
+
+    detail_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "benchmarks",
+        "bench_detail_latest.json",
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+        detail_ref = "benchmarks/bench_detail_latest.json"
+    except Exception:
+        detail_ref = None
+
+    d = out.get("detail") or {}
+    compact_detail = {
+        "measurement_quality": str(d.get("measurement_quality", ""))[:160],
+        "includes_readback": d.get("includes_readback"),
+        "backend": d.get("backend"),
+        "baseline_N5000_ms": d.get("baseline_N5000_ms"),
+        "full_detail": detail_ref,
+    }
+    # a few headline-adjacent numbers, cheapest-to-drop last
+    for key in (
+        "N5000_compute_ms",
+        "N1200_compute_ms",
+        "N1200_serving_default",
+        "cached_last_good",
+    ):
+        if d.get(key) is not None:
+            compact_detail[key] = d[key]
+    compact = dict(out)
+    compact["detail"] = compact_detail
+    line = json.dumps(compact)
+    # drop optional keys until the line fits the driver's tail capture
+    for key in ("cached_last_good", "N1200_serving_default", "N1200_compute_ms",
+                "N5000_compute_ms", "measurement_quality"):
+        if len(line) <= _EMIT_BUDGET:
+            break
+        compact_detail.pop(key, None)
+        line = json.dumps(compact)
+    print(line)
+    sys.stdout.flush()
+    sys.stderr.flush()
+
+
 def _cached_last_good():
     """Last committed bench_latest.json value (detail-only, never headline)."""
     import os as _os
@@ -388,9 +445,7 @@ def _tunnel_down_exit() -> None:
             "repeats": REPEATS,
         },
     }
-    print(json.dumps(out))
-    sys.stdout.flush()
-    sys.stderr.flush()
+    _emit(out)
 
 
 def main() -> None:
@@ -562,9 +617,7 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(out))
-    sys.stdout.flush()
-    sys.stderr.flush()
+    _emit(out)
     # the readback worker may still be wedged inside a C++ transfer call;
     # normal interpreter teardown then aborts (SIGABRT in thread unwind) —
     # exit hard once the result is printed
