@@ -48,9 +48,10 @@ def test_solve_auto_131072_end_to_end():
     assert U.shape == (n, d)
     assert info["res"] <= 1e-3
     assert info["iters"] >= 1
-    assert info["tier"] in {"halo-exchange", "all-gather"}
-    # clustered + reordered data must actually take the halo tier
-    assert info["tier"] == "halo-exchange"
+    # clustered + reordered data must actually take the halo tier (any of
+    # its local-matvec variants — the round-5 bounded-straggler rule routes
+    # this graph through the per-shard windowed kernel)
+    assert info["tier"].startswith("halo-exchange"), info["tier"]
     assert np.isfinite(U).all()
 
 
