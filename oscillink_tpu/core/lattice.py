@@ -813,12 +813,15 @@ class OscillinkLattice:
                 strag_w=plan.strag_w[:keep],
             )
         oh = build_onehot(plan, win_w, s_max)
-        if _window_precision_tier() == "oh16":
+        if _window_precision_tier() in ("oh16", "dma16"):
             # bf16-stored one-hot: halves the per-iteration [Npad, n_win*W]
             # HBM stream (the largest term in the kernel's gap to its
-            # streaming bound).  Opt-in — quantizes edge weights to bf16,
-            # so receipts/state_sig shift ~2e-3; the active tier is already
-            # surfaced in receipt meta (window_precision).
+            # streaming bound).  dma16 additionally stores the straggler
+            # contribution buffer in bf16 inside the kernel — the dominant
+            # stream on low-coverage plans.  Opt-in — quantizes edge
+            # weights to bf16, so receipts/state_sig shift ~2e-3; the
+            # active tier is already surfaced in receipt meta
+            # (window_precision).
             oh = oh._replace(main=oh.main.astype(jnp.bfloat16))
         self._window_ctx = WindowCtx(
             plan=plan,

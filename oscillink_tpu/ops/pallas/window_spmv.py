@@ -305,7 +305,7 @@ def _window_dot(oh, win, precision):
         return _dot3(oh, win)
     if precision == "bf16x2":
         return _dot2(oh, win)
-    if precision == "oh16":
+    if precision in ("oh16", "dma16"):
         # bf16-STORED one-hot (caller casts OneHots.main at build time):
         # halves the [Npad, n_win*W] per-iteration HBM stream — the largest
         # term in the kernel's gap to its streaming bound (NORTHSTAR.md).
@@ -313,6 +313,9 @@ def _window_dot(oh, win, precision):
         # f32-accurate; the operator error is the one-hot's own bf16
         # quantization (~2^-9 relative on edge weights), same magnitude as
         # the bf16x2 tier — OPT-IN, never the receipt-parity default.
+        # "dma16" extends the same trade to the straggler contribution
+        # buffer (see _window_spmv3/_window_spmv3f) — the dominant stream
+        # on LOW-coverage plans accepted by the bounded-straggler rule.
         a = oh if oh.dtype == jnp.bfloat16 else oh.astype(jnp.bfloat16)
         b_hi = win.astype(jnp.bfloat16)
         b_lo = (win - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -335,13 +338,16 @@ def _env_precision() -> str:
     ``OSCILLINK_WINDOW_PRECISION`` ∈ {"bf16x3" (default, receipt-parity
     grade), "bf16x2" (~2e-3 operator error, one MXU pass fewer), "oh16"
     (~2e-3, bf16-STORED one-hot: halves the per-iteration one-hot HBM
-    stream; the lattice casts OneHots.main at ctx build), "bf16" (~8e-3,
-    single pass)}.  Read at TRACE time: jitted callers bake the tier into
-    their compiled program, so set it before the first solve."""
+    stream; the lattice casts OneHots.main at ctx build), "dma16" (oh16
+    PLUS a bf16-stored straggler contribution buffer — halves the straggler
+    gather write + per-block DMA, the dominant stream on low-coverage
+    plans; ~2e-3 like oh16), "bf16" (~8e-3, single pass)}.  Read at TRACE
+    time: jitted callers bake the tier into their compiled program, so set
+    it before the first solve."""
     import os
 
     v = os.getenv("OSCILLINK_WINDOW_PRECISION", "bf16x3").strip().lower()
-    return v if v in ("bf16x3", "bf16x2", "bf16", "oh16") else "bf16x3"
+    return v if v in ("bf16x3", "bf16x2", "bf16", "oh16", "dma16") else "bf16x3"
 
 
 def lowcov_smax_bound() -> int:
@@ -500,14 +506,20 @@ def _matmul_kernel3(W: int, n_win: int, S_max: int, precision):
                 c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
             ).wait()
             c = c_vmem[:]
-            # oh3 is exact in bf16 (0/1); split c so the product is
-            # f32-accurate
-            c_hi = c.astype(jnp.bfloat16)
-            c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
-            corr = corr + jnp.dot(
-                oh3[:], c_lo, preferred_element_type=jnp.float32
-            )
+            if precision == "dma16":
+                # contribs are STORED bf16 (half the per-block DMA); the
+                # one-hot is exact in bf16, so a single MXU pass with f32
+                # accumulate carries only the storage quantization (~2^-9)
+                corr = jnp.dot(oh3[:], c, preferred_element_type=jnp.float32)
+            else:
+                # oh3 is exact in bf16 (0/1); split c so the product is
+                # f32-accurate
+                c_hi = c.astype(jnp.bfloat16)
+                c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
+                corr = corr + jnp.dot(
+                    oh3[:], c_lo, preferred_element_type=jnp.float32
+                )
             out[:] = acc - corr
 
         @pl.when(jnp.logical_not(has))
@@ -531,7 +543,10 @@ def _window_spmv3(
     n_pad, d = Xpad.shape
     b = n_pad // R
     n_win = plan.n_windows
-    contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
+    c_dtype = jnp.bfloat16 if precision == "dma16" else jnp.float32
+    contrib = (plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)).astype(
+        c_dtype
+    )
 
     def win_spec(w):
         return pl.BlockSpec((W, d), lambda i, *pre, w=w: (pre[w][i], 0))
@@ -548,7 +563,7 @@ def _window_spmv3(
         ],
         out_specs=pl.BlockSpec((R, d), lambda i, *pre: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((S_max, d), jnp.float32),
+            pltpu.VMEM((S_max, d), c_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -622,12 +637,16 @@ def _matmul_kernel3f(W: int, n_win: int, S_max: int, precision):
                 c_hbm.at[pl.ds(off, S_max), :], c_vmem, sem
             ).wait()
             c = c_vmem[:]
-            c_hi = c.astype(jnp.bfloat16)
-            c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
-            corr = corr + jnp.dot(
-                oh3[:], c_lo, preferred_element_type=jnp.float32
-            )
+            if precision == "dma16":
+                # bf16-stored contribs: one exact-one-hot MXU pass
+                corr = jnp.dot(oh3[:], c, preferred_element_type=jnp.float32)
+            else:
+                c_hi = c.astype(jnp.bfloat16)
+                c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                corr = jnp.dot(oh3[:], c_hi, preferred_element_type=jnp.float32)
+                corr = corr + jnp.dot(
+                    oh3[:], c_lo, preferred_element_type=jnp.float32
+                )
             res = acc - corr
             out[:] = res
             # pap block is (1, 8, d) — Mosaic needs the last two dims
@@ -662,7 +681,10 @@ def _window_spmv3f(
     n_pad, d = Xpad.shape
     b = n_pad // R
     n_win = plan.n_windows
-    contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
+    c_dtype = jnp.bfloat16 if precision == "dma16" else jnp.float32
+    contrib = (plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)).astype(
+        c_dtype
+    )
 
     def win_spec(w):
         return pl.BlockSpec((W, d), lambda i, *pre, w=w: (pre[w][i], 0))
@@ -686,7 +708,7 @@ def _window_spmv3f(
             pl.BlockSpec((1, 8, d), lambda i, *pre: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S_max, d), jnp.float32),
+            pltpu.VMEM((S_max, d), c_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -794,6 +816,10 @@ def lap_matvec_windowed(
         )
     out = _window_spmv(plan, oh.main, Xpad, W, R, precision)
     contrib = plan.strag_w[:, None] * jnp.take(Xpad, plan.strag_src, axis=0)
+    if precision == "dma16":
+        # mirror the TPU kernel's bf16-STORED contribution buffer so the
+        # interpreted/test-mesh path produces the same per-edge values
+        contrib = contrib.astype(jnp.bfloat16).astype(jnp.float32)
     return out.at[plan.strag_dst].add(
         -contrib, indices_are_sorted=True, unique_indices=False
     )

@@ -336,6 +336,12 @@ def build_shard_window_plans(plan: HaloPlan, wn: np.ndarray, n_dev: int):
 
     plans = [pad_strag(p) for p in plans]
     ohs = [build_onehot(p, 384, s_max) for p in plans]
+    from ..ops.pallas.window_spmv import _env_precision
+
+    if _env_precision() in ("oh16", "dma16"):
+        # bf16-stored one-hot on the per-shard kernels too (same trade as
+        # the single-chip lattice ctx: halves the main one-hot stream)
+        ohs = [o._replace(main=o.main.astype(jnp.bfloat16)) for o in ohs]
     stacked_plan = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
     stacked_oh = jax.tree.map(lambda *xs: jnp.stack(xs), *ohs)
     return stacked_plan, stacked_oh, float(min(covs)), s_max

@@ -581,3 +581,69 @@ def test_lowcov_bounded_straggler_acceptance(monkeypatch):
     skips = [p for ev, p in events if ev == "window_ctx_skipped"]
     assert skips and skips[-1]["reason"] == "straggler overflow"
     assert all(c[0] == 384 for c in calls)  # bound off -> no retry
+
+
+def test_dma16_tier_parity_interpret():
+    """dma16 = oh16 + bf16-STORED straggler contribution buffer: operator
+    error stays at the bf16 quantization grade (~2^-9 relative) on a plan
+    with a substantial straggler population, and the tier name resolves
+    through _env_precision."""
+    rng = np.random.default_rng(11)
+    n, d, k = 1500, 64, 6
+    # isotropic data -> low coverage -> most edges are stragglers: the
+    # bf16 contrib store is the dominant perturbation under test
+    Y = rng.standard_normal((n, d)).astype(np.float32)
+    g = jax.jit(lambda Y: build_graph(Y, k))(jnp.asarray(Y))
+    plan, cov = ws.build_window_plan(
+        np.asarray(g.idx), np.asarray(g.wn), W=512, R=256
+    )
+    assert cov < 0.9  # a real straggler population is exercised
+    oh = ws.build_onehot(plan, 512, ws.plan_s_max(plan))
+    oh16 = oh._replace(main=oh.main.astype(jnp.bfloat16))
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Xp = ws.pad_rows(jnp.asarray(X), plan.n_pad)
+    out = np.asarray(
+        ws.lap_matvec_windowed(plan, oh16, Xp, W=512, R=256, precision="dma16")
+    )[:n]
+    ref = np.asarray(lap_matvec(g, jnp.asarray(X)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert rel < 5e-3, rel
+
+    import os
+
+    old = os.environ.get("OSCILLINK_WINDOW_PRECISION")
+    os.environ["OSCILLINK_WINDOW_PRECISION"] = "dma16"
+    try:
+        assert ws._env_precision() == "dma16"
+    finally:
+        if old is None:
+            del os.environ["OSCILLINK_WINDOW_PRECISION"]
+        else:
+            os.environ["OSCILLINK_WINDOW_PRECISION"] = old
+
+
+def test_lattice_dma16_ctx_and_parity(monkeypatch):
+    """OSCILLINK_WINDOW_PRECISION=dma16 casts the ctx one-hot to bf16,
+    surfaces the tier in receipt meta, and the settle stays within the
+    bf16-quantization bound of the default tier."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=7)
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal(48).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "1")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    r_ref = base.receipt()
+
+    monkeypatch.setenv("OSCILLINK_WINDOW_PRECISION", "dma16")
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None
+    assert lat._window_ctx.oh.main.dtype == jnp.bfloat16
+    lat.set_query(psi)
+    r16 = lat.receipt()
+    assert r16["meta"]["window_precision"] == "dma16"
+    assert r16["deltaH_total"] == pytest.approx(
+        r_ref["deltaH_total"], rel=2e-2
+    )
