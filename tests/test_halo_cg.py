@@ -214,3 +214,46 @@ def test_solve_auto_bf16_tier_label(monkeypatch):
     if info["tier"].startswith("halo-exchange"):
         assert info["tier"] == "halo-exchange-bf16gather"
     assert np.isfinite(U).all()
+
+
+def test_halo_solve_windowed_dma16_tier(monkeypatch):
+    """OSCILLINK_WINDOW_PRECISION=dma16 flows through the halo windowed
+    tier: per-shard one-hots are cast to bf16 at build and the solve stays
+    within the bf16-quantization band of the f32-stored solve."""
+    from oscillink_tpu.parallel.halo_cg import (
+        build_shard_window_plans,
+        halo_solve_windowed,
+    )
+
+    n, d, n_dev = 8192, 24, 8
+    Y_host = _clustered(n, d, seed=3)
+    order = pca_bisection_order(Y_host, levels=4)
+    (Y_host,) = apply_order(order, Y_host)[:1]
+    rng = np.random.default_rng(4)
+    psi = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    Y = jnp.asarray(Y_host)
+    B = jnp.ones(n, dtype=jnp.float32)
+    lam = EnergyParams.make(1.0, 0.5, 4.0, 0.0)
+
+    g = jax.jit(lambda Y: build_graph(Y, 6))(Y)
+    plan = build_halo_plan(np.asarray(g.idx), np.asarray(g.w), n_dev)
+
+    wplan, woh, _cov, _s_max = build_shard_window_plans(
+        plan, np.asarray(g.wn), n_dev
+    )
+    mesh = lattice_mesh(n_dev)
+    U_ref, _it, _res = halo_solve_windowed(
+        mesh, g, plan, wplan, woh, Y, psi, B, lam, tol=1e-6, max_iters=200
+    )
+
+    monkeypatch.setenv("OSCILLINK_WINDOW_PRECISION", "dma16")
+    wplan16, woh16, _cov2, _s2 = build_shard_window_plans(
+        plan, np.asarray(g.wn), n_dev
+    )
+    assert woh16.main.dtype == jnp.bfloat16
+    U_16, _it2, res_16 = halo_solve_windowed(
+        mesh, g, plan, wplan16, woh16, Y, psi, B, lam, tol=1e-6, max_iters=200
+    )
+    assert float(res_16) <= 1e-5
+    scale = np.abs(np.asarray(U_ref)).max()
+    assert np.abs(np.asarray(U_16) - np.asarray(U_ref)).max() / scale < 5e-3
