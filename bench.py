@@ -233,10 +233,16 @@ def _large_n_recorded():
         "+ sharded_build_slice_1m.json + receipt_slice_125k.json "
         "+ geometry_cg5_125k.json",
         "shard125k_cg5_ms": {"windowed_fused_aligned": 51.9,
+                             "windowed_fused_oh16": 47.3,
                              "windowed_fused_r256": 59.9, "windowed": 68.8,
                              "gather": 117.0, "gather_bf16": 108.1},
         "shard125k_cg4_ms": {"windowed": 57.3, "gather_bf16_random": 89.8,
                              "gather_f32_random": 100.4},
+        "shard125k_realgraph_settle_cg5_ms": {
+            "source": "northstar_e2e_125k.json + e2e_settle_dma16_125k.json "
+            "(REAL clustered 1M/8 graph, cov 0.067)",
+            "bf16x3": 74.8, "oh16": 72.4, "dma16": 65.3,
+        },
         "sharded_build_per_chip_1m_ms": 1456.3,
         "receipt_slice_per_chip_1m8_ms": 90.1,
         "solver_program_min_ms": {
