@@ -251,6 +251,12 @@ def _large_n_recorded():
             "500k_settle": 486.5, "500k_ustar": 575.6,
             "1M_ustar_fresh_c4": 2564.7, "1M_settle_c8": 2885.5,
         },
+        "settle_500k_fullwidth_windowed_ms": {
+            "source": "fw500k_lattice.json (production lattice settle, "
+            "min-of-3 warm; auto routing since 0.4.3)",
+            "auto_f32": 372.1, "oh16": 365.1, "dma16": 332.4,
+            "previous_gather_route": 573.0,
+        },
     }
     try:
         import json as _json

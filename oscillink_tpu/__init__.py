@@ -25,7 +25,7 @@ Public API mirrors the reference package (oscillink/__init__.py:4-21).
 
 from __future__ import annotations
 
-__version__ = "0.4.2"
+__version__ = "0.4.3"
 
 from .core.lattice import OscillinkLattice, json_line_logger  # noqa: E402,F401
 from .core.perf import compare_perf  # noqa: E402,F401

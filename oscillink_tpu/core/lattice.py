@@ -353,6 +353,16 @@ def _env_flag(name: str) -> bool:
     return os.getenv(name, "0").strip().lower() in {"1", "true", "yes"}
 
 
+# Empirical ceiling for `_windowed_fw_est_gb` at which the full-width
+# windowed solve is PROVEN to fit one 16 GB chip: the estimate evaluated at
+# the measured-fit 500k point is 17.677 GB (fw500k_planstats.json: 8 CG
+# blocks 12.29 + one-hot 2.31 + straggler one-hot 0.77 + contrib 1.82 +
+# 0.5) and that configuration ran at 376 ms settle (fw500k_lattice.json).
+# The raw sum overcounts physical residency (XLA frees/reuses CG blocks
+# in-program), so this is a ceiling on the ESTIMATE, not on HBM.
+_WINDOWED_FW_DEFAULT_GB = 17.7
+
+
 def _window_precision_tier() -> str:
     """Active windowed-kernel precision tier (OSCILLINK_WINDOW_PRECISION),
     surfaced in receipt meta so cross-replica signature divergence from
@@ -605,6 +615,7 @@ class OscillinkLattice:
         # defaults for paths that return before _maybe_build_window_ctx
         self._window_ctx = None
         self._window_coverage = None
+        self._window_fullwidth = True
         self._similarity_info = None
         jitter = None
         if self._neighbor_seed is not None and not self._deterministic_k:
@@ -704,6 +715,8 @@ class OscillinkLattice:
             min_n = 32768
         if not forced and self.N < min_n:
             return
+        self._window_fullwidth = True
+        fw_required = False
         if not forced and self._auto_col_chunks() > 1:
             # the windowed tier pays ONLY when the solve runs full-width:
             # a column-chunked solve is c sequential CG programs, each
@@ -711,12 +724,32 @@ class OscillinkLattice:
             # apply — measured losing to the low-memory gather path at both
             # chunked scales (500k c=2: 2450 ms settle vs 1479 gather;
             # 1M c=8: 7782 vs 2912 — scale_tpu.json rows_round4 note).
-            # Forced mode ("1") still allows it for the chunked-path tests.
-            self._log(
-                "window_ctx_skipped",
-                {"reason": "col-chunked solve", "col_chunks": self._auto_col_chunks()},
-            )
-            return
+            # BUT `_auto_col_chunks` models the GATHER solver's [N, K, D_c]
+            # temps; the windowed solve holds none of those, so its
+            # full-width program can fit where the gather model chunks —
+            # measured at 500k: production settle 376 ms full-width
+            # windowed vs 573 ms routed gather (fw500k_lattice.json).
+            # Admit the full-width windowed solve when its own working-set
+            # estimate fits the proven budget (`_windowed_fw_budget_gb`,
+            # calibrated to that measured-fit point); an EXPLICIT
+            # OSCILLINK_COL_CHUNKS keeps operator control and the old skip.
+            fw_budget = self._windowed_fw_budget_gb()
+            floor_gb = self._windowed_fw_floor_gb()
+            if (
+                os.getenv("OSCILLINK_COL_CHUNKS", "").strip()
+                or fw_budget <= 0.0
+                or floor_gb > fw_budget
+            ):
+                self._log(
+                    "window_ctx_skipped",
+                    {
+                        "reason": "col-chunked solve",
+                        "col_chunks": self._auto_col_chunks(),
+                        "fw_floor_gb": round(floor_gb, 2),
+                    },
+                )
+                return
+            fw_required = True
         try:
             min_cov = float(os.getenv("OSCILLINK_WINDOWED_MIN_COVERAGE", "0.92"))
         except ValueError:
@@ -800,6 +833,30 @@ class OscillinkLattice:
                 },
             )
             return
+        if fw_required:
+            # the straggler-dependent working-set terms are only known now
+            # (post plan fetch): reject when the full estimate exceeds the
+            # measured-fit budget — the solve would ResourceExhaust (and a
+            # failed attempt leaks device buffers through remote backends)
+            est_gb = self._windowed_fw_est_gb(
+                int(plan.n_pad), int(off_last), s_max, strag_cap,
+                win_w * n_windows,
+            )
+            if est_gb > self._windowed_fw_budget_gb():
+                self._log(
+                    "window_ctx_skipped",
+                    {
+                        "reason": "fw working set",
+                        "est_gb": round(est_gb, 2),
+                        "budget_gb": self._windowed_fw_budget_gb(),
+                        "col_chunks": self._auto_col_chunks(),
+                    },
+                )
+                return
+        # forced mode under a chunked solve keeps the chunked-windowed
+        # paths (their tests and the OSCILLINK_COL_CHUNKS escape hatch);
+        # every other accepted ctx solves full-width
+        self._window_fullwidth = fw_required or self._auto_col_chunks() <= 1
         # right-size the straggler arrays: the device builder pads them to
         # strag_cap (N*K/10 rows), but every apply gathers the WHOLE list to
         # build the contribution buffer — at coverage 0.98 that is ~6x more
@@ -951,6 +1008,7 @@ class OscillinkLattice:
             "n_edges": self._fetch.peek(self._edge_count_handle),
             "window_ctx": self._window_ctx,
             "window_coverage": self._window_coverage,
+            "window_fullwidth": getattr(self, "_window_fullwidth", True),
             "kneighbors": self._kneighbors,
             "row_cap": self._row_cap_val,
         }
@@ -982,6 +1040,7 @@ class OscillinkLattice:
         self._edge_count_handle = self._fetch.defer(snap["n_edges"])
         self._window_ctx = snap["window_ctx"]
         self._window_coverage = snap["window_coverage"]
+        self._window_fullwidth = snap.get("window_fullwidth", True)
         self._host_idx = None
         self._host_w = None
         self._host_sqrt_deg = None
@@ -1208,8 +1267,12 @@ class OscillinkLattice:
             self._window_ctx is not None
             and self._path is None
             and self._auto_col_chunks() > 1
+            and not getattr(self, "_window_fullwidth", False)
         ):
             # large-N windowed settle: full-width CG state would exceed HBM
+            # (forced-mode/OSCILLINK_COL_CHUNKS path — auto mode only builds
+            # the ctx under a chunked model when the full-width working set
+            # fits, `_windowed_fw_est_gb`)
             from ..models.coherence import settle_step_windowed_chunked
 
             U_plus, iters, res = settle_step_windowed_chunked(
@@ -1369,9 +1432,15 @@ class OscillinkLattice:
             and self._U_dev is not self._Y_dev
             else None
         )
-        if col_chunks > 1 and self._window_ctx is not None and self._path is None:
+        if (
+            col_chunks > 1
+            and self._window_ctx is not None
+            and self._path is None
+            and not getattr(self, "_window_fullwidth", False)
+        ):
             # large-N windowed solve: no [N, K, D_c] gather temp, so the
             # column chunking only has to cover the CG state blocks
+            # (forced-mode/OSCILLINK_COL_CHUNKS path; see the settle twin)
             from ..models.coherence import solve_stationary_windowed_chunked
 
             Ustar, iters, res = solve_stationary_windowed_chunked(
@@ -2253,6 +2322,57 @@ class OscillinkLattice:
         )
         self._sig_memo = sig
         return sig
+
+    def _windowed_fw_budget_gb(self) -> float:
+        """Working-set budget (GB) for admitting the FULL-WIDTH windowed
+        solve where the gather model would column-chunk.
+
+        Calibrated to the proven-fit point: the production 500k settle ran
+        full-width windowed at 376 ms (vs 573 routed gather) with the
+        estimate formula evaluating to ~21 GB on a 16 GB chip — the raw
+        sum overcounts because XLA frees/reuses CG blocks in-program, so
+        the budget is an EMPIRICAL ceiling on the estimate, not physical
+        HBM (`benchmarks/fw500k_lattice.json`, `fw500k_planstats.json`).
+        ``OSCILLINK_WINDOWED_FW_GB`` overrides; 0 disables the admission
+        (restores the blanket round-4 chunk gate)."""
+        raw = os.getenv("OSCILLINK_WINDOWED_FW_GB", "").strip()
+        if raw:
+            try:
+                return float(raw)
+            except ValueError:
+                pass
+        return _WINDOWED_FW_DEFAULT_GB
+
+    def _windowed_fw_floor_gb(self, n_pad: Optional[int] = None) -> float:
+        """N-proportional floor of the full-width windowed solve's working
+        set: 8 [N, D] f32 CG/resident blocks + the main one-hot stream.
+        Cheap pre-filter evaluated BEFORE the window plan is built (the
+        straggler terms need the plan; see `_windowed_fw_est_gb`)."""
+        block = self.N * self.D * 4 / 1e9
+        if n_pad is None:
+            n_pad = -(-self.N // 384) * 384
+        ohb = 2 if _window_precision_tier() in ("oh16", "dma16") else 4
+        return 8 * block + n_pad * 1152 * ohb / 1e9 + 0.5
+
+    def _windowed_fw_est_gb(
+        self, n_pad: int, off_last: int, s_max: int, strag_cap: int,
+        oh_cols: int,
+    ) -> float:
+        """Full working-set estimate for the full-width windowed solve,
+        evaluated after the plan fetch: floor + straggler one-hot + the
+        right-sized contribution buffer (mirrors the `keep` computation
+        below)."""
+        block = self.N * self.D * 4 / 1e9
+        ohb = 2 if _window_precision_tier() in ("oh16", "dma16") else 4
+        cb = 2 if _window_precision_tier() == "dma16" else 4
+        keep = min(strag_cap, ((off_last + s_max + 127) // 128) * 128)
+        return (
+            8 * block
+            + n_pad * oh_cols * ohb / 1e9
+            + n_pad * s_max * 2 / 1e9
+            + keep * self.D * cb / 1e9
+            + 0.5
+        )
 
     def _auto_col_chunks(self) -> int:
         """Column-chunk the stationary solve when its working set approaches

@@ -647,3 +647,71 @@ def test_lattice_dma16_ctx_and_parity(monkeypatch):
     assert r16["deltaH_total"] == pytest.approx(
         r_ref["deltaH_total"], rel=2e-2
     )
+
+
+def test_auto_mode_admits_fullwidth_windowed_when_fits(monkeypatch):
+    """When the GATHER chunk model says chunk but the windowed solve's own
+    working set fits (`_windowed_fw_est_gb` <= budget), auto mode admits
+    the full-width windowed ctx — the measured 500k regime
+    (fw500k_lattice.json: 376 ms full-width windowed vs 573 routed gather).
+    The solve must take the FULL-WIDTH branch, not the chunked-windowed one
+    (which loses, rows_round4)."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=6)
+    rng = np.random.default_rng(6)
+    psi = rng.standard_normal(48).astype(np.float32)
+
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
+    # gather path twin for the correctness anchor
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "0")
+    base = OscillinkLattice(Y, kneighbors=6)
+    base.set_query(psi)
+    base.settle(max_iters=12, tol=1e-3)
+    r_ref = base.receipt()
+
+    # simulate the large-N regime: the gather model chunks, but N is tiny
+    # so the windowed working set trivially fits the budget
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setattr(OscillinkLattice, "_auto_col_chunks", lambda self: 2)
+    events: list[tuple[str, dict]] = []
+    lat = OscillinkLattice(Y, kneighbors=6)
+    assert lat._window_ctx is not None
+    assert lat._window_fullwidth is True
+    lat.set_query(psi)
+    lat.settle(max_iters=12, tol=1e-3)
+    r = lat.receipt()
+    assert r["deltaH_total"] == pytest.approx(r_ref["deltaH_total"], rel=1e-3)
+
+    # the full estimate gate: an over-budget working set must skip with its
+    # own reason (never risk a ResourceExhausted full-width attempt)
+    monkeypatch.setattr(
+        OscillinkLattice,
+        "_windowed_fw_est_gb",
+        lambda self, *a, **k: 99.0,
+    )
+    lat2 = OscillinkLattice(Y, kneighbors=6)
+    lat2.set_logger(lambda ev, p: events.append((ev, p)))
+    lat2.rebuild_graph(kneighbors=6)
+    reasons = [p.get("reason") for ev, p in events if ev == "window_ctx_skipped"]
+    assert "fw working set" in reasons
+    assert lat2._window_ctx is None
+
+
+def test_fw_admission_disabled_by_env(monkeypatch):
+    """OSCILLINK_WINDOWED_FW_GB=0 restores the blanket round-4 chunk gate."""
+    from oscillink_tpu.core.lattice import OscillinkLattice
+
+    Y = _clustered(1200, 48, seed=6)
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MATVEC", "auto")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_MIN_N", "512")
+    monkeypatch.setenv("OSCILLINK_WINDOWED_FW_GB", "0")
+    monkeypatch.setattr(OscillinkLattice, "_auto_col_chunks", lambda self: 2)
+    events: list[tuple[str, dict]] = []
+    lat = OscillinkLattice(Y, kneighbors=6)
+    lat.set_logger(lambda ev, p: events.append((ev, p)))
+    lat.rebuild_graph(kneighbors=6)
+    reasons = [p.get("reason") for ev, p in events if ev == "window_ctx_skipped"]
+    assert "col-chunked solve" in reasons
+    assert lat._window_ctx is None
